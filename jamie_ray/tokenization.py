@@ -1,0 +1,161 @@
+"""Deterministic segmentation + subword tokenization.
+
+Stands in for the reference's MeCab wakati + BERT WordPiece pair
+(/root/reference/utils.py:28-60 ``MorphologicalAnalyzer`` and
+``BertTokenizer.tokenize`` call sites, e.g. utils.py:662,826). Those
+components are external models; this engine pins *deterministic* rules
+with the exact same output algebra:
+
+- the analyzer emits surface tokens, applies the ``[JASP]``/``[SEP]``
+  sentinel pipeline and per-token ``han_to_zen`` exactly as
+  utils.py:47-60 does, and dedups consecutive ``[JASP]``;
+- the subword tokenizer emits WordPiece-shaped pieces (continuations
+  prefixed ``##``, special tokens kept whole) so every downstream
+  alignment rule (first-subword / last-subword / anchor−1, see
+  ``labels.py``) is exercised identically.
+
+Everything is a pure function of the input string — no model files, no
+state — so extracted artifacts are reproducible bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from .textnorm import han_to_zen
+
+SPECIAL_TOKENS = ("[JASP]", "[SEP]", "[CLS]", "[PAD]", "[UNK]")
+
+# subword piece width (chars) for the deterministic WordPiece stand-in
+_PIECE = 3
+# kanji "word" width for the deterministic wakati stand-in
+_KANJI_RUN = 2
+
+
+def _char_class(ch: str) -> str:
+    cp = ord(ch)
+    if ch == "　" or ch.isspace():
+        return "sp"
+    if 0x3040 <= cp <= 0x309F:
+        return "hira"
+    if 0x30A0 <= cp <= 0x30FF or cp == 0xFF70 or 0xFF66 <= cp <= 0xFF9D:
+        return "kata"
+    if 0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF:
+        return "kanji"
+    if ch.isalnum():
+        # latin / digits / full-width alnum group together
+        return "alnum"
+    cat = unicodedata.category(ch)
+    if cat.startswith(("P", "S")):
+        return "punct"
+    return "other"
+
+
+def wakati(text: str) -> list[str]:
+    """Deterministic word segmentation (MeCab ``-Owakati`` stand-in).
+
+    Splits on character-class boundaries; each space (incl. U+3000)
+    becomes its own token; punctuation chars are singleton tokens; long
+    kanji runs are chunked to ``_KANJI_RUN`` chars. Pure function.
+    """
+    toks: list[str] = []
+    run: list[str] = []
+    run_cls = ""
+
+    def flush() -> None:
+        nonlocal run
+        if not run:
+            return
+        s = "".join(run)
+        if run_cls == "kanji" and len(s) > _KANJI_RUN:
+            toks.extend(s[i : i + _KANJI_RUN] for i in range(0, len(s), _KANJI_RUN))
+        else:
+            toks.append(s)
+        run = []
+
+    for ch in text:
+        cls = _char_class(ch)
+        if cls in ("sp", "punct"):
+            flush()
+            run_cls = cls
+            toks.append("　" if cls == "sp" else ch)
+            run_cls = ""
+            continue
+        if cls != run_cls:
+            flush()
+            run_cls = cls
+        run.append(ch)
+    flush()
+    return toks
+
+
+def analyze(text: str) -> list[str]:
+    """The full analyzer contract of utils.py:47-60 (mecab branch).
+
+    1. ascii space -> ideographic space;
+    2. wakati;
+    3. join with spaces, fold ``　 SEP 　`` -> `` [SEP] ``,
+       remaining ideographic spaces -> ``[JASP]`` sentinels;
+    4. per token: keep ``[JASP]``, else ``han_to_zen`` then restore a
+       width-folded ``［ＳＥＰ］`` back to ``[SEP]``;
+    5. collapse consecutive ``[JASP]``.
+    """
+    text = text.replace(" ", "　")
+    joined = " ".join(wakati(text))
+    joined = joined.replace("　 SEP 　", " [SEP] ").replace("　", "[JASP]")
+    segments = joined.split()
+    segments = [
+        "[JASP]" if "[JASP]" in tok else han_to_zen(tok).replace("［ＳＥＰ］", "[SEP]")
+        for tok in segments
+    ]
+    refined: list[str] = []
+    for i, seg in enumerate(segments):
+        if i > 0 and seg == segments[i - 1] == "[JASP]":
+            continue
+        refined.append(seg)
+    return refined
+
+
+def subword_tokenize(tokens: list[str]) -> list[str]:
+    """WordPiece-shaped deterministic subword split.
+
+    Special tokens stay whole; other tokens are cut into fixed-width
+    pieces with ``##`` continuation prefixes (the shape every alignment
+    rule in ``labels.py`` keys on).
+    """
+    pieces: list[str] = []
+    for tok in tokens:
+        if tok in SPECIAL_TOKENS or len(tok) <= _PIECE:
+            pieces.append(tok)
+            continue
+        pieces.append(tok[:_PIECE])
+        pieces.extend("##" + tok[i : i + _PIECE] for i in range(_PIECE, len(tok), _PIECE))
+    return pieces
+
+
+def subword_len(tokens: list[str]) -> int:
+    """Subword length of a token sequence (utils.py:651-664 equivalent,
+    used for the trunk-packing budget)."""
+    n = 0
+    for tok in tokens:
+        if tok in SPECIAL_TOKENS or len(tok) <= _PIECE:
+            n += 1
+        else:
+            n += 1 + (len(tok) - _PIECE + _PIECE - 1) // _PIECE
+    return n
+
+
+def explore_unk(bpe_x: list[str], ori_x: list[str]) -> list[str]:
+    """Restore original surfaces for ``[UNK]`` pieces
+    (semantics of /root/reference/utils.py:170-185)."""
+    ix = 0
+    out: list[str] = []
+    for tok in bpe_x:
+        if not tok.startswith("##"):
+            out.append(ori_x[ix] if tok == "[UNK]" else tok)
+            ix += 1
+        else:
+            out.append(tok)
+    if len(out) != len(bpe_x):
+        raise AssertionError("explore_unk length mismatch")
+    return out
