@@ -1,0 +1,147 @@
+"""Chunking stage: normalized page text -> trunks under a subword budget.
+
+Reference semantics: trunk packing at /root/reference/utils.py:700-722 —
+consecutive lines join with the ``　SEP　`` sentinel while the candidate
+trunk's subword length + 2 stays under ``len_limit`` (512).
+
+Web-scale divergence (SURVEY.md §7.4): the reference *drops* trunks over
+the budget (utils.py:841-842); at 10^12 pages that is silent data loss,
+so a single over-long line is *split* at wakati boundaries into multiple
+chunks instead. The packing itself is incremental (per-line subword
+lengths are additive across the ``[SEP]`` join) — O(n) per page, unlike
+the reference's re-tokenize-the-whole-trunk loop.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pyarrow as pa
+
+from ..tokenization import analyze, subword_len, subword_tokenize, wakati
+
+SEP_JOIN = "　SEP　"
+DEFAULT_LEN_LIMIT = 512
+
+
+def split_long_line(line: str, budget: int) -> list[str]:
+    """Split one over-budget line at wakati token boundaries.
+
+    Deterministic greedy accumulation of per-token subword lengths
+    (an upper bound on the merged length, so every piece fits). wakati
+    tokens partition the input chars exactly, so cut offsets are the
+    cumulative token lengths.
+    """
+    pieces: list[str] = []
+    cur_len = 0
+    cur_chars = 0
+    start = 0
+    pos = 0
+    for tok in wakati(line):
+        tok_sbw = subword_len([tok])
+        if cur_len + tok_sbw > budget and cur_chars > 0:
+            pieces.append(line[start:pos])
+            start = pos
+            cur_len = 0
+            cur_chars = 0
+        cur_len += tok_sbw
+        cur_chars += len(tok)
+        pos += len(tok)
+    if pos > start:
+        pieces.append(line[start:pos])
+    return pieces
+
+
+def chunk_pack(
+    lines: Iterable[str], len_limit: int = DEFAULT_LEN_LIMIT
+) -> tuple[list[str], list[int], list[list[int]]]:
+    """Pack lines (normalized sentences) into trunk texts.
+
+    Returns ``(trunk_texts, n_subwords, line_assignment)`` where
+    ``line_assignment[i]`` lists the input line indices packed into
+    trunk ``i`` (the fixture oracle uses it to compute chunk ids).
+
+    Budget rule mirrors utils.py:715: grow the trunk while
+    ``subword_len(trunk + SEP + line) + 2 < len_limit``; the join adds
+    exactly one ``[SEP]`` subword per boundary.
+    """
+    budget = len_limit - 2
+    trunk_texts: list[str] = []
+    trunk_lens: list[int] = []
+    assignment: list[list[int]] = []
+
+    cur_lines: list[str] = []
+    cur_ids: list[int] = []
+    cur_len = 0
+
+    def flush() -> None:
+        nonlocal cur_lines, cur_ids, cur_len
+        if cur_lines:
+            trunk_texts.append(SEP_JOIN.join(cur_lines))
+            trunk_lens.append(cur_len)
+            assignment.append(cur_ids)
+        cur_lines, cur_ids, cur_len = [], [], 0
+
+    for i, line in enumerate(lines):
+        line_len = subword_len(analyze(line))
+        if line_len >= budget:
+            flush()
+            for piece in split_long_line(line, budget):
+                trunk_texts.append(piece)
+                trunk_lens.append(subword_len(analyze(piece)))
+                assignment.append([i])
+            continue
+        # +1 for the [SEP] subword at the join boundary
+        cand = cur_len + (1 if cur_lines else 0) + line_len
+        if cur_lines and cand + 2 >= len_limit:
+            flush()
+            cand = line_len
+        cur_lines.append(line)
+        cur_ids.append(i)
+        cur_len = cand
+    flush()
+    return trunk_texts, trunk_lens, assignment
+
+
+def chunk_pages_batch(batch: pa.Table, len_limit: int = DEFAULT_LEN_LIMIT) -> pa.Table:
+    """map_batches kernel: pages(url, text, ...) -> chunks rows.
+
+    Explodes each page's text into ``(url, chunk_id, text, n_subwords)``
+    rows; chunk_id is the within-page trunk ordinal (stable under any
+    block layout — no global state).
+    """
+    urls = batch.column("url").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_url: list[str] = []
+    out_cid: list[int] = []
+    out_text: list[str] = []
+    out_len: list[int] = []
+    for url, text in zip(urls, texts):
+        if not text:
+            continue
+        trunks, lens, _ = chunk_pack(text.split("\n"), len_limit)
+        for cid, (t, n) in enumerate(zip(trunks, lens)):
+            out_url.append(url)
+            out_cid.append(cid)
+            out_text.append(t)
+            out_len.append(n)
+    return pa.table(
+        {
+            "url": pa.array(out_url, pa.string()),
+            "chunk_id": pa.array(out_cid, pa.int32()),
+            "text": pa.array(out_text, pa.string()),
+            "n_subwords": pa.array(out_len, pa.int32()),
+        }
+    )
+
+
+def parity_check_incremental(lines: list[str], len_limit: int = DEFAULT_LEN_LIMIT) -> bool:
+    """Test hook: verify the incremental packing length equals the direct
+    re-tokenization of the joined trunk (the reference's O(n^2) rule)."""
+    trunks, lens, _ = chunk_pack(lines, len_limit)
+    for t, n in zip(trunks, lens):
+        if subword_len(analyze(t)) != n:
+            return False
+        if len(subword_tokenize(analyze(t))) != n:
+            return False
+    return True

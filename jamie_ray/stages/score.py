@@ -1,0 +1,211 @@
+"""Scoring stage: chunks -> tagged_chunks (the flagship actor-pool stage).
+
+Mirrors the reference's joint inference path end to end:
+
+  model forward (CRF decode -> modality argmax -> selection cells)
+      /root/reference/model.py:641-709
+  selection_decode -> SPO index triples
+      /root/reference/model.py:728-770
+  subword -> word realignment and CoNLL row emission
+      /root/reference/clinical_joint.py:87-102, utils.py:1831-1892
+
+The model itself is swappable behind ``ScorerModel``: v0 ships
+``MockJointModel`` — a deterministic gazetteer tagger + hash-driven
+modality/relation rules (see ``mockmodel.py``) with the exact output
+contract of ``JointNerModReExtractor`` (subword BIO tags, subword
+modality tags, sparse selection cells). A real transformer drops in by
+implementing the same three-output interface; the actor pool, batching
+and decode path do not change.
+
+Run it as ``ds.map_batches(JointScorer, concurrency=N, batch_size=B,
+batch_format="pyarrow")`` — stateful setup happens once per actor in
+``__init__`` (gazetteer build ~ model load).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..labels import (
+    match_mod_label,
+    match_ner_label,
+    sbwmod2mod,
+    sbwner2ner,
+    sbwrel2head,
+    sbwtok2tok_alignment,
+    selection_decode,
+    word_to_sbw_last_index,
+)
+from ..mockmodel import (
+    REL_VOCAB,
+    gazetteer_tokens,
+    max_gazetteer_len,
+    modality_for,
+    relation_for,
+)
+from ..tokenization import analyze, subword_tokenize
+
+_REL_INDEX = {r: i for i, r in enumerate(REL_VOCAB)}
+
+
+class MockJointModel:
+    """Deterministic stand-in for the BERT joint model.
+
+    Produces, per chunk: word tokens, word BIO tags, word modality tags,
+    and word-level relations — then expands them to the subword-level
+    prediction contract (tags over ``[CLS] + pieces + [SEP]`` plus
+    sparse selection cells anchored at last subwords) exactly as the
+    trained reference model would emit them.
+    """
+
+    def __init__(self) -> None:
+        self.gazetteer = gazetteer_tokens()
+        self.max_len = max_gazetteer_len()
+
+    # -- word-level tagging (the "forward pass") -------------------------
+
+    def tag_words(
+        self, tokens: list[str]
+    ) -> tuple[list[str], list[str], list[tuple[tuple[int, int], str, tuple[int, int]]]]:
+        """Greedy gazetteer match per ``[SEP]``-delimited sentence segment.
+
+        Returns (word BIO tags, word modality tags, relations) where each
+        relation is ((subj_start, subj_end), pred, (obj_start, obj_end))
+        in global word coordinates.
+        """
+        n = len(tokens)
+        ner = ["O"] * n
+        mod = ["_"] * n
+        relations: list[tuple[tuple[int, int], str, tuple[int, int]]] = []
+
+        seg_start = 0
+        while seg_start < n:
+            seg_end = seg_start
+            while seg_end < n and tokens[seg_end] != "[SEP]":
+                seg_end += 1
+            # mentions within [seg_start, seg_end)
+            mentions: list[tuple[int, int, str]] = []  # (start, end, tag)
+            i = seg_start
+            while i < seg_end:
+                matched = False
+                for w in range(min(self.max_len, seg_end - i), 0, -1):
+                    tag = self.gazetteer.get(tuple(tokens[i : i + w]))
+                    if tag is not None:
+                        mentions.append((i, i + w, tag))
+                        ner[i] = f"B-{tag}"
+                        for j in range(i + 1, i + w):
+                            ner[j] = f"I-{tag}"
+                        i += w
+                        matched = True
+                        break
+                if not matched:
+                    i += 1
+            # modality + relations keyed by mention string and ordinal
+            mstrs = ["".join(tokens[s:e]) for s, e, _ in mentions]
+            for k, (s, e, tag) in enumerate(mentions):
+                mod[e - 1] = modality_for(tag, mstrs[k], k)
+            for a in range(len(mentions)):
+                for b in range(len(mentions)):
+                    if a == b:
+                        continue
+                    pred = relation_for(mstrs[a], mstrs[b], a, b)
+                    if pred is not None:
+                        relations.append(
+                            (mentions[a][:2], pred, mentions[b][:2])
+                        )
+            seg_start = seg_end + 1
+        return ner, mod, relations
+
+    # -- subword-level prediction contract --------------------------------
+
+    def predict(
+        self, text: str
+    ) -> tuple[list[str], list[str], list[str], list[tuple[int, str, int]]]:
+        """chunk text -> (sbw_toks, sbw_ner, sbw_mod, selection cells).
+
+        ``sbw_toks`` includes the ``[CLS]``/``[SEP]`` wrap; cells are in
+        wrap-inclusive coordinates sorted row-major (s, p, o) like the
+        dense ``nonzero`` of the reference (model.py:751).
+        """
+        tokens = analyze(text)
+        w_ner, w_mod, relations = self.tag_words(tokens)
+
+        pieces = subword_tokenize(tokens)
+        sbw_ner = ["O"] + match_ner_label(pieces, w_ner) + ["O"]
+        sbw_mod = ["_"] + match_mod_label(pieces, w_mod) + ["_"]
+        sbw_toks = ["[CLS]"] + pieces + ["[SEP]"]
+
+        _, aligned_ids = sbwtok2tok_alignment(sbw_toks)
+        w2last = word_to_sbw_last_index(aligned_ids)
+
+        cells = sorted(
+            (
+                w2last[subj_span[1] - 1 + 1],  # +1: [CLS] occupies word 0
+                pred,
+                w2last[obj_span[1] - 1 + 1],
+            )
+            for subj_span, pred, obj_span in relations
+        )
+        cells.sort(key=lambda c: (c[0], _REL_INDEX[c[1]], c[2]))
+        return sbw_toks, sbw_ner, sbw_mod, cells
+
+
+class JointScorer:
+    """Actor-pool map_batches callable: chunks table -> tagged_chunks table.
+
+    Model state is built once per actor (``__init__``); ``__call__``
+    handles one Arrow batch. Output columns are the Arrow translation of
+    the multihead-CoNLL row (schemas.TAGGED_CHUNKS).
+    """
+
+    def __init__(self, model: str = "mock") -> None:
+        if model != "mock":
+            raise NotImplementedError(
+                "only the deterministic mock model ships in v0; a real "
+                "transformer implements MockJointModel's predict() contract"
+            )
+        self.model = MockJointModel()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        cids = batch.column("chunk_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+
+        out_tokens: list[list[str]] = []
+        out_ner: list[list[str]] = []
+        out_mod: list[list[str]] = []
+        out_rels: list[list[list[str]]] = []
+        out_heads: list[list[list[int]]] = []
+
+        for text in texts:
+            sbw_toks, sbw_ner, sbw_mod, cells = self.model.predict(text)
+            rel_ix_triplets = selection_decode(sbw_ner, cells)
+
+            # realignment exactly as clinical_joint.py:87-98
+            w_tok, aligned_ids = sbwtok2tok_alignment(sbw_toks)
+            w_ner = sbwner2ner(sbw_ner, aligned_ids)
+            w_mod = sbwmod2mod(sbw_mod, aligned_ids)
+            w_rel, w_head = sbwrel2head(rel_ix_triplets, aligned_ids)
+            w_tok = w_tok[1:-1]
+            w_ner = w_ner[1:-1]
+            w_mod = w_mod[1:-1]
+            if not (len(w_tok) == len(w_ner) == len(w_mod) == len(w_rel) == len(w_head)):
+                raise AssertionError("realignment length mismatch")
+
+            out_tokens.append(w_tok)
+            out_ner.append(w_ner)
+            out_mod.append(w_mod)
+            out_rels.append(w_rel)
+            out_heads.append(w_head)
+
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "chunk_id": pa.array(cids, pa.int32()),
+                "tokens": pa.array(out_tokens, pa.list_(pa.string())),
+                "ner": pa.array(out_ner, pa.list_(pa.string())),
+                "mod": pa.array(out_mod, pa.list_(pa.string())),
+                "rels": pa.array(out_rels, pa.list_(pa.list_(pa.string()))),
+                "heads": pa.array(out_heads, pa.list_(pa.list_(pa.int32()))),
+            }
+        )

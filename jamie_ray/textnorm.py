@@ -161,6 +161,7 @@ _BLOCK_TAG_RE = re.compile(
     re.IGNORECASE,
 )
 _SCRIPT_RE = re.compile(r"<(script|style)[^>]*>.*?</\1>", re.IGNORECASE | re.DOTALL)
+_HEAD_RE = re.compile(r"<head[^>]*>.*?</head>", re.IGNORECASE | re.DOTALL)
 
 
 def html_to_lines(html: str) -> list[str]:
@@ -172,7 +173,8 @@ def html_to_lines(html: str) -> list[str]:
     the stage-1 extractor; the per-line normalization cascade
     (:func:`normalize_line`) then produces the byte-pinned text.
     """
-    s = _SCRIPT_RE.sub(" ", html)
+    s = _HEAD_RE.sub(" ", html)
+    s = _SCRIPT_RE.sub(" ", s)
     s = _BLOCK_TAG_RE.sub("\n", s)
     s = _TAG_RE.sub("", s)
     s = s.replace("&gt;", ">").replace("&lt;", "<").replace("&amp;", "&")
