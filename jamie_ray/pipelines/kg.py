@@ -1,0 +1,205 @@
+"""The flagship KG-construction pipeline (SURVEY.md §4 physical plan).
+
+    read_parquet(pages, columns=[url, html, lang])   # prune at the read
+      -> filter(lang)                                 # vectorized
+      -> extract_text                                 # stateless mb, byte-pinned
+      -> chunk                                        # stateless mb explode
+      -> score (actor pool)                           # stateful, batch-sized
+      -> assemble                                     # stateless mb
+      -> link (groupby band shuffle + broadcast map)  # shuffle #1
+      -> dedup (combine + groupby triple_key)         # shuffle #2
+      -> sort(subj_id) -> write_parquet + lineage     # shuffle #3
+
+Everything before ``link`` is a straight-line streaming plan: blocks
+flow with backpressure, nothing materializes the corpus. The driver
+never iterates rows; the only driver-side state is the verified LSH
+edge list (see ``stages/link.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import ray
+import ray.data
+
+from ..hashing import stable_hash64
+from ..stages.assemble import assemble_batch, entities_batch
+from ..stages.chunk import chunk_pages_batch
+from ..stages.dedup import dedup_triples
+from ..stages.extract import extract_batch, filter_lang_batch
+from ..stages.link import link_triples
+from ..stages.score import JointScorer
+from ..state.lineage import append_manifest, read_manifest
+
+DEFAULT_SCORER_CONCURRENCY = (1, 8)
+DEFAULT_SCORER_BATCH = 64
+
+
+def read_pages(pages_path: str, *, shard_filter=None) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(pages_path, columns=["url", "html", "lang"])
+    if shard_filter is not None:
+        ds = ds.map_batches(shard_filter, batch_format="pyarrow")
+    return ds
+
+
+def extracted_pages(pages: ray.data.Dataset, lang: str = "ja") -> ray.data.Dataset:
+    return pages.map_batches(
+        lambda b: filter_lang_batch(b, lang), batch_format="pyarrow"
+    ).map_batches(extract_batch, batch_format="pyarrow")
+
+
+def chunk_pages(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    return extracted.map_batches(chunk_pages_batch, batch_format="pyarrow")
+
+
+def score_chunks(
+    chunks: ray.data.Dataset,
+    *,
+    concurrency=DEFAULT_SCORER_CONCURRENCY,
+    batch_size: int = DEFAULT_SCORER_BATCH,
+) -> ray.data.Dataset:
+    return chunks.map_batches(
+        JointScorer,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def build_triples(
+    pages_path: str,
+    *,
+    lang: str = "ja",
+    concurrency=DEFAULT_SCORER_CONCURRENCY,
+    batch_size: int = DEFAULT_SCORER_BATCH,
+    shard_filter=None,
+) -> ray.data.Dataset:
+    """pages parquet -> raw mention-level triples Dataset (streaming)."""
+    pages = read_pages(pages_path, shard_filter=shard_filter)
+    chunks = chunk_pages(extracted_pages(pages, lang))
+    tagged = score_chunks(chunks, concurrency=concurrency, batch_size=batch_size)
+    return tagged.map_batches(assemble_batch, batch_format="pyarrow")
+
+
+def build_entities(pages_path: str, *, lang: str = "ja") -> ray.data.Dataset:
+    """pages parquet -> entity-mention rows (the mod_entities view)."""
+    pages = read_pages(pages_path)
+    chunks = chunk_pages(extracted_pages(pages, lang))
+    tagged = score_chunks(chunks)
+    return tagged.map_batches(entities_batch, batch_format="pyarrow")
+
+
+def build_graph(
+    pages_path: str,
+    *,
+    lang: str = "ja",
+    concurrency=DEFAULT_SCORER_CONCURRENCY,
+    batch_size: int = DEFAULT_SCORER_BATCH,
+) -> ray.data.Dataset:
+    """Full pipeline through linking + dedup (unsorted; see materialize)."""
+    triples = build_triples(
+        pages_path, lang=lang, concurrency=concurrency, batch_size=batch_size
+    )
+    linked = link_triples(triples)
+    return dedup_triples(linked)
+
+
+def materialize_graph(
+    pages_path: str,
+    out_dir: str,
+    *,
+    lang: str = "ja",
+    n_shards: int = 8,
+    concurrency=DEFAULT_SCORER_CONCURRENCY,
+    batch_size: int = DEFAULT_SCORER_BATCH,
+) -> dict:
+    """Resumable sorted graph materialize (north rule's final write).
+
+    Two levels:
+
+    1. **Heavy, resumable**: pages are sharded by ``hash(url) % n_shards``;
+       each unfinished shard runs extract->score->assemble->link->dedup
+       and writes ``out_dir/shard=N/`` plus a lineage record. A rerun
+       reads the manifest and skips finished shards — the expensive
+       scoring compute is never repeated.
+    2. **Cheap, idempotent finalize**: a global dedup (same triple key
+       always re-merges identical rows deterministically) + ``sort``
+       on (subj_id, pred, obj_id) + write of ``out_dir/graph/``.
+
+    Returns the run summary (shards run/skipped, rows, wall time).
+    """
+    import pyarrow as pa
+
+    done = read_manifest(out_dir)
+    summary = {"shards_total": n_shards, "shards_skipped": len(done), "shards_run": 0}
+
+    for shard in range(n_shards):
+        if shard in done:
+            continue
+        t0 = time.time()
+
+        def shard_filter(batch, _shard=shard):
+            urls = batch.column("url").to_pylist()
+            mask = pa.array(
+                [stable_hash64("shard", u) % n_shards == _shard for u in urls]
+            )
+            return batch.filter(mask)
+
+        triples = build_triples(
+            pages_path,
+            lang=lang,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            shard_filter=shard_filter,
+        )
+        linked = link_triples(triples)
+        graph = dedup_triples(linked)
+        shard_dir = f"{out_dir}/shard={shard}"
+        os.makedirs(shard_dir, exist_ok=True)
+        graph.write_parquet(shard_dir)
+        n_triples = _count_parquet_rows(shard_dir)
+        append_manifest(
+            out_dir,
+            {
+                "shard": shard,
+                "n_pages": -1,
+                "n_chunks": -1,
+                "n_triples": int(n_triples),
+                "input_fingerprint": f"{pages_path}#%d/%d" % (shard, n_shards),
+                "wall_time_s": round(time.time() - t0, 3),
+            },
+        )
+        summary["shards_run"] += 1
+
+    # finalize: global dedup + sorted write (idempotent)
+    shard_files = [
+        f
+        for s in range(n_shards)
+        for f in _parquet_files(f"{out_dir}/shard={s}")
+    ]
+    graph_dir = f"{out_dir}/graph"
+    os.makedirs(graph_dir, exist_ok=True)
+    for stale in _parquet_files(graph_dir):  # finalize is a full rewrite
+        os.unlink(stale)
+    if shard_files:
+        all_shards = ray.data.read_parquet(shard_files)
+        final = dedup_triples(all_shards).sort(["subj_id", "pred", "obj_id"])
+        final.write_parquet(graph_dir)
+    summary["n_triples"] = _count_parquet_rows(graph_dir)
+    return summary
+
+
+def _parquet_files(d: str) -> list[str]:
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def _count_parquet_rows(d: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f in _parquet_files(d))

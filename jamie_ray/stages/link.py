@@ -1,0 +1,240 @@
+"""Entity linking / canonicalization (new per north rule; SURVEY.md J5).
+
+Mention surfaces -> canonical entity ids, in four moves:
+
+1. **surface normalization** — width-fold + casefold (pure kernel);
+2. **minhash-LSH blocking** — character-shingle minhash signatures,
+   banded; ``groupby(band_key)`` is shuffle #1 of the physical plan
+   (SURVEY.md §4). Hot bands are salted by truncation: a band group is
+   processed at most ``max_group`` surfaces (sorted, deterministic) —
+   beyond that the band is too unselective to be evidence anyway;
+3. **pair verification** — exact shingle-set Jaccard >= ``threshold``
+   inside each band group; surviving edges are few by construction and
+   are collected to the driver;
+4. **union-find merge** (driver) -> canonical map broadcast via
+   ``ray.put`` -> stateless ``map_batches`` id rewrite.
+
+Partitioning assumption (documented per the custom-operator rule): a
+candidate pair must share at least one band key — standard LSH recall;
+the shuffle key is the band hash, and the edge list fits on the driver
+because verification culls everything below ``threshold``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..hashing import mix64, stable_hash64, stable_hash64_signed
+from ..state.union_find import UnionFind
+from ..textnorm import zen_to_han
+
+N_HASHES = 32
+N_BANDS = 8  # 8 bands x 4 rows
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_K = 3
+DEFAULT_THRESHOLD = 0.6
+DEFAULT_MAX_GROUP = 64
+
+
+def normalize_surface(s: str) -> str:
+    """Canonical comparison form: half-width fold + casefold."""
+    return zen_to_han(s, kana=False).casefold()
+
+
+def entity_id(surface: str) -> int:
+    """Stable pre-linking entity id of a mention surface."""
+    return stable_hash64_signed("ent", normalize_surface(surface))
+
+
+def _shingles(norm: str) -> set[str]:
+    if len(norm) <= SHINGLE_K:
+        return {norm}
+    return {norm[i : i + SHINGLE_K] for i in range(len(norm) - SHINGLE_K + 1)}
+
+
+def minhash_bands(norm: str) -> list[int]:
+    """Band keys of the minhash signature of a normalized surface."""
+    sh = sorted(_shingles(norm))
+    base = np.array(
+        [stable_hash64("sh", s) for s in sh], dtype=np.uint64
+    )
+    sig = np.empty(N_HASHES, dtype=np.uint64)
+    for h in range(N_HASHES):
+        sig[h] = mix64(base, seed=h + 1).min()
+    bands = []
+    for b in range(N_BANDS):
+        rows = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        bands.append(stable_hash64_signed("band", b, *rows.tolist()))
+    return bands
+
+
+def jaccard(a: str, b: str) -> float:
+    sa, sb = _shingles(a), _shingles(b)
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if inter else 0.0
+
+
+# --------------------------------------------------------------------------
+# Ray stages
+# --------------------------------------------------------------------------
+
+def surfaces_batch(batch: pa.Table) -> pa.Table:
+    """triples batch -> one 'surface' row per subj/obj occurrence."""
+    vals = batch.column("subj").to_pylist() + batch.column("obj").to_pylist()
+    return pa.table({"surface": pa.array(vals, pa.string())})
+
+
+def expand_bands_batch(batch: pa.Table) -> pa.Table:
+    """distinct surfaces -> (band_key, surface, norm) rows."""
+    out_band: list[int] = []
+    out_surface: list[str] = []
+    out_norm: list[str] = []
+    for surface in batch.column("surface").to_pylist():
+        norm = normalize_surface(surface)
+        for band in minhash_bands(norm):
+            out_band.append(band)
+            out_surface.append(surface)
+            out_norm.append(norm)
+    return pa.table(
+        {
+            "band_key": pa.array(out_band, pa.int64()),
+            "surface": pa.array(out_surface, pa.string()),
+            "norm": pa.array(out_norm, pa.string()),
+        }
+    )
+
+
+def candidate_edges_group(
+    group: pa.Table,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_group: int = DEFAULT_MAX_GROUP,
+) -> pa.Table:
+    """map_groups kernel over one band bucket -> verified edges."""
+    norms = sorted(set(zip(group.column("norm").to_pylist(),
+                           group.column("surface").to_pylist())))
+    norms = norms[:max_group]
+    a_out: list[str] = []
+    b_out: list[str] = []
+    for i in range(len(norms)):
+        for j in range(i + 1, len(norms)):
+            na, nb = norms[i][0], norms[j][0]
+            if na == nb or jaccard(na, nb) >= threshold:
+                a_out.append(norms[i][1])
+                b_out.append(norms[j][1])
+    return pa.table(
+        {"surface_a": pa.array(a_out, pa.string()), "surface_b": pa.array(b_out, pa.string())}
+    )
+
+
+def build_canonical_map(
+    surfaces: Iterable[str], edges: Iterable[tuple[str, str]]
+) -> dict[str, tuple[int, str]]:
+    """Union-find merge -> {surface: (canonical_id, canonical_surface)}.
+
+    Canonical id = min pre-linking entity id in the cluster; canonical
+    surface = lexicographically smallest member surface (deterministic,
+    independent of edge order).
+    """
+    uf = UnionFind()
+    surfaces = list(surfaces)
+    for s in surfaces:
+        uf.find(normalize_surface(s))
+    for a, b in edges:
+        uf.union(normalize_surface(a), normalize_surface(b))
+    comp = uf.components()
+
+    cluster_id: dict[str, int] = {}
+    cluster_surface: dict[str, str] = {}
+    for s in surfaces:
+        root = comp[normalize_surface(s)]
+        eid = entity_id(s)
+        if root not in cluster_id or eid < cluster_id[root]:
+            cluster_id[root] = eid
+        if root not in cluster_surface or s < cluster_surface[root]:
+            cluster_surface[root] = s
+    return {
+        s: (cluster_id[comp[normalize_surface(s)]],
+            cluster_surface[comp[normalize_surface(s)]])
+        for s in surfaces
+    }
+
+
+class RewriteIds:
+    """Actor-pool id rewrite: the canonical map rides the object store
+    (``ray.put`` once) and is resolved once per actor in ``__init__`` —
+    never re-shipped per batch."""
+
+    def __init__(self, canonical_ref) -> None:
+        self.canonical = (
+            ray.get(canonical_ref)
+            if isinstance(canonical_ref, ray.ObjectRef)
+            else canonical_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj = batch.column("subj").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        canon = self.canonical
+
+        def ids(vals: list[str]) -> tuple[list[int], list[str]]:
+            out_id, out_surf = [], []
+            for v in vals:
+                hit = canon.get(v)
+                if hit is None:
+                    out_id.append(entity_id(v))
+                    out_surf.append(v)
+                else:
+                    out_id.append(hit[0])
+                    out_surf.append(hit[1])
+            return out_id, out_surf
+
+        subj_ids, subj_canon = ids(subj)
+        obj_ids, obj_canon = ids(obj)
+        return batch.append_column(
+            "subj_id", pa.array(subj_ids, pa.int64())
+        ).append_column(
+            "obj_id", pa.array(obj_ids, pa.int64())
+        ).append_column(
+            "subj_canon", pa.array(subj_canon, pa.string())
+        ).append_column(
+            "obj_canon", pa.array(obj_canon, pa.string())
+        )
+
+
+def link_triples(triples, *, threshold: float = DEFAULT_THRESHOLD):
+    """Full linking stage: triples Dataset -> linked triples Dataset.
+
+    Physical plan: surface projection -> distinct (groupby shuffle kept
+    small by the projection) -> band expansion -> groupby(band) candidate
+    gen -> driver union-find -> broadcast rewrite.
+    """
+    bands = (
+        triples.map_batches(surfaces_batch, batch_format="pyarrow")
+        .groupby("surface")
+        .count()
+        .map_batches(expand_bands_batch, batch_format="pyarrow")
+    )
+    edges_ds = bands.groupby("band_key").map_groups(
+        lambda g: candidate_edges_group(g, threshold=threshold),
+        batch_format="pyarrow",
+    )
+    # only cluster members reach the driver: singleton surfaces resolve
+    # locally inside RewriteIds via entity_id(), so the collected edge
+    # list (post-verification) is the whole driver-side state
+    edges = {
+        (r["surface_a"], r["surface_b"]) for r in edges_ds.take_all()
+    }
+    member_surfaces = {s for e in edges for s in e}
+    canonical = build_canonical_map(member_surfaces, edges)
+    ref = ray.put(canonical)
+    return triples.map_batches(
+        RewriteIds,
+        fn_constructor_args=(ref,),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+    )
