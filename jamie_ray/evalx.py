@@ -1,0 +1,144 @@
+"""Distributed tuple evaluation (reference G4, SURVEY.md §2.5).
+
+Re-implements ``TupleEvaluator`` (/root/reference/clinical_eval.py:
+54-108) — per-class tps/fps/fns with multiset matching-with-removal,
+micro/macro P/R/F1 — as the partial-aggregation pattern: gold and pred
+rows are unioned with a side column, grouped by sentence key
+``(url, chunk_id)``, each group emits per-class partial counts, a tiny
+``groupby('cls').sum()`` reduces them, and the final P/R/F1 math runs on
+the driver over a handful of rows.
+
+The reference's 1e-10 smoothing initializer (clinical_eval.py:60) is a
+divide-by-zero guard, not semantics; :func:`calculate_f1` reproduces the
+guarded formulas of clinical_eval.py:7-11 exactly.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyarrow as pa
+
+_SKIP_CLASSES = ("N", "O", "_", "OO")  # clinical_eval.py:70,79
+
+
+def calculate_f1(tps: float, fps: float, fns: float) -> tuple[float, float, float]:
+    p = 0.0 if not (tps + fps) else tps / (tps + fps)
+    r = 0.0 if not (tps + fns) else tps / (tps + fns)
+    f1 = 0.0 if not (p + r) else 2 * p * r / (p + r)
+    return p, r, f1
+
+
+def match_tuples(
+    gold_tuples: list[tuple], pred_tuples: list[tuple], rel_col: int = -1
+) -> dict[str, list[int]]:
+    """One sentence-group's multiset matching (clinical_eval.py:65-81).
+
+    Returns {cls: [tps, fps, fns]}.
+    """
+    counts: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])
+    pred_left = list(pred_tuples)
+    for g in gold_tuples:
+        cls = g[rel_col]
+        if cls in _SKIP_CLASSES:
+            continue
+        if g in pred_left:
+            counts[cls][0] += 1
+            pred_left.remove(g)
+        else:
+            counts[cls][2] += 1
+    for p in pred_left:
+        cls = p[rel_col]
+        if cls in _SKIP_CLASSES:
+            continue
+        counts[cls][1] += 1
+    return counts
+
+
+def _group_partials(group: pa.Table, tuple_cols: list[str], rel_col: int) -> pa.Table:
+    sides = group.column("__side").to_pylist()
+    tup_vals = list(zip(*[group.column(c).to_pylist() for c in tuple_cols]))
+    gold = [t for t, s in zip(tup_vals, sides) if s == 0]
+    pred = [t for t, s in zip(tup_vals, sides) if s == 1]
+    counts = match_tuples(gold, pred, rel_col)
+    rows = [(cls, c[0], c[1], c[2]) for cls, c in counts.items()]
+    return pa.table(
+        {
+            "cls": pa.array([r[0] for r in rows], pa.string()),
+            "tps": pa.array([r[1] for r in rows], pa.int64()),
+            "fps": pa.array([r[2] for r in rows], pa.int64()),
+            "fns": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def evaluate_datasets(
+    gold,
+    pred,
+    tuple_cols: list[str],
+    *,
+    rel_col: int = -1,
+    f1_mode: str = "micro",
+) -> dict:
+    """Distributed P/R/F1 of pred vs gold Datasets keyed by (url, chunk_id).
+
+    ``tuple_cols`` defines the tuple identity (e.g. subj/pred/obj/...);
+    ``rel_col`` indexes the class column within it (reference default:
+    last). Returns {"micro"|"macro": (p, r, f1), "per_class": {...}}.
+    """
+    cols = ["url", "chunk_id", *tuple_cols]
+
+    def _side(side_val: int):
+        def add(batch: pa.Table) -> pa.Table:
+            return batch.select(cols).append_column(
+                "__side", pa.array([side_val] * batch.num_rows, pa.int8())
+            )
+
+        return add
+
+    unioned = gold.map_batches(_side(0), batch_format="pyarrow").union(
+        pred.map_batches(_side(1), batch_format="pyarrow")
+    )
+    partials = unioned.groupby(["url", "chunk_id"]).map_groups(
+        lambda g: _group_partials(g, tuple_cols, rel_col),
+        batch_format="pyarrow",
+    )
+    reduced = partials.groupby("cls").sum(["tps", "fps", "fns"])
+    per_class: dict[str, tuple[float, float, float, int, int, int]] = {}
+    totals = [0, 0, 0]
+    rows = reduced.take_all()
+    for row in rows:
+        tps, fps, fns = row["sum(tps)"], row["sum(fps)"], row["sum(fns)"]
+        per_class[row["cls"]] = (*calculate_f1(tps, fps, fns), tps, fps, fns)
+        totals[0] += tps
+        totals[1] += fps
+        totals[2] += fns
+    micro = calculate_f1(*totals)
+    if per_class:
+        macro = tuple(
+            sum(v[i] for v in per_class.values()) / len(per_class) for i in range(3)
+        )
+    else:
+        macro = (0.0, 0.0, 0.0)
+    return {
+        "micro": micro,
+        "macro": macro,
+        "per_class": per_class,
+        "counts": {"tps": totals[0], "fps": totals[1], "fns": totals[2]},
+        "f1": micro[2] if f1_mode == "micro" else macro[2],
+    }
+
+
+def evaluate_triples(gold, pred, f1_mode: str = "micro") -> dict:
+    """Mention-level triple P/R (the BASELINE gate; eval_mention_rel,
+    clinical_eval.py:145-149)."""
+    return evaluate_datasets(
+        gold, pred, ["subj", "obj", "pred"], rel_col=-1, f1_mode=f1_mode
+    )
+
+
+def evaluate_entities(gold, pred, f1_mode: str = "micro") -> dict:
+    """Entity-mention P/R (eval_ner analogue, class = ner tag)."""
+    return evaluate_datasets(
+        gold, pred, ["mention", "ner_tag"], rel_col=-1, f1_mode=f1_mode
+    )

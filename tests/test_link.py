@@ -1,0 +1,90 @@
+"""Unit tests for entity linking: minhash-LSH blocking, union-find,
+canonical-map construction."""
+
+import pyarrow as pa
+
+from jamie_ray.stages import link
+from jamie_ray.state.union_find import UnionFind
+
+
+def test_normalize_surface():
+    assert link.normalize_surface("ＭＲＩ") == "mri"
+    assert link.normalize_surface("MRI") == "mri"
+    assert link.normalize_surface("急性肺炎") == "急性肺炎"
+
+
+def test_entity_id_stable_across_widths():
+    assert link.entity_id("ＭＲＩ") == link.entity_id("mri")
+    assert link.entity_id("a") != link.entity_id("b")
+
+
+def test_minhash_bands_deterministic_and_sensitive():
+    b1 = link.minhash_bands("急性肺炎の検査")
+    assert b1 == link.minhash_bands("急性肺炎の検査")
+    assert len(b1) == link.N_BANDS
+    # near-identical strings share at least one band
+    b2 = link.minhash_bands("急性肺炎の検査を")
+    assert set(b1) & set(b2)
+    # unrelated strings share none
+    b3 = link.minhash_bands("completely different words")
+    assert not set(b1) & set(b3)
+
+
+def test_jaccard():
+    assert link.jaccard("abcd", "abcd") == 1.0
+    assert link.jaccard("abcd", "wxyz") == 0.0
+    assert 0.0 < link.jaccard("abcde", "abcdef") < 1.0
+
+
+def test_union_find_deterministic():
+    uf1, uf2 = UnionFind(), UnionFind()
+    edges = [("b", "c"), ("a", "b"), ("d", "e")]
+    for a, b in edges:
+        uf1.union(a, b)
+    for a, b in reversed(edges):
+        uf2.union(a, b)
+    assert uf1.components() == uf2.components()
+    comp = uf1.components()
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+
+
+def test_candidate_edges_group_threshold():
+    group = pa.table(
+        {
+            "band_key": pa.array([1, 1, 1], pa.int64()),
+            "surface": ["abcdefgh", "abcdefgx", "zzzzzzzz"],
+            "norm": ["abcdefgh", "abcdefgx", "zzzzzzzz"],
+        }
+    )
+    edges = link.candidate_edges_group(group, threshold=0.5)
+    pairs = set(zip(edges["surface_a"].to_pylist(), edges["surface_b"].to_pylist()))
+    assert ("abcdefgh", "abcdefgx") in pairs
+    assert all("zzzzzzzz" not in p for p in pairs)
+
+
+def test_build_canonical_map():
+    surfaces = ["ＭＲＩ", "MRI", "ct"]
+    edges = [("ＭＲＩ", "MRI")]
+    cmap = link.build_canonical_map(surfaces, edges)
+    # width variants merge: same id, canonical surface = lexicographic min
+    assert cmap["ＭＲＩ"][0] == cmap["MRI"][0]
+    assert cmap["ＭＲＩ"][1] == cmap["MRI"][1] == "MRI"
+    assert cmap["ct"][0] != cmap["MRI"][0]
+
+
+def test_link_triples_end_to_end(ray_session):
+    import ray.data
+
+    rows = [
+        {"subj": "ＭＲＩ", "pred": "r", "obj": "急性肺炎", "subj_type": "t-test",
+         "obj_type": "d", "subj_mod": "_", "url": "u1", "chunk_id": 0},
+        {"subj": "MRI", "pred": "r", "obj": "急性肺炎", "subj_type": "t-test",
+         "obj_type": "d", "subj_mod": "_", "url": "u2", "chunk_id": 0},
+    ]
+    linked = link.link_triples(ray.data.from_items(rows)).take_all()
+    by_url = {r["url"]: r for r in linked}
+    # width-variant surfaces canonicalize to the same id
+    assert by_url["u1"]["subj_id"] == by_url["u2"]["subj_id"]
+    assert by_url["u1"]["subj_canon"] == by_url["u2"]["subj_canon"]
+    assert by_url["u1"]["obj_id"] == by_url["u2"]["obj_id"]
