@@ -1,0 +1,281 @@
+"""Document deduplication family (first-class components per the brief):
+
+- **exact**: md5 key -> block-local combine -> ``groupby(text_hash)``
+  keeping min doc_id + duplicate count (hash-partition + per-group first);
+- **minhash-LSH near-dup**: word-shingle minhash -> banded blocking ->
+  verified Jaccard pairs -> union-find clusters (same machinery as the
+  entity linker, over documents);
+- **simhash**: 64-bit simhash per doc + hamming-banded candidate pairs;
+- **n-gram Jaccard**: the exact verifier used inside the LSH path,
+  exposed standalone for pair scoring.
+
+Scale notes: every op pre-reduces inside ``map_batches`` before its one
+``groupby`` shuffle; cluster merging collects only *edges* to the driver
+(pairs that survived verification), never the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..hashing import mix64, stable_hash64
+from ..state.union_find import UnionFind
+
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_W = 3  # word shingles
+
+
+def word_shingles(text: str, w: int = SHINGLE_W) -> set[str]:
+    toks = text.split()
+    if len(toks) <= w:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+
+
+def ngram_jaccard(a: str, b: str, w: int = SHINGLE_W) -> float:
+    sa, sb = word_shingles(a, w), word_shingles(b, w)
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if inter else 0.0
+
+
+# -- exact dedup ------------------------------------------------------------
+
+def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """documents -> (text_hash, doc_id=min, n_dups) one row per distinct text."""
+    from .text_analysis import fingerprint_batch
+
+    def local(batch: pa.Table) -> pa.Table:
+        batch = fingerprint_batch(batch, text_col)
+        ids = batch.column(id_col).to_pylist()
+        hs = batch.column("text_hash").to_pylist()
+        acc: dict[str, tuple[int, int]] = {}
+        for i, h in zip(ids, hs):
+            cur = acc.get(h)
+            acc[h] = (min(i, cur[0]), cur[1] + 1) if cur else (i, 1)
+        return pa.table(
+            {
+                "text_hash": pa.array(list(acc), pa.string()),
+                id_col: pa.array([v[0] for v in acc.values()], pa.int64()),
+                "n_dups": pa.array([v[1] for v in acc.values()], pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        ns = group.column("n_dups").to_pylist()
+        return pa.table(
+            {
+                "text_hash": pa.array([group.column("text_hash")[0].as_py()], pa.string()),
+                id_col: pa.array([min(ids)], pa.int64()),
+                "n_dups": pa.array([sum(ns)], pa.int64()),
+            }
+        )
+
+    combined = docs.map_batches(local, batch_format="pyarrow")
+    return combined.groupby("text_hash").map_groups(merge, batch_format="pyarrow")
+
+
+# -- minhash-LSH near-dup ---------------------------------------------------
+
+def _doc_bands(text: str) -> list[int]:
+    sh = sorted(word_shingles(text))
+    if not sh:
+        return []
+    base = np.array([stable_hash64("dsh", s) for s in sh], dtype=np.uint64)
+    sig = np.empty(N_HASHES, dtype=np.uint64)
+    for h in range(N_HASHES):
+        sig[h] = mix64(base, seed=h + 101).min()
+    out = []
+    for b in range(N_BANDS):
+        rows = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+        v = stable_hash64("dband", b, *rows.tolist())
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return out
+
+
+def minhash_clusters(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_group: int = 128,
+):
+    """documents -> (doc_id, cluster_id) for every doc; cluster_id = min
+    doc_id of its near-duplicate cluster (singletons map to themselves).
+    """
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out_band: list[int] = []
+        out_id: list[int] = []
+        out_text: list[str] = []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            for bd in _doc_bands(t or ""):
+                out_band.append(bd)
+                out_id.append(i)
+                out_text.append(t)
+        return pa.table(
+            {
+                "band_key": pa.array(out_band, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                text_col: pa.array(out_text, pa.string()),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column(id_col).to_pylist(), group.column(text_col).to_pylist())
+        )[:max_group]
+        a_out, b_out = [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[i][0] == rows[j][0]:
+                    continue
+                if ngram_jaccard(rows[i][1], rows[j][1]) >= threshold:
+                    a_out.append(rows[i][0])
+                    b_out.append(rows[j][0])
+        return pa.table(
+            {"id_a": pa.array(a_out, pa.int64()), "id_b": pa.array(b_out, pa.int64())}
+        )
+
+    edges_ds = (
+        docs.map_batches(expand, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    uf = UnionFind()
+    for r in edges_ds.take_all():
+        uf.union(r["id_a"], r["id_b"])
+    comp = uf.components()
+    ref = ray.put(comp)
+
+    class Assign:
+        def __init__(self, comp_ref) -> None:
+            self.comp = ray.get(comp_ref) if isinstance(comp_ref, ray.ObjectRef) else comp_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            clusters = [self.comp.get(i, i) for i in ids]
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "cluster_id": pa.array(clusters, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        Assign, fn_constructor_args=(ref,), concurrency=(1, 4), batch_format="pyarrow"
+    )
+
+
+# -- simhash ----------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """Classic 64-bit simhash over whitespace tokens (unsigned)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    hashes = np.array([stable_hash64("simh", t) for t in toks], dtype=np.uint64)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = bits.sum(axis=0) * 2 - len(toks)
+    out = np.uint64(0)
+    for b in range(64):
+        if votes[b] > 0:
+            out |= np.uint64(1) << np.uint64(b)
+    return int(out)
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    sigs = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+    signed = [s - (1 << 64) if s >= (1 << 63) else s for s in sigs]
+    return batch.append_column("simhash", pa.array(signed, pa.int64()))
+
+
+def simhash_pairs(docs, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+    """Near-dup candidate pairs by simhash: band the 64 bits into 4
+    16-bit chunks (any pair within hamming<=3 shares at least one
+    chunk), groupby chunk, verify hamming distance exactly."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        batch = simhash_batch(batch, text_col)
+        out_key, out_id, out_sig = [], [], []
+        for i, s in zip(
+            batch.column(id_col).to_pylist(), batch.column("simhash").to_pylist()
+        ):
+            u = s + (1 << 64) if s < 0 else s
+            for c in range(4):
+                chunk = (u >> (16 * c)) & 0xFFFF
+                out_key.append((c << 16) | chunk)
+                out_id.append(i)
+                out_sig.append(s)
+        return pa.table(
+            {
+                "chunk_key": pa.array(out_key, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "simhash": pa.array(out_sig, pa.int64()),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            set(zip(group.column(id_col).to_pylist(), group.column("simhash").to_pylist()))
+        )
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[i][0] == rows[j][0]:
+                    continue
+                d = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    a_out.append(rows[i][0])
+                    b_out.append(rows[j][0])
+                    d_out.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    pairs = (
+        docs.map_batches(expand, batch_format="pyarrow")
+        .groupby("chunk_key")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+
+    # pairs found via multiple chunks appear multiple times: distinct them
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        seen = sorted(
+            set(
+                zip(
+                    batch.column("id_a").to_pylist(),
+                    batch.column("id_b").to_pylist(),
+                    batch.column("hamming").to_pylist(),
+                )
+            )
+        )
+        return pa.table(
+            {
+                "id_a": pa.array([r[0] for r in seen], pa.int64()),
+                "id_b": pa.array([r[1] for r in seen], pa.int64()),
+                "hamming": pa.array([r[2] for r in seen], pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .map_groups(
+            lambda g: g.slice(0, 1),
+            batch_format="pyarrow",
+        )
+    )

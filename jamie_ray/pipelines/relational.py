@@ -1,0 +1,457 @@
+"""Relational operator suite over the driver's TPC-H-ish tables.
+
+Each function is a Ray-Data-native implementation of one operator class
+from SURVEY.md §2 (aggregations G1-G6, sorts/limits O1, filters M11-12,
+set ops O7, joins J*) and has an exact DuckDB-SQL twin in
+``__ray_entry__.oracle_sql`` (same column names, same rounding).
+
+Patterns under test at scale:
+
+- **partial aggregation**: every groupby pre-combines inside
+  ``map_batches`` via ``pyarrow.TableGroupBy`` (vectorized) so the
+  shuffle moves one row per (block x group), not per input row;
+- **broadcast join**: dimension tables ride ``ray.put`` once and join
+  as dict lookups inside ``map_batches`` — never a shuffle join for a
+  small side;
+- **pruned reads**: every read lists exactly the columns it needs.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..functions.text_analysis import (
+    fingerprint_batch,
+    lang_id_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: b.rename_columns([mapping.get(c, c) for c in b.column_names]),
+        batch_format="pyarrow",
+    )
+
+
+def _scaled_int(col, scale: float):
+    """floor(x*scale + 0.5) as int64 — the exact-sum trick: money/metric
+    doubles become integers so distributed summation is order-independent
+    and bit-identical to the DuckDB oracle (same floor expression)."""
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(pc.cast(col, pa.float64()), pa.scalar(scale)), pa.scalar(0.5))),
+        pa.int64(),
+    )
+
+
+def _partial_groupby_sum(
+    ds: ray.data.Dataset, keys: list[str], sum_cols: list[str], count_as: str | None
+) -> ray.data.Dataset:
+    """Block-local combine + global groupby-sum (the combiner pattern)."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols]
+        gb = batch.group_by(keys).aggregate(aggs + [(keys[0], "count")])
+        names = keys + [f"{c}_sum" for c in sum_cols] + ["__n"]
+        # pyarrow names output "<col>_sum"/"<col>_count" and orders
+        # aggregate cols after key cols
+        gb = gb.select([f"{c}_sum" for c in sum_cols] + [f"{keys[0]}_count"] + keys)
+        return gb.rename_columns([f"{c}_sum" for c in sum_cols] + ["__n"] + keys).select(names)
+
+    combined = ds.map_batches(local, batch_format="pyarrow")
+    reduced = combined.groupby(keys).sum([f"{c}_sum" for c in sum_cols] + ["__n"])
+    mapping = {f"sum({c}_sum)": f"{c}_sum" for c in sum_cols}
+    mapping["sum(__n)"] = count_as or "__n"
+    out = _rename(reduced, mapping)
+    if count_as is None:
+        out = out.drop_columns(["__n"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# aggregations
+# ---------------------------------------------------------------------------
+
+def agg_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-flavored rollup (G4/G6 pattern: partials then reduce)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    def scale(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_c": _scaled_int(batch.column("l_quantity"), 100.0),
+                "price_c": _scaled_int(batch.column("l_extendedprice"), 100.0),
+                "disc_u": _scaled_int(batch.column("l_discount"), 1_000_000.0),
+            }
+        )
+
+    reduced = _partial_groupby_sum(
+        ds.map_batches(scale, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["qty_c", "price_c", "disc_u"],
+        count_as="n_rows",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n_rows"), pa.float64())
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pc.divide(
+                    pc.cast(batch.column("qty_c_sum"), pa.float64()), pa.scalar(100.0)
+                ),
+                "sum_price": pc.divide(
+                    pc.cast(batch.column("price_c_sum"), pa.float64()), pa.scalar(100.0)
+                ),
+                "avg_disc": pc.divide(
+                    pc.divide(
+                        pc.cast(batch.column("disc_u_sum"), pa.float64()),
+                        pa.scalar(1_000_000.0),
+                    ),
+                    n,
+                ),
+                "n_rows": batch.column("n_rows"),
+            }
+        )
+
+    return reduced.map_batches(finish, batch_format="pyarrow")
+
+
+def returnflag_counts(sf_dir: str) -> ray.data.Dataset:
+    """G3: relation-class counts -> group-count by flag."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"])
+    return _partial_groupby_sum(ds, ["l_returnflag"], [], count_as="n")
+
+
+def corpus_stats(sf_dir: str) -> ray.data.Dataset:
+    """G6: per-language document stats (count / avg / min / max chars)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        gb = batch.group_by(["lang"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "min"), ("n_chars", "max"), ("lang", "count")]
+        )
+        # pyarrow group_by output order: key cols first, then aggregates
+        return gb.rename_columns(
+            ["lang", "chars_sum", "chars_min", "chars_max", "n_docs"]
+        )
+
+    combined = ds.map_batches(local, batch_format="pyarrow")
+    reduced = (
+        combined.groupby("lang")
+        .aggregate(
+            ray.data.aggregate.Sum("chars_sum"),
+            ray.data.aggregate.Min("chars_min"),
+            ray.data.aggregate.Max("chars_max"),
+            ray.data.aggregate.Sum("n_docs"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("sum(n_docs)"), pa.float64())
+        total = pc.cast(batch.column("sum(chars_sum)"), pa.float64())
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("sum(n_docs)"),
+                "avg_chars": pc.divide(total, n),
+                "min_chars": batch.column("min(chars_min)"),
+                "max_chars": batch.column("max(chars_max)"),
+            }
+        )
+
+    return reduced.map_batches(finish, batch_format="pyarrow")
+
+
+def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
+    """G1: global distinct (vocabulary build)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        vals = sorted(set(batch.column("event_type").to_pylist()))
+        return pa.table({"event_type": pa.array(vals, pa.string())})
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window aggregate: per (hour, event_type) count + sum."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(batch.column("ts"), unit="hour"),
+                "event_type": batch.column("event_type"),
+                "value_u": _scaled_int(batch.column("value"), 1_000_000.0),
+            }
+        )
+
+    reduced = _partial_groupby_sum(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["hour", "event_type"],
+        ["value_u"],
+        count_as="n",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": batch.column("hour"),
+                "event_type": batch.column("event_type"),
+                "n": batch.column("n"),
+                "sum_value": pc.divide(
+                    pc.cast(batch.column("value_u_sum"), pa.float64()),
+                    pa.scalar(1_000_000.0),
+                ),
+            }
+        )
+
+    return reduced.map_batches(finish, batch_format="pyarrow")
+
+
+def top_users_by_events(sf_dir: str) -> ray.data.Dataset:
+    """Aggregate + top-k: 20 busiest users (ties by user_id)."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "value_u": _scaled_int(batch.column("value"), 1_000_000.0),
+            }
+        )
+
+    reduced = _partial_groupby_sum(
+        ds.map_batches(scale, batch_format="pyarrow"),
+        ["user_id"], ["value_u"], count_as="n_events",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n_events": batch.column("n_events"),
+                "sum_value": pc.divide(
+                    pc.cast(batch.column("value_u_sum"), pa.float64()),
+                    pa.scalar(1_000_000.0),
+                ),
+            }
+        )
+
+    return (
+        reduced.map_batches(finish, batch_format="pyarrow")
+        .sort(["n_events", "user_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits / filters / set ops
+# ---------------------------------------------------------------------------
+
+def top_orders(sf_dir: str) -> ray.data.Dataset:
+    """O1-style deterministic ordering: top-100 orders by price."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(100)
+
+
+def filter_docs(sf_dir: str) -> ray.data.Dataset:
+    """M11/M12: length + language filter (vectorized, pruned read)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("n_chars"), 200),
+                pc.equal(b.column("lang"), "en"),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def union_docs(sf_dir: str) -> ray.data.Dataset:
+    """O7: union of two filtered shards of the same logical table."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    en = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en")), batch_format="pyarrow"
+    )
+    short = docs.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.not_equal(b.column("lang"), "en"),
+                pc.less(b.column("n_chars"), 100),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return en.union(short)
+
+
+# ---------------------------------------------------------------------------
+# joins (broadcast pattern)
+# ---------------------------------------------------------------------------
+
+class _BroadcastJoin:
+    """map_batches actor: join against a dict shipped via ray.put once."""
+
+    def __init__(self, lookup_ref, key_col: str, out_col: str) -> None:
+        self.lookup = (
+            ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
+        )
+        self.key_col = key_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key_col).to_pylist()
+        vals = [self.lookup.get(k) for k in keys]
+        out = batch.append_column(self.out_col, pa.array(vals))
+        return out.filter(pc.is_valid(out.column(self.out_col)))
+
+
+def _broadcast(ds: ray.data.Dataset, lookup: dict, key_col: str, out_col: str):
+    ref = ray.put(lookup)
+    return ds.map_batches(
+        _BroadcastJoin,
+        fn_constructor_args=(ref, key_col, out_col),
+        concurrency=(1, 4),
+        batch_format="pyarrow",
+    )
+
+
+def segment_revenue(sf_dir: str) -> ray.data.Dataset:
+    """orders x customer broadcast join -> revenue per market segment."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = _broadcast(orders, lookup, "o_custkey", "c_mktsegment")
+
+    def scale(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "price_c": _scaled_int(batch.column("o_totalprice"), 100.0),
+            }
+        )
+
+    reduced = _partial_groupby_sum(
+        joined.map_batches(scale, batch_format="pyarrow"),
+        ["c_mktsegment"], ["price_c"], count_as="n_orders",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "revenue": pc.divide(
+                    pc.cast(batch.column("price_c_sum"), pa.float64()), pa.scalar(100.0)
+                ),
+                "n_orders": batch.column("n_orders"),
+            }
+        )
+
+    return reduced.map_batches(finish, batch_format="pyarrow")
+
+
+def nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    """3-way join via chained broadcasts: orders->customer->nation."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    cust_to_nation = {
+        c: nk.get(n)
+        for c, n in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = _broadcast(orders, cust_to_nation, "o_custkey", "n_name")
+
+    def scale(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "price_c": _scaled_int(batch.column("o_totalprice"), 100.0),
+            }
+        )
+
+    reduced = _partial_groupby_sum(
+        joined.map_batches(scale, batch_format="pyarrow"),
+        ["n_name"], ["price_c"], count_as="n_orders",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "revenue": pc.divide(
+                    pc.cast(batch.column("price_c_sum"), pa.float64()), pa.scalar(100.0)
+                ),
+                "n_orders": batch.column("n_orders"),
+            }
+        )
+
+    return reduced.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# text-analysis queries over documents
+# ---------------------------------------------------------------------------
+
+def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens", "n_bpe"]),
+        batch_format="pyarrow",
+    )
+
+
+def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: lang_id_batch(b).select(["doc_id", "lang_pred"]),
+        batch_format="pyarrow",
+    )
+
+
+def doc_quality(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: quality_score_batch(b).select(["doc_id", "quality_micro"]),
+        batch_format="pyarrow",
+    )
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b).select(["doc_id", "text_hash"]),
+        batch_format="pyarrow",
+    )
