@@ -25,7 +25,7 @@ from typing import Any
 # KG corpus size per sf label (scoring is the heavy stage; these keep
 # sf0.01 conformance runs in seconds while still covering every
 # adversarial fixture class)
-_KG_PAGES = {"sf0.001": 250, "sf0.01": 1200, "sf0.1": 6000}
+_KG_PAGES = {"sf0.001": 250, "sf0.01": 1200, "sf0.1": 20000}
 _KG_ROOT = "/tmp/jamie_ray_fixtures"
 
 

@@ -30,15 +30,36 @@ from ..stages.chunk import chunk_pages_batch
 from ..stages.dedup import dedup_triples
 from ..stages.extract import extract_batch, filter_lang_batch
 from ..stages.link import link_triples
-from ..stages.score import JointScorer
+from ..stages.score import JointScorer, score_chunks_task
 from ..state.lineage import append_manifest, read_manifest
 
-DEFAULT_SCORER_CONCURRENCY = (1, 8)
 DEFAULT_SCORER_BATCH = 64
 
 
+def _cluster_cpus() -> int:
+    try:
+        return max(1, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
+
+
+def default_scorer_concurrency() -> int:
+    """Fixed-size actor pool sized to the cluster: the scorer is the
+    CPU-bound bottleneck stage, so it gets most of the cores (fixed, not
+    autoscaling — ramp-up latency would starve the pipeline on short
+    runs; on a long run the two are equivalent)."""
+    return max(2, _cluster_cpus() - 2)
+
+
 def read_pages(pages_path: str, *, shard_filter=None) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(pages_path, columns=["url", "html", "lang"])
+    # a small-scale corpus arrives as one parquet file -> force enough
+    # read blocks that every downstream stage can run wide; at real
+    # scale the file count itself provides this
+    ds = ray.data.read_parquet(
+        pages_path,
+        columns=["url", "html", "lang"],
+        override_num_blocks=_cluster_cpus() * 2,
+    )
     if shard_filter is not None:
         ds = ds.map_batches(shard_filter, batch_format="pyarrow")
     return ds
@@ -57,12 +78,30 @@ def chunk_pages(extracted: ray.data.Dataset) -> ray.data.Dataset:
 def score_chunks(
     chunks: ray.data.Dataset,
     *,
-    concurrency=DEFAULT_SCORER_CONCURRENCY,
+    concurrency: int | None = None,
     batch_size: int = DEFAULT_SCORER_BATCH,
+    model_cost_layers: int = 0,
+    use_actors: bool = False,
 ) -> ray.data.Dataset:
+    """Scoring stage, two physical shapes:
+
+    - tasks (default for the mock): per-worker singleton model, fuses
+      with the surrounding stateless stages, zero per-job pool startup;
+    - actor pool (``use_actors=True``): the shape a real transformer
+      needs (heavy weights / GPUs) — ``__init__`` loads once per actor.
+    """
+    if use_actors:
+        return chunks.map_batches(
+            JointScorer,
+            fn_constructor_kwargs={"model_cost_layers": model_cost_layers},
+            concurrency=concurrency or default_scorer_concurrency(),
+            batch_size=batch_size,
+            batch_format="pyarrow",
+        )
+    import functools
+
     return chunks.map_batches(
-        JointScorer,
-        concurrency=concurrency,
+        functools.partial(score_chunks_task, model_cost_layers=model_cost_layers),
         batch_size=batch_size,
         batch_format="pyarrow",
     )
@@ -72,14 +111,20 @@ def build_triples(
     pages_path: str,
     *,
     lang: str = "ja",
-    concurrency=DEFAULT_SCORER_CONCURRENCY,
+    concurrency: int | None = None,
     batch_size: int = DEFAULT_SCORER_BATCH,
     shard_filter=None,
+    model_cost_layers: int = 0,
 ) -> ray.data.Dataset:
     """pages parquet -> raw mention-level triples Dataset (streaming)."""
     pages = read_pages(pages_path, shard_filter=shard_filter)
     chunks = chunk_pages(extracted_pages(pages, lang))
-    tagged = score_chunks(chunks, concurrency=concurrency, batch_size=batch_size)
+    tagged = score_chunks(
+        chunks,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        model_cost_layers=model_cost_layers,
+    )
     return tagged.map_batches(assemble_batch, batch_format="pyarrow")
 
 
@@ -95,12 +140,17 @@ def build_graph(
     pages_path: str,
     *,
     lang: str = "ja",
-    concurrency=DEFAULT_SCORER_CONCURRENCY,
+    concurrency: int | None = None,
     batch_size: int = DEFAULT_SCORER_BATCH,
+    model_cost_layers: int = 0,
 ) -> ray.data.Dataset:
     """Full pipeline through linking + dedup (unsorted; see materialize)."""
     triples = build_triples(
-        pages_path, lang=lang, concurrency=concurrency, batch_size=batch_size
+        pages_path,
+        lang=lang,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        model_cost_layers=model_cost_layers,
     )
     linked = link_triples(triples)
     return dedup_triples(linked)
@@ -112,7 +162,7 @@ def materialize_graph(
     *,
     lang: str = "ja",
     n_shards: int = 8,
-    concurrency=DEFAULT_SCORER_CONCURRENCY,
+    concurrency: int | None = None,
     batch_size: int = DEFAULT_SCORER_BATCH,
 ) -> dict:
     """Resumable sorted graph materialize (north rule's final write).

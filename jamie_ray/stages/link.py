@@ -212,7 +212,14 @@ def link_triples(triples, *, threshold: float = DEFAULT_THRESHOLD):
     Physical plan: surface projection -> distinct (groupby shuffle kept
     small by the projection) -> band expansion -> groupby(band) candidate
     gen -> driver union-find -> broadcast rewrite.
+
+    The input is materialized first: linking consumes the triples twice
+    (candidate generation, then the id rewrite), and triples are the
+    *reduced* output of the expensive scoring stage — caching them in
+    the object store costs little memory and avoids re-running the
+    scorer end to end.
     """
+    triples = triples.materialize()
     bands = (
         triples.map_batches(surfaces_batch, batch_format="pyarrow")
         .groupby("surface")

@@ -1,0 +1,198 @@
+"""Tests for the training-data ops: dedup family, similarity search,
+multimodal plumbing, text analysis kernels."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jamie_ray.functions import dedup_docs, multimodal, similarity, text_analysis
+
+
+# ---- text analysis --------------------------------------------------------
+
+def _docs_table():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "the cat sat on the mat",
+                "日本語のテキストです。",
+                "",
+                "a b  c!!!",
+            ],
+        }
+    )
+
+
+def test_token_count():
+    out = text_analysis.token_count_batch(_docs_table())
+    assert out.column("n_tokens").to_pylist() == [6, 1, 0, 3]
+
+
+def test_lang_id():
+    out = text_analysis.lang_id_batch(_docs_table())
+    assert out.column("lang_pred").to_pylist() == ["en", "ja", "", "other"]
+
+
+def test_fingerprint_matches_hashlib():
+    import hashlib
+
+    out = text_analysis.fingerprint_batch(_docs_table())
+    assert out.column("text_hash").to_pylist()[0] == hashlib.md5(
+        b"the cat sat on the mat"
+    ).hexdigest()
+
+
+def test_quality_micro_range():
+    out = text_analysis.quality_score_batch(_docs_table())
+    for v in out.column("quality_micro").to_pylist():
+        assert 0 <= v <= 1_000_000
+
+
+# ---- dedup family ---------------------------------------------------------
+
+def test_word_shingles_and_jaccard():
+    assert dedup_docs.ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert dedup_docs.ngram_jaccard("a b c d", "x y z w") == 0.0
+    assert 0 < dedup_docs.ngram_jaccard("a b c d e", "a b c d x") < 1
+
+
+def test_simhash_properties():
+    a = dedup_docs.simhash64("the quick brown fox jumps over the lazy dog")
+    b = dedup_docs.simhash64("the quick brown fox jumps over the lazy cat")
+    c = dedup_docs.simhash64("completely unrelated words entirely different")
+    assert a == dedup_docs.simhash64("the quick brown fox jumps over the lazy dog")
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+    assert dedup_docs.simhash64("") == 0
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 10, "text": "same text"},
+            {"doc_id": 3, "text": "same text"},
+            {"doc_id": 7, "text": "other"},
+        ]
+    )
+    rows = {r["text_hash"]: r for r in dedup_docs.exact_dedup(docs).take_all()}
+    assert len(rows) == 2
+    dup = [r for r in rows.values() if r["n_dups"] == 2][0]
+    assert dup["doc_id"] == 3  # min doc id kept
+
+
+def test_minhash_clusters(ray_session):
+    import ray.data
+
+    near = "the quick brown fox jumps over the lazy dog and keeps running fast"
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": near},
+            {"doc_id": 2, "text": near + " today"},
+            {"doc_id": 3, "text": "an entirely different document about ray data pipelines"},
+        ]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           dedup_docs.minhash_clusters(docs, threshold=0.5).take_all()}
+    assert got[1] == got[2] == 1
+    assert got[3] == 3
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base},  # identical -> hamming 0
+            {"doc_id": 3, "text": "nothing in common with those tokens at all here"},
+        ]
+    )
+    pairs = dedup_docs.simhash_pairs(docs, max_hamming=3).take_all()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+# ---- similarity -----------------------------------------------------------
+
+def _emb_ds(ray):
+    vecs = [
+        {"vec_id": 0, "embedding": [1.0, 0.0, 0.0]},
+        {"vec_id": 1, "embedding": [0.9, 0.1, 0.0]},
+        {"vec_id": 2, "embedding": [0.0, 1.0, 0.0]},
+        {"vec_id": 3, "embedding": [-1.0, 0.0, 0.0]},
+    ]
+    return ray.data.from_items(vecs)
+
+
+def test_knn_bruteforce(ray_session):
+    import ray
+
+    out = similarity.knn_bruteforce(_emb_ds(ray), [1.0, 0.0, 0.0], k=2)
+    assert out.column("vec_id").to_pylist() == [0, 1]
+    assert out.column("score").to_pylist()[0] == 1.0
+
+
+def test_knn_lsh_subset_of_bruteforce(ray_session):
+    import ray
+
+    exact = similarity.knn_bruteforce(_emb_ds(ray), [1.0, 0.0, 0.0], k=4)
+    approx = similarity.knn_lsh(_emb_ds(ray), [1.0, 0.0, 0.0], k=4)
+    # every approx hit must be a real vector with its exact score
+    exact_map = dict(
+        zip(exact.column("vec_id").to_pylist(), exact.column("score").to_pylist())
+    )
+    for vid, score in zip(
+        approx.column("vec_id").to_pylist(), approx.column("score").to_pylist()
+    ):
+        assert exact_map[vid] == score
+
+
+def test_embedding_near_dup(ray_session):
+    import ray
+
+    pairs = similarity.embedding_near_dup(_emb_ds(ray), threshold=0.95).take_all()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (0, 1) in found
+    assert all(p["cosine"] >= 0.95 for p in pairs)
+
+
+# ---- multimodal -----------------------------------------------------------
+
+def test_decode_strict_raises():
+    dec = multimodal.DecodeImage(strict=True)
+    batch = multimodal.synthetic_media(2)
+    with pytest.raises(NotImplementedError):
+        dec(batch)
+
+
+def test_decode_fake_deterministic(ray_session):
+    import ray.data
+
+    media = ray.data.from_arrow(multimodal.synthetic_media(8))
+    decoded = media.map_batches(
+        multimodal.DecodeImage, concurrency=1, batch_size=4, batch_format="pyarrow"
+    )
+    rows = sorted(decoded.take_all(), key=lambda r: r["media_id"])
+    assert len(rows) == 8
+    for r in rows:
+        assert len(r["pixels"]) == r["width"] * r["height"]
+    # deterministic across runs
+    decoded2 = ray.data.from_arrow(multimodal.synthetic_media(8)).map_batches(
+        multimodal.DecodeImage, concurrency=1, batch_size=4, batch_format="pyarrow"
+    )
+    rows2 = sorted(decoded2.take_all(), key=lambda r: r["media_id"])
+    assert [list(r["pixels"]) for r in rows] == [list(r["pixels"]) for r in rows2]
+
+
+def test_resize_and_features():
+    batch = multimodal.synthetic_media(4)
+    dec = multimodal.DecodeImage(strict=False)
+    decoded = dec(batch)
+    resized = multimodal.resize_stub(decoded, target=8)
+    assert all(len(p) == 64 for p in resized.column("pixels").to_pylist())
+    feats = multimodal.ImageFeatures()(resized)
+    assert all(len(f) == 10 for f in feats.column("features").to_pylist())
