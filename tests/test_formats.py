@@ -1,0 +1,77 @@
+"""CoNLL round-trip + XML/brat formatter tests."""
+
+import pyarrow as pa
+
+from jamie_ray.stages import conll, format_out
+
+
+def _tagged_batch():
+    return pa.table(
+        {
+            "url": pa.array(["https://x/p1"], pa.string()),
+            "chunk_id": pa.array([0], pa.int32()),
+            "tokens": pa.array([["これは", "急性", "肺炎", "です", "。"]], pa.list_(pa.string())),
+            "ner": pa.array([["O", "B-d", "I-d", "O", "O"]], pa.list_(pa.string())),
+            "mod": pa.array([["_", "_", "positive", "_", "_"]], pa.list_(pa.string())),
+            "rels": pa.array(
+                [[["N"], ["N"], ["region"], ["N"], ["N"]]], pa.list_(pa.list_(pa.string()))
+            ),
+            "heads": pa.array(
+                [[[0], [1], [4], [3], [4]]], pa.list_(pa.list_(pa.int32()))
+            ),
+        }
+    )
+
+
+def test_conll_roundtrip():
+    batch = _tagged_batch()
+    text_tab = conll.tagged_to_conll_batch(batch)
+    text = text_tab.column("conll")[0].as_py()
+    assert text.startswith("#doc https://x/p1#0\n")
+    assert "1\t急性\tB-d\t_\t['N']\t[1]" in text
+    back = conll.conll_text_to_tagged_batch(text_tab)
+    for col in ("url", "chunk_id", "tokens", "ner", "mod", "rels", "heads"):
+        assert back.column(col).to_pylist() == batch.column(col).to_pylist()
+
+
+def test_conll_reader_rejects_eval_injection():
+    # the reference uses eval() here (data_objects.py:213) — we must not
+    bad = "#doc x#0\n0\ttok\tO\t_\t__import__('os')\t[0]\n"
+    import pytest
+
+    with pytest.raises((ValueError, SyntaxError)):
+        conll.conll_to_chunks(bad)
+
+
+def test_xml_formatter():
+    out = format_out.tagged_to_xml_batch(_tagged_batch())
+    xml = out.column("xml")[0].as_py()
+    assert '<d tid="T1" certainty="positive">急性肺炎</d>' in xml
+    # no brel: the relation target (token 4) is not an entity last token
+    assert "brel" not in xml
+
+
+def test_xml_formatter_with_relation():
+    batch = pa.table(
+        {
+            "url": pa.array(["u"], pa.string()),
+            "chunk_id": pa.array([0], pa.int32()),
+            "tokens": pa.array([["肺炎", "と", "発熱"]], pa.list_(pa.string())),
+            "ner": pa.array([["B-d", "O", "B-f"]], pa.list_(pa.string())),
+            "mod": pa.array([["negative", "_", "_"]], pa.list_(pa.string())),
+            "rels": pa.array([[["feature"], ["N"], ["N"]]], pa.list_(pa.list_(pa.string()))),
+            "heads": pa.array([[[2], [1], [2]]], pa.list_(pa.list_(pa.int32()))),
+        }
+    )
+    xml = format_out.tagged_to_xml_batch(batch).column("xml")[0].as_py()
+    assert '<brel rid="R1" arg1="T1" arg2="T2" reltype="feature" />' in xml
+
+
+def test_brat_formatter():
+    out = format_out.tagged_to_brat_batch(_tagged_batch())
+    txt = out.column("brat_txt")[0].as_py()
+    ann = out.column("brat_ann")[0].as_py()
+    assert txt == "これは急性肺炎です。\n"
+    # span 急性肺炎 = chars [3, 7)
+    assert "T1\td 3 7\t急性肺炎" in ann
+    assert "A1\tpositive T1 positive" in ann
