@@ -115,16 +115,27 @@ def build_triples(
     batch_size: int = DEFAULT_SCORER_BATCH,
     shard_filter=None,
     model_cost_layers: int = 0,
+    mode: str = "joint",
 ) -> ray.data.Dataset:
-    """pages parquet -> raw mention-level triples Dataset (streaming)."""
+    """pages parquet -> raw mention-level triples Dataset (streaming).
+
+    ``mode="joint"`` (default, the reference's production path) or
+    ``mode="pipeline"`` (the legacy 3-stage NER -> modality -> relation
+    architecture; see ``stages/pipeline_mode.py``).
+    """
     pages = read_pages(pages_path, shard_filter=shard_filter)
     chunks = chunk_pages(extracted_pages(pages, lang))
-    tagged = score_chunks(
-        chunks,
-        concurrency=concurrency,
-        batch_size=batch_size,
-        model_cost_layers=model_cost_layers,
-    )
+    if mode == "pipeline":
+        from ..stages.pipeline_mode import score_chunks_pipeline
+
+        tagged = score_chunks_pipeline(chunks)
+    else:
+        tagged = score_chunks(
+            chunks,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            model_cost_layers=model_cost_layers,
+        )
     return tagged.map_batches(assemble_batch, batch_format="pyarrow")
 
 

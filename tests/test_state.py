@@ -1,0 +1,73 @@
+"""Tests for artifacts (vocab IO), splits, lineage manifest."""
+
+import pyarrow as pa
+
+from jamie_ray.state import artifacts, splits
+from jamie_ray.state.lineage import append_manifest, read_manifest
+
+
+def test_build_vocab_insertion_order():
+    v = artifacts.build_vocab([["B-d", "O", "B-a"], ["B-d", "I-d"]], default={"O": 0})
+    assert v == {"O": 0, "B-d": 1, "B-a": 2, "I-d": 3}
+
+
+def test_build_vocab_ignore():
+    v = artifacts.build_vocab([["x", "y"]], ignore_lab="y")
+    assert v == {"x": 0}
+
+
+def test_artifacts_roundtrip(tmp_path):
+    d = artifacts.save_artifacts(str(tmp_path / "model"))
+    loaded = artifacts.load_artifacts(d)
+    assert loaded["ner2ix"]["O"] == 0
+    assert loaded["mod2ix"]["_"] == 0
+    assert loaded["rel2ix"]["N"] == 0
+    assert "B-d" in loaded["ner2ix"]
+    assert loaded == artifacts.default_vocabs()
+
+
+def test_split_column_deterministic():
+    b = pa.table({"url": [f"u{i}" for i in range(100)]})
+    f1 = splits.split_column(b, "url", 5)
+    f2 = splits.split_column(b, "url", 5)
+    assert f1.column("fold").to_pylist() == f2.column("fold").to_pylist()
+    folds = set(f1.column("fold").to_pylist())
+    assert folds <= set(range(5)) and len(folds) == 5
+
+
+def test_train_dev_partition():
+    b = pa.table({"url": [f"u{i}" for i in range(500)]})
+    train = splits.train_dev_filter(b, "url", 0.2, "train")
+    dev = splits.train_dev_filter(b, "url", 0.2, "dev")
+    assert train.num_rows + dev.num_rows == 500
+    assert 50 < dev.num_rows < 150  # ~20%
+    # disjoint
+    assert not set(train.column("url").to_pylist()) & set(dev.column("url").to_pylist())
+
+
+def test_kfold(ray_session):
+    import ray.data
+
+    ds = ray.data.from_items([{"url": f"u{i}", "x": i} for i in range(100)])
+    pairs = splits.kfold(ds, "url", n_folds=4)
+    assert len(pairs) == 4
+    total = 0
+    seen = set()
+    for train, test in pairs:
+        test_urls = {r["url"] for r in test.take_all()}
+        train_urls = {r["url"] for r in train.take_all()}
+        assert not test_urls & train_urls
+        assert len(test_urls) + len(train_urls) == 100
+        assert not test_urls & seen  # folds partition the keys
+        seen |= test_urls
+        total += len(test_urls)
+    assert total == 100
+
+
+def test_manifest_atomic_append(tmp_path):
+    d = str(tmp_path)
+    append_manifest(d, {"shard": 0, "n_triples": 5})
+    append_manifest(d, {"shard": 2, "n_triples": 7})
+    recs = read_manifest(d)
+    assert set(recs) == {0, 2}
+    assert recs[2]["n_triples"] == 7
