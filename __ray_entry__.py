@@ -82,6 +82,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = _kg_dir(sf_dir)
         return kg.build_graph(f"{corpus}/pages.parquet")
 
+    def kg_triples_pipeline_mode(sf_dir: str):
+        """Legacy 3-stage architecture — must equal the joint-mode oracle."""
+        corpus = _kg_dir(sf_dir)
+        return kg.build_triples(f"{corpus}/pages.parquet", mode="pipeline")
+
+    def kg_conll_roundtrip(sf_dir: str):
+        """tagged -> multihead-CoNLL text -> parsed back -> triples;
+        must equal the triple oracle (S5/S7 interop conformance)."""
+        from jamie_ray.stages.assemble import assemble_batch
+        from jamie_ray.stages.conll import (
+            conll_text_to_tagged_batch,
+            tagged_to_conll_batch,
+        )
+
+        corpus = _kg_dir(sf_dir)
+        chunks = kg.chunk_pages(
+            kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
+        )
+        tagged = kg.score_chunks(chunks)
+        conll_text = tagged.map_batches(tagged_to_conll_batch, batch_format="pyarrow")
+        back = conll_text.map_batches(conll_text_to_tagged_batch, batch_format="pyarrow")
+        return back.map_batches(assemble_batch, batch_format="pyarrow")
+
+    def kg_xml_out(sf_dir: str):
+        from jamie_ray.stages.format_out import tagged_to_xml_batch
+
+        corpus = _kg_dir(sf_dir)
+        chunks = kg.chunk_pages(
+            kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
+        )
+        return kg.score_chunks(chunks).map_batches(
+            tagged_to_xml_batch, batch_format="pyarrow"
+        )
+
+    def kg_brat_out(sf_dir: str):
+        from jamie_ray.stages.format_out import tagged_to_brat_batch
+
+        corpus = _kg_dir(sf_dir)
+        chunks = kg.chunk_pages(
+            kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
+        )
+        return kg.score_chunks(chunks).map_batches(
+            tagged_to_brat_batch, batch_format="pyarrow"
+        )
+
     def kg_eval(sf_dir: str):
         """Triple P/R/F1 of the pipeline vs the independent oracle —
         the BASELINE correctness gate (must be exactly 1.0 here)."""
@@ -92,6 +137,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         gold = ray.data.read_parquet(f"{corpus}/expected_triples.parquet")
         pred = kg.build_triples(f"{corpus}/pages.parquet")
         res = evaluate_triples(gold, pred)
+        p, r, f1 = (round(x, 6) for x in res["micro"])
+        return pa.table(
+            {
+                "p": pa.array([p], pa.float64()),
+                "r": pa.array([r], pa.float64()),
+                "f1": pa.array([f1], pa.float64()),
+            }
+        )
+
+    def kg_eval_entities(sf_dir: str):
+        """Entity-mention P/R/F1 vs the oracle (eval_ner/eval_mod
+        analogue over the mod_entities view)."""
+        corpus = _kg_dir(sf_dir)
+        from jamie_ray.evalx import evaluate_entities
+        import pyarrow as pa
+
+        gold = ray.data.read_parquet(f"{corpus}/expected_entities.parquet")
+        pred = kg.build_entities(f"{corpus}/pages.parquet")
+        res = evaluate_entities(gold, pred)
         p, r, f1 = (round(x, 6) for x in res["micro"])
         return pa.table(
             {
@@ -180,8 +244,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chunks": kg_chunks,
         "kg_entities": kg_entities,
         "kg_triples": kg_triples,
+        "kg_triples_pipeline_mode": kg_triples_pipeline_mode,
+        "kg_conll_roundtrip": kg_conll_roundtrip,
+        "kg_xml_out": kg_xml_out,
+        "kg_brat_out": kg_brat_out,
         "kg_graph": kg_graph,
         "kg_eval": kg_eval,
+        "kg_eval_entities": kg_eval_entities,
         # relational operator suite (testdata tables)
         "agg_pricing_summary": rel.agg_pricing_summary,
         "returnflag_counts": rel.returnflag_counts,
@@ -242,7 +311,16 @@ def oracle_sql() -> dict[str, str]:
             "expected_triples",
             "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",
         ),
+        "kg_triples_pipeline_mode": kg_sql(
+            "expected_triples",
+            "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",
+        ),
+        "kg_conll_roundtrip": kg_sql(
+            "expected_triples",
+            "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",
+        ),
         "kg_eval": "SELECT 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1",
+        "kg_eval_entities": "SELECT 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1",
         # ---- relational suite
         # money/metric sums use the exact-integer trick (floor(x*S+0.5)
         # per row, integer sum, single final division) so distributed
