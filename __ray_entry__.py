@@ -297,8 +297,9 @@ def oracle_sql() -> dict[str, str]:
     # sf the driver might use)
     def kg_sql(table: str, cols: str) -> str:
         # conformance runs at sf0.01 -> n=1200 (kept in sync with
-        # _KG_PAGES; the callables themselves generate the corpus)
-        d = os.path.join(_KG_ROOT, "n1200")
+        # _KG_PAGES); generate eagerly so the SQL is runnable even if
+        # the driver executes oracles before queries
+        d = _kg_dir("/root/testdata/sf0.01")
         return f"SELECT {cols} FROM read_parquet('{d}/{table}.parquet')"
 
     sq = r"\S"  # avoid f-string backslash pitfalls

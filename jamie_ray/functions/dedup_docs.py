@@ -21,13 +21,29 @@ import pyarrow as pa
 
 import ray
 
-from ..hashing import mix64, stable_hash64
+from ..hashing import mix64_multi, stable_hash64
 from ..state.union_find import UnionFind
 
 N_HASHES = 32
 N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 SHINGLE_W = 3  # word shingles
+
+
+# per-worker hash caches: real text repeats tokens/shingles heavily, so
+# caching turns the per-doc blake2b cost into a vocabulary-sized one
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_SHINGLE_HASH_CACHE: dict[str, int] = {}
+_CACHE_CAP = 1 << 20
+
+
+def _cached_hash(value: str, cache: dict[str, int], salt: str) -> int:
+    h = cache.get(value)
+    if h is None:
+        h = stable_hash64(salt, value)
+        if len(cache) < _CACHE_CAP:
+            cache[value] = h
+    return h
 
 
 def word_shingles(text: str, w: int = SHINGLE_W) -> set[str]:
@@ -86,10 +102,10 @@ def _doc_bands(text: str) -> list[int]:
     sh = sorted(word_shingles(text))
     if not sh:
         return []
-    base = np.array([stable_hash64("dsh", s) for s in sh], dtype=np.uint64)
-    sig = np.empty(N_HASHES, dtype=np.uint64)
-    for h in range(N_HASHES):
-        sig[h] = mix64(base, seed=h + 101).min()
+    base = np.array(
+        [_cached_hash(s, _SHINGLE_HASH_CACHE, "dsh") for s in sh], dtype=np.uint64
+    )
+    sig = mix64_multi(base, np.arange(101, 101 + N_HASHES, dtype=np.uint64)).min(axis=1)
     out = []
     for b in range(N_BANDS):
         rows = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
@@ -181,7 +197,9 @@ def simhash64(text: str) -> int:
     toks = text.split()
     if not toks:
         return 0
-    hashes = np.array([stable_hash64("simh", t) for t in toks], dtype=np.uint64)
+    hashes = np.array(
+        [_cached_hash(t, _TOKEN_HASH_CACHE, "simh") for t in toks], dtype=np.uint64
+    )
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
         np.int64
     )

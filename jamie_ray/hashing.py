@@ -71,6 +71,19 @@ def mix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def mix64_multi(x: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """Apply :func:`mix64` for many seeds at once: returns shape
+    (len(seeds), len(x)) — one hash family per row. Vectorizes the
+    minhash permutation loop into a single broadcasted pass."""
+    s = (seeds.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(_MASK64)
+    z = x.astype(np.uint64)[None, :] + s[:, None]
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z &= np.uint64(_MASK64)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z &= np.uint64(_MASK64)
+    return z ^ (z >> np.uint64(31))
+
+
 def uniform01(x: np.ndarray, seed: int = 0) -> np.ndarray:
     """Map uint64 hashes to deterministic floats in [0, 1)."""
     return (mix64(x, seed) >> np.uint64(11)).astype(np.float64) / float(1 << 53)

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 import ray
 
-from ..hashing import mix64, stable_hash64, stable_hash64_signed
+from ..hashing import mix64_multi, stable_hash64, stable_hash64_signed
 from ..state.union_find import UnionFind
 from ..textnorm import zen_to_han
 
@@ -63,9 +63,7 @@ def minhash_bands(norm: str) -> list[int]:
     base = np.array(
         [stable_hash64("sh", s) for s in sh], dtype=np.uint64
     )
-    sig = np.empty(N_HASHES, dtype=np.uint64)
-    for h in range(N_HASHES):
-        sig[h] = mix64(base, seed=h + 1).min()
+    sig = mix64_multi(base, np.arange(1, N_HASHES + 1, dtype=np.uint64)).min(axis=1)
     bands = []
     for b in range(N_BANDS):
         rows = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]

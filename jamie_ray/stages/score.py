@@ -203,6 +203,14 @@ class JointScorer:
         self.cost = _CostEmulator(model_cost_layers)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # length-bucketed batching (SURVEY.md §4 skew note): process the
+        # batch in n_subwords order so a real model pads each micro-batch
+        # to near-uniform length. Output rows are keyed (url, chunk_id),
+        # so reordering is free.
+        if "n_subwords" in batch.column_names:
+            import pyarrow.compute as pc
+
+            batch = batch.take(pc.sort_indices(batch.column("n_subwords")))
         urls = batch.column("url").to_pylist()
         cids = batch.column("chunk_id").to_pylist()
         texts = batch.column("text").to_pylist()

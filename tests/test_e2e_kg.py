@@ -117,3 +117,38 @@ def test_materialize_resumable(corpus, tmp_path):
     )
     assert s2["shards_run"] == 0 and s2["shards_skipped"] == 3
     assert s1["n_triples"] == s2["n_triples"] > 0
+
+
+def test_materialize_survives_kill(corpus, tmp_path, monkeypatch):
+    """Kill mid-run (after 1 shard) -> rerun -> identical final graph."""
+    pages_dir, _ = corpus
+    out = tmp_path / "graph_kill"
+    calls = {"n": 0}
+    import jamie_ray.pipelines.kg as kgmod
+
+    real_append = kgmod.append_manifest
+
+    def dying_append(out_dir, record):
+        real_append(out_dir, record)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after first shard")
+
+    monkeypatch.setattr(kgmod, "append_manifest", dying_append)
+    with pytest.raises(RuntimeError):
+        kg.materialize_graph(str(pages_dir / "pages.parquet"), str(out), n_shards=3)
+    monkeypatch.setattr(kgmod, "append_manifest", real_append)
+
+    s = kg.materialize_graph(str(pages_dir / "pages.parquet"), str(out), n_shards=3)
+    assert s["shards_skipped"] == 1 and s["shards_run"] == 2
+
+    # final graph must equal a clean single-pass run
+    clean = tmp_path / "graph_clean"
+    s2 = kg.materialize_graph(str(pages_dir / "pages.parquet"), str(clean), n_shards=3)
+    import ray.data
+
+    a = sorted(map(tuple, (tuple(r.values()) for r in
+               ray.data.read_parquet(str(out / "graph")).take_all())))
+    b = sorted(map(tuple, (tuple(r.values()) for r in
+               ray.data.read_parquet(str(clean / "graph")).take_all())))
+    assert a == b and s["n_triples"] == s2["n_triples"]
