@@ -180,11 +180,17 @@ def materialize_graph(
 
     Two levels:
 
-    1. **Heavy, resumable**: pages are sharded by ``hash(url) % n_shards``;
-       each unfinished shard runs extract->score->assemble->link->dedup
-       and writes ``out_dir/shard=N/`` plus a lineage record. A rerun
-       reads the manifest and skips finished shards — the expensive
-       scoring compute is never repeated.
+    1. **Heavy, resumable**: the input is split into ``n_shards``
+       shards; each unfinished shard runs extract->score->assemble->
+       link->dedup and writes ``out_dir/shard=N/`` plus a lineage
+       record. A rerun reads the manifest and skips finished shards —
+       the expensive scoring compute is never repeated.
+
+       Shard assignment prefers **file-level pruning**: with a
+       multi-file input (the real 100 TB layout), shard N reads only
+       its own files — no full-corpus rescan per shard. A single-file
+       input (small-scale fixtures) falls back to a ``hash(url)``
+       row filter, which does rescan and is flagged in lineage.
     2. **Cheap, idempotent finalize**: a global dedup (same triple key
        always re-merges identical rows deterministically) + ``sort``
        on (subj_id, pred, obj_id) + write of ``out_dir/graph/``.
@@ -196,20 +202,34 @@ def materialize_graph(
     done = read_manifest(out_dir)
     summary = {"shards_total": n_shards, "shards_skipped": len(done), "shards_run": 0}
 
+    input_files = _input_parquet_files(pages_path)
+    by_files = len(input_files) >= n_shards
+
     for shard in range(n_shards):
         if shard in done:
             continue
         t0 = time.time()
 
-        def shard_filter(batch, _shard=shard):
-            urls = batch.column("url").to_pylist()
-            mask = pa.array(
-                [stable_hash64("shard", u) % n_shards == _shard for u in urls]
-            )
-            return batch.filter(mask)
+        if by_files:
+            shard_input = [
+                f for i, f in enumerate(input_files) if i % n_shards == shard
+            ]
+            shard_filter = None
+            fingerprint = f"files[{shard}/{n_shards}]:{len(shard_input)}"
+        else:
+            shard_input = pages_path
+
+            def shard_filter(batch, _shard=shard):
+                urls = batch.column("url").to_pylist()
+                mask = pa.array(
+                    [stable_hash64("shard", u) % n_shards == _shard for u in urls]
+                )
+                return batch.filter(mask)
+
+            fingerprint = f"urlhash[{shard}/{n_shards}] (single-file rescan)"
 
         triples = build_triples(
-            pages_path,
+            shard_input,
             lang=lang,
             concurrency=concurrency,
             batch_size=batch_size,
@@ -228,7 +248,7 @@ def materialize_graph(
                 "n_pages": -1,
                 "n_chunks": -1,
                 "n_triples": int(n_triples),
-                "input_fingerprint": f"{pages_path}#%d/%d" % (shard, n_shards),
+                "input_fingerprint": f"{pages_path}#{fingerprint}",
                 "wall_time_s": round(time.time() - t0, 3),
             },
         )
@@ -250,6 +270,15 @@ def materialize_graph(
         final.write_parquet(graph_dir)
     summary["n_triples"] = _count_parquet_rows(graph_dir)
     return summary
+
+
+def _input_parquet_files(pages_path) -> list[str]:
+    """Enumerate the concrete parquet files behind an input path."""
+    if isinstance(pages_path, (list, tuple)):
+        return [f for p in pages_path for f in _input_parquet_files(p)]
+    if os.path.isdir(pages_path):
+        return _parquet_files(pages_path)
+    return [pages_path] if str(pages_path).endswith(".parquet") else []
 
 
 def _parquet_files(d: str) -> list[str]:

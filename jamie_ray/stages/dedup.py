@@ -30,7 +30,17 @@ def _local_combine(batch: pa.Table) -> pa.Table:
             cols["subj_id"][i], cols["pred"][i], cols["obj_id"][i]
         )
         row = acc.get(key)
-        prov = (cols["url"][i], cols["chunk_id"][i])
+        # deterministic representative: the row that is lexicographically
+        # smallest on (provenance, attributes) wins, so the kept
+        # attributes (notably subj_mod, which can differ between
+        # occurrences of the same triple) never depend on block layout
+        order = (
+            cols["url"][i],
+            cols["chunk_id"][i],
+            cols["subj_mod"][i],
+            cols["subj_type"][i],
+            cols["obj_type"][i],
+        )
         cnt = cols["n_sources"][i] if has_count else 1
         if row is None:
             acc[key] = {
@@ -45,13 +55,20 @@ def _local_combine(batch: pa.Table) -> pa.Table:
                 "obj_type": cols["obj_type"][i],
                 "subj_mod": cols["subj_mod"][i],
                 "n_sources": cnt,
-                "url": prov[0],
-                "chunk_id": prov[1],
+                "url": order[0],
+                "chunk_id": order[1],
+                "__order": order,
             }
         else:
             row["n_sources"] += cnt
-            if prov < (row["url"], row["chunk_id"]):
-                row["url"], row["chunk_id"] = prov
+            if order < row["__order"]:
+                row["__order"] = order
+                row["url"], row["chunk_id"] = order[0], order[1]
+                row["subj_mod"] = cols["subj_mod"][i]
+                row["subj_type"] = cols["subj_type"][i]
+                row["obj_type"] = cols["obj_type"][i]
+                row["subj"] = subj_surface[i]
+                row["obj"] = obj_surface[i]
     rows = list(acc.values())
     return pa.table(
         {

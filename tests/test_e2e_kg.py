@@ -152,3 +152,36 @@ def test_materialize_survives_kill(corpus, tmp_path, monkeypatch):
     b = sorted(map(tuple, (tuple(r.values()) for r in
                ray.data.read_parquet(str(clean / "graph")).take_all())))
     assert a == b and s["n_triples"] == s2["n_triples"]
+
+
+def test_materialize_file_sharded(corpus, tmp_path):
+    """Multi-file input -> shards prune at the file level (no rescans)
+    and produce the same graph as the single-file path."""
+    import pyarrow.parquet as pq
+
+    pages_dir, tables = corpus
+    multi = tmp_path / "pages_multi"
+    multi.mkdir()
+    pages = tables["pages"]
+    step = (pages.num_rows + 3) // 4
+    for i in range(4):
+        pq.write_table(pages.slice(i * step, step), multi / f"part-{i}.parquet")
+
+    out = tmp_path / "graph_files"
+    s = kg.materialize_graph(str(multi), str(out), n_shards=4)
+    assert s["shards_run"] == 4
+
+    from jamie_ray.state.lineage import read_manifest
+
+    recs = read_manifest(str(out))
+    assert all("files[" in r["input_fingerprint"] for r in recs.values())
+
+    single = tmp_path / "graph_single"
+    s2 = kg.materialize_graph(str(pages_dir / "pages.parquet"), str(single), n_shards=3)
+    import ray.data
+
+    a = sorted(map(tuple, (tuple(r.values()) for r in
+               ray.data.read_parquet(str(out / "graph")).take_all())))
+    b = sorted(map(tuple, (tuple(r.values()) for r in
+               ray.data.read_parquet(str(single / "graph")).take_all())))
+    assert a == b

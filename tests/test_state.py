@@ -71,3 +71,42 @@ def test_manifest_atomic_append(tmp_path):
     recs = read_manifest(d)
     assert set(recs) == {0, 2}
     assert recs[2]["n_triples"] == 7
+
+
+def test_pipeline_config_registry(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from jamie_ray import fixtures
+    from jamie_ray.config import (
+        PipelineConfig,
+        build_graph_with_config,
+        get_stage,
+        register_stage,
+    )
+
+    tables = fixtures.generate(40)
+    pq.write_table(tables["pages"], tmp_path / "pages.parquet")
+
+    calls = {"n": 0}
+
+    @register_stage("test-filter-region")
+    def drop_region_preds(ds):
+        import pyarrow.compute as pc
+
+        calls["n"] += 1
+        return ds.map_batches(
+            lambda b: b.filter(pc.not_equal(b.column("pred"), "region")),
+            batch_format="pyarrow",
+        )
+
+    cfg = PipelineConfig(extra_stages=("test-filter-region",))
+    graph = build_graph_with_config(str(tmp_path / "pages.parquet"), cfg)
+    rows = graph.take_all()
+    assert calls["n"] == 1
+    assert all(r["pred"] != "region" for r in rows)
+    assert get_stage("test-filter-region") is drop_region_preds
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        get_stage("missing-stage")
