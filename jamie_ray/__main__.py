@@ -1,0 +1,153 @@
+"""CLI entry point: ``python -m jamie_ray <command>``.
+
+The reference is driven entirely by per-script CLI flags
+(/root/reference/clinical_joint.py:113-227, data_converter.py:111-155);
+this module is the equivalent single front door, and the unit you point
+``ray job submit`` at on a cluster:
+
+    ray job submit --working-dir . -- python -m jamie_ray graph \
+        --pages s3://bucket/pages/ --out s3://bucket/graph/ --shards 256
+
+Commands
+--------
+- ``extract``      pages parquet -> (url, text) parquet
+- ``chunks``       pages parquet -> chunks parquet
+- ``triples``      pages parquet -> raw triples parquet (joint|pipeline)
+- ``graph``        full resumable materialize (link + dedup + sorted write)
+- ``eval``         triple P/R/F1 of pred parquet vs gold parquet
+- ``synth``        write a deterministic synthetic pages corpus
+
+Every command guards ``ray.init`` with ``is_initialized`` so it works
+both standalone and under a driver that already initialised Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+
+def cmd_extract(args) -> None:
+    _ensure_ray()
+    from .pipelines import kg
+
+    ds = kg.extracted_pages(kg.read_pages(args.pages), lang=args.lang)
+    ds.write_parquet(args.out)
+    print(json.dumps({"command": "extract", "out": args.out}))
+
+
+def cmd_chunks(args) -> None:
+    _ensure_ray()
+    from .pipelines import kg
+
+    ds = kg.chunk_pages(kg.extracted_pages(kg.read_pages(args.pages), lang=args.lang))
+    ds.write_parquet(args.out)
+    print(json.dumps({"command": "chunks", "out": args.out}))
+
+
+def cmd_triples(args) -> None:
+    _ensure_ray()
+    from .pipelines import kg
+
+    ds = kg.build_triples(args.pages, lang=args.lang, mode=args.mode)
+    ds.write_parquet(args.out)
+    print(json.dumps({"command": "triples", "mode": args.mode, "out": args.out}))
+
+
+def cmd_graph(args) -> None:
+    _ensure_ray()
+    from .pipelines import kg
+
+    summary = kg.materialize_graph(
+        args.pages, args.out, lang=args.lang, n_shards=args.shards
+    )
+    print(json.dumps({"command": "graph", **summary}))
+
+
+def cmd_eval(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .evalx import evaluate_triples
+
+    gold = ray.data.read_parquet(args.gold)
+    pred = ray.data.read_parquet(args.pred)
+    res = evaluate_triples(gold, pred, f1_mode=args.f1_mode)
+    p, r, f1 = res["micro" if args.f1_mode == "micro" else "macro"]
+    print(
+        json.dumps(
+            {
+                "command": "eval",
+                "p": round(p, 6),
+                "r": round(r, 6),
+                "f1": round(f1, 6),
+                "counts": res["counts"],
+                "per_class": {
+                    k: [round(v[0], 6), round(v[1], 6), round(v[2], 6)]
+                    for k, v in res["per_class"].items()
+                },
+            }
+        )
+    )
+
+
+def cmd_synth(args) -> None:
+    from .fixtures import write_corpus
+
+    out = write_corpus(args.out, args.pages_n, overwrite=args.overwrite)
+    print(json.dumps({"command": "synth", "out": out, "n_pages": args.pages_n}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="jamie_ray")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--pages", required=True, help="pages parquet path/dir")
+        p.add_argument("--out", required=True)
+        p.add_argument("--lang", default="ja")
+
+    p = sub.add_parser("extract", help="pages -> normalized text")
+    common(p)
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("chunks", help="pages -> trunk chunks")
+    common(p)
+    p.set_defaults(fn=cmd_chunks)
+
+    p = sub.add_parser("triples", help="pages -> raw triples")
+    common(p)
+    p.add_argument("--mode", choices=("joint", "pipeline"), default="joint")
+    p.set_defaults(fn=cmd_triples)
+
+    p = sub.add_parser("graph", help="full resumable graph materialize")
+    common(p)
+    p.add_argument("--shards", type=int, default=8)
+    p.set_defaults(fn=cmd_graph)
+
+    p = sub.add_parser("eval", help="triple P/R/F1 (pred vs gold parquet)")
+    p.add_argument("--gold", required=True)
+    p.add_argument("--pred", required=True)
+    p.add_argument("--f1-mode", choices=("micro", "macro"), default="micro")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("synth", help="deterministic synthetic pages corpus")
+    p.add_argument("--out", required=True)
+    p.add_argument("--pages-n", type=int, default=1000)
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(fn=cmd_synth)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -45,6 +45,9 @@ FILLERS = (
 
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
+# bump when generation rules change so stale cached corpora regenerate
+FIXTURE_VERSION = 2
+
 _HOT_DOMAIN = "hot.example.com"
 
 
@@ -283,7 +286,7 @@ def write_corpus(out_dir: str, n_pages: int, overwrite: bool = False) -> str:
     Idempotent: skips if the marker for the same ``n_pages`` exists
     (generation is deterministic, so cached files are always valid).
     """
-    marker = os.path.join(out_dir, f".complete-{n_pages}")
+    marker = os.path.join(out_dir, f".complete-v{FIXTURE_VERSION}-{n_pages}")
     if os.path.exists(marker) and not overwrite:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

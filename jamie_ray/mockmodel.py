@@ -102,4 +102,7 @@ def relation_for(
     h = stable_hash64("rel", subj_surface, obj_surface, subj_ord, obj_ord)
     if h % _REL_MOD != 0:
         return None
-    return REL_VOCAB[h % len(REL_VOCAB)]
+    # independent hash for the predicate: h % 3 == 0 correlates with
+    # h % 6, which would collapse the vocabulary to two predicates
+    hp = stable_hash64("relp", subj_surface, obj_surface, subj_ord, obj_ord)
+    return REL_VOCAB[hp % len(REL_VOCAB)]
