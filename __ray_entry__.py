@@ -219,6 +219,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dedup_docs.simhash_pairs(docs, max_hamming=8)
 
+    # ---- custom temporal operators ----
+
+    def events_asof_orders(sf_dir: str):
+        """As-of join: each event matched to the latest order of the
+        same customer at or before the event time."""
+        from jamie_ray.functions.temporal import asof_join
+        import pyarrow as pa
+
+        events = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_orderdate"],
+        )
+        out = asof_join(
+            events, orders,
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate",
+            right_cols=["o_orderkey", "o_orderdate"],
+        )
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "event_id": b.column("event_id"),
+                    "user_id": b.column("__key"),
+                    "o_orderkey": b.column("o_orderkey"),
+                    "o_orderdate": b.column("o_orderdate"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def events_sessionize(sf_dir: str):
+        """Gap-based sessions (30 min) per user."""
+        from jamie_ray.functions.temporal import sessionize
+
+        events = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        return sessionize(events, gap_minutes=30)
+
     # ---- multimodal plumbing (deterministic fake decode) ----
 
     def multimodal_features(sf_dir: str):
@@ -258,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": rel.distinct_event_types,
         "events_hourly": rel.events_hourly,
         "top_users_by_events": rel.top_users_by_events,
+        "events_asof_orders": events_asof_orders,
+        "events_sessionize": events_sessionize,
         "top_orders": rel.top_orders,
         "filter_docs": rel.filter_docs,
         "union_docs": rel.union_docs,
@@ -348,6 +392,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_asof_orders": """
+            WITH j AS (
+              SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+              FROM events e
+              JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, user_id, o_orderkey, o_orderdate FROM j WHERE rn = 1
+        """,
+        "events_sessionize": """
+            SELECT event_id, user_id, ts,
+                   (sum(CASE WHEN prev_ts IS NULL OR epoch(ts - prev_ts) > 1800
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1) AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            )
         """,
         "top_users_by_events": """
             SELECT user_id, count(*) AS n_events,

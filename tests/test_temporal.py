@@ -1,0 +1,112 @@
+"""Tests for the custom temporal operators (as-of join, sessionize)."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def tiny(ray_session):
+    import ray.data
+
+    events = ray.data.from_items(
+        [
+            {"event_id": 1, "user_id": 7, "ts": _ts("2024-01-01T10:00")},
+            {"event_id": 2, "user_id": 7, "ts": _ts("2024-01-01T12:00")},
+            {"event_id": 3, "user_id": 8, "ts": _ts("2024-01-01T10:00")},
+            {"event_id": 4, "user_id": 9, "ts": _ts("2024-01-01T10:00")},
+        ]
+    )
+    orders = ray.data.from_items(
+        [
+            {"o_custkey": 7, "o_orderkey": 100, "o_orderdate": _ts("2024-01-01T09:00")},
+            {"o_custkey": 7, "o_orderkey": 101, "o_orderdate": _ts("2024-01-01T11:00")},
+            # tie on date for user 8 -> greater orderkey wins
+            {"o_custkey": 8, "o_orderkey": 200, "o_orderdate": _ts("2024-01-01T08:00")},
+            {"o_custkey": 8, "o_orderkey": 201, "o_orderdate": _ts("2024-01-01T08:00")},
+            # user 9 has only a FUTURE order -> no match
+            {"o_custkey": 9, "o_orderkey": 300, "o_orderdate": _ts("2024-01-02T00:00")},
+        ]
+    )
+    return events, orders
+
+
+def test_asof_join_semantics(tiny):
+    from jamie_ray.functions.temporal import asof_join
+
+    events, orders = tiny
+    out = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    rows = {r["event_id"]: r for r in out.take_all()}
+    assert rows[1]["o_orderkey"] == 100   # latest order before 10:00
+    assert rows[2]["o_orderkey"] == 101   # 11:00 order before 12:00
+    assert rows[3]["o_orderkey"] == 201   # tie -> max orderkey
+    assert 4 not in rows                  # future-only orders drop the row
+
+
+def test_sessionize(ray_session):
+    import ray.data
+
+    from jamie_ray.functions.temporal import sessionize
+
+    events = ray.data.from_items(
+        [
+            {"event_id": 1, "user_id": 1, "ts": _ts("2024-01-01T10:00")},
+            {"event_id": 2, "user_id": 1, "ts": _ts("2024-01-01T10:10")},
+            {"event_id": 3, "user_id": 1, "ts": _ts("2024-01-01T11:30")},  # >30min gap
+            {"event_id": 4, "user_id": 2, "ts": _ts("2024-01-01T10:00")},
+        ]
+    )
+    out = {r["event_id"]: r["session_id"] for r in
+           sessionize(events, gap_minutes=30).take_all()}
+    assert out[1] == 0 and out[2] == 0
+    assert out[3] == 1
+    assert out[4] == 0
+
+
+def test_asof_join_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    sf = "/root/testdata/sf0.001"
+    events = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+    from jamie_ray.functions.temporal import asof_join
+
+    out = asof_join(
+        events, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    got = sorted(
+        (r["event_id"], r["o_orderkey"]) for r in out.take_all()
+    )
+    con = duckdb.connect()
+    exp = sorted(
+        map(tuple, con.execute(f"""
+        WITH j AS (
+          SELECT e.event_id, o.o_orderkey,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+          FROM read_parquet('{sf}/events.parquet') e
+          JOIN read_parquet('{sf}/orders.parquet') o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ) SELECT event_id, o_orderkey FROM j WHERE rn = 1
+        """).fetchall())
+    )
+    assert got == exp and len(got) > 0
