@@ -219,6 +219,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dedup_docs.simhash_pairs(docs, max_hamming=8)
 
+    def doc_winnow(sf_dir: str):
+        """Rolling-hash winnowing fingerprints per document."""
+        from jamie_ray.functions.text_analysis import winnow_batch
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return docs.map_batches(
+            lambda b: winnow_batch(b).select(["doc_id", "fingerprints"]),
+            batch_format="pyarrow",
+        )
+
+    def kg_pmhs_out(sf_dir: str):
+        """JSONL (pmhs) debug view of the tagged chunks."""
+        from jamie_ray.stages.pmhs import tagged_to_pmhs_batch
+
+        corpus = _kg_dir(sf_dir)
+        chunks = kg.chunk_pages(
+            kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
+        )
+        return kg.score_chunks(chunks).map_batches(
+            tagged_to_pmhs_batch, batch_format="pyarrow"
+        )
+
     # ---- custom temporal operators ----
 
     def events_asof_orders(sf_dir: str):
@@ -312,6 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": rel.doc_lang_id,
         "doc_quality": rel.doc_quality,
         "doc_fingerprint": rel.doc_fingerprint,
+        "doc_winnow": doc_winnow,
+        "kg_pmhs_out": kg_pmhs_out,
         # dedup family
         "dedup_docs_exact": dedup_docs_exact,
         "docs_minhash_clusters": docs_minhash_clusters,

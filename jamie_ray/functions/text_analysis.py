@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -93,6 +94,59 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         pa.int64(),
     )
     return batch.append_column("quality_micro", micro)
+
+
+def winnow_fingerprints(
+    text: str, k: int = 8, window: int = 16
+) -> list[int]:
+    """Winnowing document fingerprints over a character rolling hash.
+
+    Classic scheme (Schleimer, Wilkerson, Aiken, SIGMOD'03): k-gram
+    rolling hashes -> per-window minimum (rightmost min wins) ->
+    deduplicated fingerprint sequence. Guarantees any shared substring
+    of length >= window+k-1 yields a shared fingerprint. Deterministic;
+    int64-signed values for Arrow friendliness.
+    """
+    n = len(text)
+    if n < k:
+        return []
+    base = np.uint64(1_000_003)
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    # rolling hash of all k-grams, vectorized via cumulative powers
+    pows = np.empty(k, dtype=np.uint64)
+    pows[0] = np.uint64(1)
+    for i in range(1, k):
+        pows[i] = (pows[i - 1] * base) & mask
+    m = n - k + 1
+    grams = np.zeros(m, dtype=np.uint64)
+    for j in range(k):  # k is small; m-length vector ops inside
+        grams = (grams + codes[j : j + m] * pows[k - 1 - j]) & mask
+    if m <= window:
+        return [int(x) - (1 << 64) if int(x) >= (1 << 63) else int(x)
+                for x in [grams.min()]]
+    # sliding-window minima via stride tricks
+    sw = np.lib.stride_tricks.sliding_window_view(grams, window)
+    mins = sw.min(axis=1)
+    out: list[int] = []
+    prev = None
+    for v in mins:
+        if prev is None or v != prev:
+            iv = int(v)
+            out.append(iv - (1 << 64) if iv >= (1 << 63) else iv)
+            prev = v
+    return out
+
+
+def winnow_batch(
+    batch: pa.Table, text_col: str = "text", k: int = 8, window: int = 16
+) -> pa.Table:
+    """+ fingerprints column: winnowed rolling-hash fingerprint list."""
+    fps = [
+        winnow_fingerprints(t or "", k, window)
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column("fingerprints", pa.array(fps, pa.list_(pa.int64())))
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

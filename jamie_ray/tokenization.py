@@ -32,7 +32,24 @@ _PIECE = 3
 _KANJI_RUN = 2
 
 
+# per-process caches: the character and token vocabularies are tiny
+# relative to the token stream, so these turn per-char class checks and
+# per-token width folds into dict hits (semantics unchanged)
+_CHAR_CLASS_CACHE: dict[str, str] = {}
+_H2Z_TOKEN_CACHE: dict[str, str] = {}
+_CACHE_CAP = 1 << 20
+
+
 def _char_class(ch: str) -> str:
+    cls = _CHAR_CLASS_CACHE.get(ch)
+    if cls is None:
+        cls = _char_class_uncached(ch)
+        if len(_CHAR_CLASS_CACHE) < _CACHE_CAP:
+            _CHAR_CLASS_CACHE[ch] = cls
+    return cls
+
+
+def _char_class_uncached(ch: str) -> str:
     cp = ord(ch)
     if ch == "　" or ch.isspace():
         return "sp"
@@ -104,16 +121,26 @@ def analyze(text: str) -> list[str]:
     joined = " ".join(wakati(text))
     joined = joined.replace("　 SEP 　", " [SEP] ").replace("　", "[JASP]")
     segments = joined.split()
-    segments = [
-        "[JASP]" if "[JASP]" in tok else han_to_zen(tok).replace("［ＳＥＰ］", "[SEP]")
-        for tok in segments
-    ]
+    segments = [_fold_token(tok) for tok in segments]
     refined: list[str] = []
     for i, seg in enumerate(segments):
         if i > 0 and seg == segments[i - 1] == "[JASP]":
             continue
         refined.append(seg)
     return refined
+
+
+def _fold_token(tok: str) -> str:
+    out = _H2Z_TOKEN_CACHE.get(tok)
+    if out is None:
+        out = (
+            "[JASP]"
+            if "[JASP]" in tok
+            else han_to_zen(tok).replace("［ＳＥＰ］", "[SEP]")
+        )
+        if len(_H2Z_TOKEN_CACHE) < _CACHE_CAP:
+            _H2Z_TOKEN_CACHE[tok] = out
+    return out
 
 
 def subword_tokenize(tokens: list[str]) -> list[str]:

@@ -75,3 +75,32 @@ def test_brat_formatter():
     # span 急性肺炎 = chars [3, 7)
     assert "T1\td 3 7\t急性肺炎" in ann
     assert "A1\tpositive T1 positive" in ann
+
+
+def test_pmhs_formatter():
+    import json
+
+    from jamie_ray.stages import pmhs
+
+    out = pmhs.tagged_to_pmhs_batch(_tagged_batch())
+    obj = json.loads(out.column("pmhs")[0].as_py())
+    assert obj["text"] == "これは急性肺炎です。"
+    assert obj["bio"] == ["O", "B-d", "I-d", "O", "O"]
+    assert obj["selection"] == [{"subject": 2, "predicate": "region", "object": 4}]
+    # target (token 4) is not an entity last token -> no mention-level spo
+    assert obj["spo_list"] == []
+
+
+def test_winnow_fingerprints():
+    from jamie_ray.functions.text_analysis import winnow_fingerprints
+
+    a = winnow_fingerprints("the quick brown fox jumps over the lazy dog" * 3)
+    assert a == winnow_fingerprints("the quick brown fox jumps over the lazy dog" * 3)
+    assert len(a) > 0
+    # shared long substring -> shared fingerprint (winnowing guarantee)
+    shared = "a common shared long substring appears here exactly"
+    f1 = set(winnow_fingerprints("XXX " + shared + " YYY unrelated tail one"))
+    f2 = set(winnow_fingerprints("ZZZ prefix two " + shared + " WWW"))
+    assert f1 & f2
+    # short text
+    assert winnow_fingerprints("ab") == []
