@@ -70,6 +70,8 @@ def build_graph_with_config(pages_path: str, config: PipelineConfig):
         batch_size=config.scorer_batch_size,
         model_cost_layers=config.model_cost_layers,
         mode=config.scorer_mode,
+        len_limit=config.len_limit,
+        use_actors=config.scorer_use_actors,
     )
     for name in config.extra_stages:
         triples = get_stage(name)(triples)

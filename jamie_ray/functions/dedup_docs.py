@@ -218,9 +218,18 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def simhash_pairs(docs, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
-    """Near-dup candidate pairs by simhash: band the 64 bits into 4
-    16-bit chunks (any pair within hamming<=3 shares at least one
-    chunk), groupby chunk, verify hamming distance exactly."""
+    """Near-dup candidate pairs by simhash banding.
+
+    The 64 signature bits are banded into ``max_hamming + 1`` chunks —
+    by pigeonhole, any pair within the hamming budget shares at least
+    one unchanged chunk — grouped by chunk value, and verified with the
+    exact hamming distance. Larger budgets mean narrower chunks (less
+    selective buckets); the per-group cap bounds the quadratic verify.
+    """
+    n_chunks = min(16, max_hamming + 1)
+    # chunk bit boundaries: 64 bits split as evenly as possible
+    widths = [64 // n_chunks + (1 if c < 64 % n_chunks else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
 
     def expand(batch: pa.Table) -> pa.Table:
         batch = simhash_batch(batch, text_col)
@@ -229,9 +238,13 @@ def simhash_pairs(docs, text_col: str = "text", id_col: str = "doc_id", max_hamm
             batch.column(id_col).to_pylist(), batch.column("simhash").to_pylist()
         ):
             u = s + (1 << 64) if s < 0 else s
-            for c in range(4):
-                chunk = (u >> (16 * c)) & 0xFFFF
-                out_key.append((c << 16) | chunk)
+            for c in range(n_chunks):
+                chunk = (u >> offsets[c]) & ((1 << widths[c]) - 1)
+                # cheap deterministic mix of (chunk index, chunk value)
+                # into int64; collisions only add candidates, which the
+                # exact-hamming verify rejects
+                key = ((c * 0x9E3779B97F4A7C15) ^ chunk) & 0x7FFFFFFFFFFFFFFF
+                out_key.append(key)
                 out_id.append(i)
                 out_sig.append(s)
         return pa.table(
@@ -245,7 +258,7 @@ def simhash_pairs(docs, text_col: str = "text", id_col: str = "doc_id", max_hamm
     def verify(group: pa.Table) -> pa.Table:
         rows = sorted(
             set(zip(group.column(id_col).to_pylist(), group.column("simhash").to_pylist()))
-        )
+        )[:512]  # deterministic cap on the quadratic verify per bucket
         a_out, b_out, d_out = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):

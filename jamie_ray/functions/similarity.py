@@ -69,12 +69,14 @@ def knn_bruteforce(
     def partial(batch: pa.Table) -> pa.Table:
         mat = _as_matrix(batch.column(vec_col))
         ids = batch.column(id_col).to_pylist()
-        scores = _cosine(mat, q)
+        # cut by the ROUNDED score — the same key the final merge and
+        # the SQL oracle order by, so boundary near-ties can't diverge
+        scores = np.round(_cosine(mat, q), round_to)
         order = np.lexsort((np.asarray(ids), -scores))[:k]
         return pa.table(
             {
                 id_col: pa.array([ids[i] for i in order], pa.int64()),
-                "score": pa.array(np.round(scores[order], round_to), pa.float64()),
+                "score": pa.array(scores[order], pa.float64()),
             }
         )
 
@@ -125,12 +127,12 @@ def knn_lsh(
         mat, ids = mat[mask], ids[mask]
         if not len(ids):
             return pa.table({id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
-        scores = _cosine(mat, q)
+        scores = np.round(_cosine(mat, q), round_to)
         order = np.lexsort((ids, -scores))[:k]
         return pa.table(
             {
                 id_col: pa.array(ids[order], pa.int64()),
-                "score": pa.array(np.round(scores[order], round_to), pa.float64()),
+                "score": pa.array(scores[order], pa.float64()),
             }
         )
 

@@ -14,8 +14,25 @@ here matches the oracle semantics exactly.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 import numpy as np
 import pyarrow as pa
+
+_NAIVE_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def _naive_seconds(t) -> float:
+    """Naive-datetime -> seconds since a naive epoch.
+
+    NOT ``datetime.timestamp()``: that interprets naive datetimes in the
+    host's local timezone and is non-monotonic across DST transitions,
+    which would diverge from DuckDB's timezone-free interval arithmetic
+    on non-UTC hosts.
+    """
+    if isinstance(t, _dt.datetime):
+        return (t - _NAIVE_EPOCH).total_seconds()
+    return float(t)
 
 
 def asof_join(
@@ -84,8 +101,7 @@ def asof_join(
     def merge(group: pa.Table) -> pa.Table:
         sides = np.asarray(group.column("__side").to_pylist())
         ts = np.asarray(
-            [t.timestamp() if hasattr(t, "timestamp") else t for t in
-             group.column("__ts").to_pylist()],
+            [_naive_seconds(t) for t in group.column("__ts").to_pylist()],
             dtype=np.float64,
         )
         l_ix = np.where(sides == 0)[0]
@@ -130,7 +146,8 @@ def sessionize(
 
     def sessions(group: pa.Table) -> pa.Table:
         tss = np.asarray(
-            [t.timestamp() for t in group.column(ts).to_pylist()], dtype=np.float64
+            [_naive_seconds(t) for t in group.column(ts).to_pylist()],
+            dtype=np.float64,
         )
         eids = np.asarray(group.column("event_id").to_pylist())
         order = np.lexsort((eids, tss))

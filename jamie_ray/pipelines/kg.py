@@ -71,8 +71,15 @@ def extracted_pages(pages: ray.data.Dataset, lang: str = "ja") -> ray.data.Datas
     ).map_batches(extract_batch, batch_format="pyarrow")
 
 
-def chunk_pages(extracted: ray.data.Dataset) -> ray.data.Dataset:
-    return extracted.map_batches(chunk_pages_batch, batch_format="pyarrow")
+def chunk_pages(
+    extracted: ray.data.Dataset, len_limit: int | None = None
+) -> ray.data.Dataset:
+    from ..stages.chunk import DEFAULT_LEN_LIMIT
+
+    limit = len_limit or DEFAULT_LEN_LIMIT
+    return extracted.map_batches(
+        lambda b: chunk_pages_batch(b, limit), batch_format="pyarrow"
+    )
 
 
 def score_chunks(
@@ -116,6 +123,8 @@ def build_triples(
     shard_filter=None,
     model_cost_layers: int = 0,
     mode: str = "joint",
+    len_limit: int | None = None,
+    use_actors: bool = False,
 ) -> ray.data.Dataset:
     """pages parquet -> raw mention-level triples Dataset (streaming).
 
@@ -124,7 +133,7 @@ def build_triples(
     architecture; see ``stages/pipeline_mode.py``).
     """
     pages = read_pages(pages_path, shard_filter=shard_filter)
-    chunks = chunk_pages(extracted_pages(pages, lang))
+    chunks = chunk_pages(extracted_pages(pages, lang), len_limit=len_limit)
     if mode == "pipeline":
         from ..stages.pipeline_mode import score_chunks_pipeline
 
@@ -135,6 +144,7 @@ def build_triples(
             concurrency=concurrency,
             batch_size=batch_size,
             model_cost_layers=model_cost_layers,
+            use_actors=use_actors,
         )
     return tagged.map_batches(assemble_batch, batch_format="pyarrow")
 
@@ -154,16 +164,25 @@ def build_graph(
     concurrency: int | None = None,
     batch_size: int = DEFAULT_SCORER_BATCH,
     model_cost_layers: int = 0,
+    mode: str = "joint",
+    len_limit: int | None = None,
+    use_actors: bool = False,
+    link_threshold: float | None = None,
 ) -> ray.data.Dataset:
     """Full pipeline through linking + dedup (unsorted; see materialize)."""
+    from ..stages.link import DEFAULT_THRESHOLD
+
     triples = build_triples(
         pages_path,
         lang=lang,
         concurrency=concurrency,
         batch_size=batch_size,
         model_cost_layers=model_cost_layers,
+        mode=mode,
+        len_limit=len_limit,
+        use_actors=use_actors,
     )
-    linked = link_triples(triples)
+    linked = link_triples(triples, threshold=link_threshold or DEFAULT_THRESHOLD)
     return dedup_triples(linked)
 
 
@@ -191,9 +210,14 @@ def materialize_graph(
        its own files — no full-corpus rescan per shard. A single-file
        input (small-scale fixtures) falls back to a ``hash(url)``
        row filter, which does rescan and is flagged in lineage.
-    2. **Cheap, idempotent finalize**: a global dedup (same triple key
-       always re-merges identical rows deterministically) + ``sort``
-       on (subj_id, pred, obj_id) + write of ``out_dir/graph/``.
+    2. **Cheap, idempotent finalize**: a global **re-link** over the
+       shard outputs (per-shard linking can assign the same surface
+       different canonical ids depending on which cluster members its
+       shard saw — the finalize pass rebuilds one global canonical map
+       from all shard surfaces so identical logical triples share ids)
+       followed by dedup + ``sort`` on (subj_id, pred, obj_id) and the
+       write of ``out_dir/graph/``. The relink input is the already
+       per-shard-deduplicated rows — tiny relative to the corpus.
 
     Returns the run summary (shards run/skipped, rows, wall time).
     """
@@ -266,7 +290,14 @@ def materialize_graph(
         os.unlink(stale)
     if shard_files:
         all_shards = ray.data.read_parquet(shard_files)
-        final = dedup_triples(all_shards).sort(["subj_id", "pred", "obj_id"])
+        # strip the per-shard ids, rebuild them against a GLOBAL
+        # canonical map (see docstring point 2)
+        stripped = all_shards.map_batches(
+            lambda b: b.drop_columns(["subj_id", "obj_id"]),
+            batch_format="pyarrow",
+        )
+        relinked = link_triples(stripped)
+        final = dedup_triples(relinked).sort(["subj_id", "pred", "obj_id"])
         final.write_parquet(graph_dir)
     summary["n_triples"] = _count_parquet_rows(graph_dir)
     return summary

@@ -32,12 +32,30 @@ def split_long_line(line: str, budget: int) -> list[str]:
     tokens partition the input chars exactly, so cut offsets are the
     cumulative token lengths.
     """
+    # a single token can itself exceed the budget (long URL, base64
+    # blob, unbroken katakana run — wakati only chunks kanji runs):
+    # hard-split such tokens at char windows sized so each window's
+    # subword count fits (subword pieces are fixed-width chars)
+    from ..tokenization import _PIECE
+
+    max_tok_chars = max(1, (budget - 1) * _PIECE)
+
     pieces: list[str] = []
     cur_len = 0
     cur_chars = 0
     start = 0
     pos = 0
     for tok in wakati(line):
+        if subword_len([tok]) > budget:
+            if cur_chars > 0:
+                pieces.append(line[start:pos])
+            for off in range(0, len(tok), max_tok_chars):
+                pieces.append(line[pos + off : pos + off + max_tok_chars])
+            pos += len(tok)
+            start = pos
+            cur_len = 0
+            cur_chars = 0
+            continue
         tok_sbw = subword_len([tok])
         if cur_len + tok_sbw > budget and cur_chars > 0:
             pieces.append(line[start:pos])

@@ -58,3 +58,18 @@ def test_split_long_line_char_exact():
 def test_empty_lines():
     trunks, lens, assign = chunk_pack([])
     assert trunks == [] and lens == [] and assign == []
+
+
+def test_split_unsplittable_token():
+    # one giant unbroken alnum run (long URL / base64 blob): wakati
+    # cannot split it, so the char-window fallback must kick in
+    line = "x" * 2000
+    trunks, lens, assign = chunk_pack([line], len_limit=DEFAULT_LEN_LIMIT)
+    assert len(trunks) > 1
+    assert all(n <= DEFAULT_LEN_LIMIT - 2 for n in lens)
+    assert "".join(trunks) == line
+    # katakana long run too
+    line2 = "ア" * 1800
+    trunks2, lens2, _ = chunk_pack([line2], len_limit=DEFAULT_LEN_LIMIT)
+    assert all(n <= DEFAULT_LEN_LIMIT - 2 for n in lens2)
+    assert "".join(trunks2) == line2

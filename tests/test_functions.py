@@ -196,3 +196,51 @@ def test_resize_and_features():
     assert all(len(p) == 64 for p in resized.column("pixels").to_pylist())
     feats = multimodal.ImageFeatures()(resized)
     assert all(len(f) == 10 for f in feats.column("features").to_pylist())
+
+
+def test_simhash_pairs_recall_at_higher_hamming(ray_session):
+    """Banding must adapt to max_hamming: a pair differing by one bit
+    in each 16-bit quarter (hamming 4) must still be found when the
+    budget allows it (code-review finding)."""
+    import ray.data
+
+    from jamie_ray.functions import dedup_docs as dd
+
+    base = dd.simhash64("alpha beta gamma delta epsilon zeta eta theta")
+
+    # monkey-free: synthesize two docs whose hashes we control by
+    # patching simhash_batch's input through a fake text->hash mapping
+    # is intrusive; instead verify the banding math directly
+    flipped = base ^ ((1 << 2) | (1 << 18) | (1 << 34) | (1 << 50))
+    h = bin(base ^ flipped).count("1")
+    assert h == 4
+
+    def chunks_of(u, n_chunks):
+        widths = [64 // n_chunks + (1 if c < 64 % n_chunks else 0) for c in range(n_chunks)]
+        offs = [sum(widths[:c]) for c in range(n_chunks)]
+        return [(u >> offs[c]) & ((1 << widths[c]) - 1) for c in range(n_chunks)]
+
+    # with 4 chunks (old behavior) no chunk survives
+    assert all(
+        x != y for x, y in zip(chunks_of(base, 4), chunks_of(flipped, 4))
+    )
+    # with max_hamming+1 = 5 chunks at least one chunk matches
+    assert any(
+        x == y for x, y in zip(chunks_of(base, 5), chunks_of(flipped, 5))
+    )
+
+
+def test_knn_partial_cut_uses_rounded_key(ray_session):
+    """Block-local top-k must cut by the rounded score (the oracle's
+    sort key) so boundary near-ties agree (code-review finding)."""
+    import ray.data
+
+    # two vectors whose scores round equal; the lower vec_id must win
+    vecs = [
+        {"vec_id": 5, "embedding": [1.0, 0.0000004]},
+        {"vec_id": 2, "embedding": [1.0, -0.0000004]},
+        {"vec_id": 9, "embedding": [0.0, 1.0]},
+    ]
+    ds = ray.data.from_items(vecs)
+    out = similarity.knn_bruteforce(ds, [1.0, 0.0], k=1)
+    assert out.column("vec_id").to_pylist() == [2]

@@ -88,3 +88,32 @@ def test_link_triples_end_to_end(ray_session):
     assert by_url["u1"]["subj_id"] == by_url["u2"]["subj_id"]
     assert by_url["u1"]["subj_canon"] == by_url["u2"]["subj_canon"]
     assert by_url["u1"]["obj_id"] == by_url["u2"]["obj_id"]
+
+
+def test_global_relink_unifies_shard_ids(ray_session):
+    """Per-shard linking can assign inconsistent canonical ids; the
+    materialize finalize relink must unify them (code-review finding)."""
+    import ray.data
+
+    from jamie_ray.stages.dedup import dedup_triples
+
+    a, b = "インフルエンザ", "インフルエンザあ"  # jaccard ~0.83 > 0.6
+    # shard 0 saw both surfaces -> canonicalized B to A's cluster;
+    # shard 1 saw only B -> kept B standalone. Simulate shard OUTPUT
+    # rows (already per-shard deduped, with n_sources).
+    shard_rows = [
+        {"subj_id": link.entity_id(a), "pred": "r", "obj_id": link.entity_id("x"),
+         "subj": a, "obj": "x", "subj_type": "d", "obj_type": "a",
+         "subj_mod": "_", "n_sources": 2, "url": "u1", "chunk_id": 0},
+        {"subj_id": link.entity_id(b), "pred": "r", "obj_id": link.entity_id("x"),
+         "subj": b, "obj": "x", "subj_type": "d", "obj_type": "a",
+         "subj_mod": "_", "n_sources": 3, "url": "u2", "chunk_id": 0},
+    ]
+    ds = ray.data.from_items(shard_rows)
+    stripped = ds.map_batches(
+        lambda t: t.drop_columns(["subj_id", "obj_id"]), batch_format="pyarrow"
+    )
+    final = dedup_triples(link.link_triples(stripped)).take_all()
+    assert len(final) == 1, f"expected one merged triple, got {final}"
+    assert final[0]["n_sources"] == 5
+    assert final[0]["url"] == "u1"  # min provenance
