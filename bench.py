@@ -184,15 +184,23 @@ def main_scaling(sf_dir: str) -> None:
     # pre-generate the corpus once so neither child pays generation cost
     _kg_corpus_for(sf_dir)
     lo, hi = SCALING_PAIR
+    # identical runs on this host vary +-20% (shared VM, bursty steal);
+    # best-of-N per level measures the engine, not the neighbor's load
+    repeats = int(os.environ.get("JAMIE_SCALING_REPEATS", "2"))
     results = {}
     for cpus in SCALING_PAIR:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run-one",
-             "--cpus", str(cpus), "--sf-dir", sf_dir],
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(repeats):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run-one",
+                 "--cpus", str(cpus), "--sf-dir", sf_dir],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            run = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or run["docs_per_s"] > best["docs_per_s"]:
+                best = run
+        results[cpus] = best
     thr_lo = results[lo]["docs_per_s"]
     thr_hi = results[hi]["docs_per_s"]
     efficiency = round(thr_hi / ((hi / lo) * thr_lo), 4)
