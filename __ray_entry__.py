@@ -276,6 +276,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def events_range_orders(sf_dir: str):
+        """Range join: all orders of the same customer within the 10000
+        days before each event."""
+        from jamie_ray.functions.temporal import range_join
+        import pyarrow as pa
+
+        events = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_orderdate"],
+        )
+        out = range_join(
+            events, orders,
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate",
+            right_cols=["o_orderkey", "o_orderdate"],
+            lower_seconds=-86400.0 * 10000, upper_seconds=0.0,
+        )
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "event_id": b.column("event_id"),
+                    "user_id": b.column("__key"),
+                    "o_orderkey": b.column("o_orderkey"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def events_sessionize(sf_dir: str):
         """Gap-based sessions (30 min) per user."""
         from jamie_ray.functions.temporal import sessionize
@@ -325,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "top_users_by_events": rel.top_users_by_events,
         "events_asof_orders": events_asof_orders,
+        "events_range_orders": events_range_orders,
         "events_sessionize": events_sessionize,
         "top_orders": rel.top_orders,
         "filter_docs": rel.filter_docs,
@@ -428,6 +460,13 @@ def oracle_sql() -> dict[str, str]:
               JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             )
             SELECT event_id, user_id, o_orderkey, o_orderdate FROM j WHERE rn = 1
+        """,
+        "events_range_orders": """
+            SELECT e.event_id, e.user_id, o.o_orderkey
+            FROM events e
+            JOIN orders o ON o.o_custkey = e.user_id
+             AND o.o_orderdate >= e.ts - INTERVAL 10000 DAY
+             AND o.o_orderdate <= e.ts
         """,
         "events_sessionize": """
             SELECT event_id, user_id, ts,

@@ -158,3 +158,92 @@ def sessionize(
         return group.append_column("session_id", pa.array(session, pa.int64()))
 
     return events.groupby(key).map_groups(sessions, batch_format="pyarrow")
+
+
+def range_join(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    lower_seconds: float,
+    upper_seconds: float,
+):
+    """Range (interval) join: every (left, right) pair with matching key
+    and ``right_ts`` in ``[left_ts + lower, left_ts + upper]`` seconds.
+
+    Same physical shape as :func:`asof_join` (one hash shuffle on the
+    key, vectorized per-group window scan via searchsorted); emits one
+    row per qualifying pair (inner join).
+    """
+
+    def tag(side: int, key: str, ts: str, cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = {
+                "__key": batch.column(key),
+                "__ts": batch.column(ts),
+                "__side": pa.array([side] * batch.num_rows, pa.int8()),
+            }
+            for c in cols:
+                out[c] = batch.column(c)
+            return pa.table(out)
+
+        return fn
+
+    left_cols = [c for c in left.schema().names if c != left_key]
+    lt = left.map_batches(tag(0, left_key, left_ts, left_cols), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, right_key, right_ts, right_cols), batch_format="pyarrow")
+
+    def pad(missing: list[str], types: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in missing:
+                batch = batch.append_column(c, pa.nulls(batch.num_rows, types[c]))
+            return batch
+
+        return fn
+
+    l_schema = {f.name: f.type for f in lt.schema().base_schema}
+    r_schema = {f.name: f.type for f in rt.schema().base_schema}
+    lt = lt.map_batches(pad([c for c in r_schema if c not in l_schema], r_schema),
+                        batch_format="pyarrow")
+    rt = rt.map_batches(pad([c for c in l_schema if c not in r_schema], l_schema),
+                        batch_format="pyarrow")
+    all_cols = sorted(set(l_schema) | set(r_schema))
+    lt = lt.map_batches(lambda b: b.select(all_cols), batch_format="pyarrow")
+    rt = rt.map_batches(lambda b: b.select(all_cols), batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        sides = np.asarray(group.column("__side").to_pylist())
+        ts = np.asarray(
+            [_naive_seconds(t) for t in group.column("__ts").to_pylist()],
+            dtype=np.float64,
+        )
+        l_ix = np.where(sides == 0)[0]
+        r_ix = np.where(sides == 1)[0]
+        if not len(l_ix) or not len(r_ix):
+            return group.slice(0, 0).drop_columns(["__side"])
+        r_order = np.argsort(ts[r_ix], kind="stable")
+        r_sorted = r_ix[r_order]
+        r_ts_sorted = ts[r_sorted]
+        lo = np.searchsorted(r_ts_sorted, ts[l_ix] + lower_seconds, side="left")
+        hi = np.searchsorted(r_ts_sorted, ts[l_ix] + upper_seconds, side="right")
+        l_out: list[int] = []
+        r_out: list[int] = []
+        for li, a, b in zip(l_ix, lo, hi):
+            for j in range(a, b):
+                l_out.append(li)
+                r_out.append(r_sorted[j])
+        l_idx = pa.array(np.asarray(l_out, dtype=np.int64))
+        r_idx = pa.array(np.asarray(r_out, dtype=np.int64))
+        out: dict[str, pa.Array] = {}
+        for c in group.column_names:
+            if c == "__side":
+                continue
+            col = group.column(c)
+            out[c] = col.take(r_idx if c in right_cols else l_idx)
+        return pa.table(out)
+
+    return lt.union(rt).groupby("__key").map_groups(merge, batch_format="pyarrow")

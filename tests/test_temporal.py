@@ -110,3 +110,36 @@ def test_asof_join_matches_duckdb(ray_session):
         """).fetchall())
     )
     assert got == exp and len(got) > 0
+
+
+def test_range_join_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from jamie_ray.functions.temporal import range_join
+
+    sf = "/root/testdata/sf0.001"
+    events = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+    # orders within the 30 years BEFORE the event (wide window so the
+    # test has matches at this scale)
+    out = range_join(
+        events, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        lower_seconds=-86400.0 * 365 * 30, upper_seconds=0.0,
+    )
+    got = sorted((r["event_id"], r["o_orderkey"]) for r in out.take_all())
+    con = duckdb.connect()
+    exp = sorted(map(tuple, con.execute(f"""
+        SELECT e.event_id, o.o_orderkey
+        FROM read_parquet('{sf}/events.parquet') e
+        JOIN read_parquet('{sf}/orders.parquet') o
+          ON o.o_custkey = e.user_id
+         AND o.o_orderdate >= e.ts - INTERVAL 30 YEAR
+         AND o.o_orderdate <= e.ts
+    """).fetchall()))
+    assert got == exp and len(got) > 0
