@@ -244,3 +244,28 @@ def test_knn_partial_cut_uses_rounded_key(ray_session):
     ds = ray.data.from_items(vecs)
     out = similarity.knn_bruteforce(ds, [1.0, 0.0], k=1)
     assert out.column("vec_id").to_pylist() == [2]
+
+
+def test_salted_group_sum_matches_plain(ray_session):
+    import ray.data
+
+    from jamie_ray.functions.skew import salted_group_sum
+
+    # one hot key (80% of rows) + tail keys
+    rows = [
+        {"k": "hot" if i % 5 != 0 else f"cold{i % 7}", "x": i, "y": i * 2}
+        for i in range(500)
+    ]
+    ds = ray.data.from_items(rows)
+    got = {
+        r["k"]: (r["x_sum"], r["y_sum"], r["n"])
+        for r in salted_group_sum(ds, "k", ["x", "y"], n_salts=8).take_all()
+    }
+    # plain python oracle
+    exp = {}
+    for r in rows:
+        c = exp.setdefault(r["k"], [0, 0, 0])
+        c[0] += r["x"]
+        c[1] += r["y"]
+        c[2] += 1
+    assert got == {k: tuple(v) for k, v in exp.items()}
