@@ -80,5 +80,15 @@ def test_query_matches_oracle(name, con, ray_session):
 def test_rows_only_queries_run(name, ray_session):
     got = _to_table(QUERIES[name](SF_DIR))
     assert got.num_rows >= 0
-    if name in ("kg_graph", "docs_minhash_clusters", "docs_simhash", "multimodal_features"):
+    if name in (
+        "kg_graph",
+        "kg_xml_out",
+        "kg_brat_out",
+        "kg_pmhs_out",
+        "docs_minhash_clusters",
+        "docs_simhash",
+        "docs_simhash_pairs",
+        "doc_winnow",
+        "multimodal_features",
+    ):
         assert got.num_rows > 0, f"{name}: expected non-empty result"
