@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_docs": rel.union_docs,
         "segment_revenue": rel.segment_revenue,
         "nation_revenue": rel.nation_revenue,
+        "shipping_priority": rel.shipping_priority,
+        "top_customers_per_segment": rel.top_customers_per_segment,
         # text analysis
         "doc_token_stats": rel.doc_token_stats,
         "doc_lang_id": rel.doc_lang_id,
@@ -511,6 +513,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+                            AS BIGINT))::DOUBLE / 100.0 AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+        """,
+        "top_customers_per_segment": """
+            SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+              SELECT c_custkey, c_mktsegment, c_acctbal,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey ASC) rn
+              FROM customer
+            ) WHERE rn <= 3
         """,
         # ---- text analysis (regexes shared with the Arrow kernels)
         "doc_token_stats": f"""

@@ -455,3 +455,110 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
         lambda b: fingerprint_batch(b).select(["doc_id", "text_hash"]),
         batch_format="pyarrow",
     )
+
+
+def shipping_priority(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3-flavored composite: filter + broadcast joins + grouped
+    revenue + top-10 (exercises the full operator chain in one query).
+
+    revenue = sum(floor(l_extendedprice * (1 - l_discount) * 100 + .5))
+    in integer cents (the exact-sum trick; the per-row double product is
+    the same expression tree as the oracle's, so bit-identical).
+    """
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    building = {
+        c
+        for c, seg in zip(
+            cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()
+        )
+        if seg == "BUILDING"
+    }
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cutoff = __import__("datetime").datetime(1998, 1, 1)
+    order_date = {
+        k: d
+        for k, c, d in zip(
+            orders["o_orderkey"].to_pylist(),
+            orders["o_custkey"].to_pylist(),
+            orders["o_orderdate"].to_pylist(),
+        )
+        if c in building and d < cutoff
+    }
+
+    import ray as _ray
+
+    ref = _ray.put(order_date)
+
+    class JoinScale:
+        def __init__(self, lookup_ref) -> None:
+            self.lookup = (
+                _ray.get(lookup_ref)
+                if isinstance(lookup_ref, _ray.ObjectRef)
+                else lookup_ref
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("l_orderkey").to_pylist()
+            dates = [self.lookup.get(k) for k in keys]
+            keep = pa.array([d is not None for d in dates])
+            batch = batch.append_column(
+                "o_orderdate", pa.array(dates, pa.timestamp("us"))
+            ).filter(keep)
+            rev = pc.multiply(
+                pc.cast(batch.column("l_extendedprice"), pa.float64()),
+                pc.subtract(
+                    pa.scalar(1.0), pc.cast(batch.column("l_discount"), pa.float64())
+                ),
+            )
+            return pa.table(
+                {
+                    "l_orderkey": batch.column("l_orderkey"),
+                    "o_orderdate": batch.column("o_orderdate"),
+                    "rev_c": _scaled_int(rev, 100.0),
+                }
+            )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = li.map_batches(
+        JoinScale, fn_constructor_args=(ref,), concurrency=(1, 4),
+        batch_format="pyarrow",
+    )
+    reduced = _partial_groupby_sum(
+        joined, ["l_orderkey", "o_orderdate"], ["rev_c"], count_as=None
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "o_orderdate": batch.column("o_orderdate"),
+                "revenue": pc.divide(
+                    pc.cast(batch.column("rev_c_sum"), pa.float64()), pa.scalar(100.0)
+                ),
+            }
+        )
+
+    return (
+        reduced.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def top_customers_per_segment(sf_dir: str) -> ray.data.Dataset:
+    """Grouped top-k: 3 highest-balance customers per market segment
+    (groupby + per-group sort/slice; the window-function analogue)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("c_acctbal", "descending"), ("c_custkey", "ascending")],
+        )
+        return group.take(idx[:3])
+
+    return ds.groupby("c_mktsegment").map_groups(topk, batch_format="pyarrow")
