@@ -82,6 +82,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = _kg_dir(sf_dir)
         return kg.build_graph(f"{corpus}/pages.parquet")
 
+    def kg_graph_surface(sf_dir: str):
+        """The deduplicated graph, id columns dropped: on the fixture
+        vocabulary linking is surface-identity (pinned by
+        test_fixture_linking_is_identity), so every remaining column is
+        SQL-derivable from expected_triples — this upgrades the graph
+        from a rows-only check to a full value check."""
+        corpus = _kg_dir(sf_dir)
+        return kg.build_graph(f"{corpus}/pages.parquet").drop_columns(
+            ["subj_id", "obj_id"]
+        )
+
     def kg_triples_pipeline_mode(sf_dir: str):
         """Legacy 3-stage architecture — must equal the joint-mode oracle."""
         corpus = _kg_dir(sf_dir)
@@ -346,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_xml_out": kg_xml_out,
         "kg_brat_out": kg_brat_out,
         "kg_graph": kg_graph,
+        "kg_graph_surface": kg_graph_surface,
         "kg_eval": kg_eval,
         "kg_eval_entities": kg_eval_entities,
         # relational operator suite (testdata tables)
@@ -424,6 +436,24 @@ def oracle_sql() -> dict[str, str]:
             "expected_triples",
             "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",
         ),
+        # dedup semantics in SQL: partition by the triple surface (=id
+        # partition, since fixture linking is identity), representative =
+        # lexicographic min over (provenance, attributes), n_sources =
+        # occurrence count — exactly stages/dedup.py's rule
+        "kg_graph_surface": f"""
+            WITH ranked AS (
+              SELECT subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id,
+                     row_number() OVER (
+                       PARTITION BY subj, pred, obj
+                       ORDER BY url, chunk_id, subj_mod, subj_type, obj_type
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY subj, pred, obj) AS n_sources
+              FROM read_parquet('{os.path.join(_KG_ROOT, "n1200")}/expected_triples.parquet')
+            )
+            SELECT subj, pred, obj, subj_type, obj_type, subj_mod,
+                   n_sources, url, chunk_id
+            FROM ranked WHERE rn = 1
+        """,
         "kg_eval": "SELECT 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1",
         "kg_eval_entities": "SELECT 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1",
         # ---- relational suite

@@ -117,3 +117,19 @@ def test_global_relink_unifies_shard_ids(ray_session):
     assert len(final) == 1, f"expected one merged triple, got {final}"
     assert final[0]["n_sources"] == 5
     assert final[0]["url"] == "u1"  # min provenance
+
+
+def test_fixture_linking_is_identity():
+    """The kg_graph_surface oracle assumes no two distinct fixture
+    surfaces merge under LSH linking; pin that here so a gazetteer or
+    threshold change breaks THIS test instead of the driver oracle."""
+    from itertools import combinations
+
+    from jamie_ray.mockmodel import GAZETTEER_SURFACES, mention_string
+
+    surfaces = [mention_string(s) for s in GAZETTEER_SURFACES]
+    assert len(set(link.normalize_surface(s) for s in surfaces)) == len(surfaces)
+    for a, b in combinations(surfaces, 2):
+        na, nb = link.normalize_surface(a), link.normalize_surface(b)
+        if set(link.minhash_bands(na)) & set(link.minhash_bands(nb)):
+            assert link.jaccard(na, nb) < link.DEFAULT_THRESHOLD, (a, b)
