@@ -265,12 +265,20 @@ def materialize_graph(
         os.makedirs(shard_dir, exist_ok=True)
         graph.write_parquet(shard_dir)
         n_triples = _count_parquet_rows(shard_dir)
+        # lineage counters: page count is a pruned two-column scan of
+        # the shard's input; chunk count re-runs only the cheap
+        # extract+chunk prefix (no scoring)
+        shard_pages = read_pages(shard_input, shard_filter=shard_filter)
+        n_pages = extracted_pages(shard_pages, lang).count()
+        n_chunks = chunk_pages(
+            extracted_pages(read_pages(shard_input, shard_filter=shard_filter), lang)
+        ).count()
         append_manifest(
             out_dir,
             {
                 "shard": shard,
-                "n_pages": -1,
-                "n_chunks": -1,
+                "n_pages": int(n_pages),
+                "n_chunks": int(n_chunks),
                 "n_triples": int(n_triples),
                 "input_fingerprint": f"{pages_path}#{fingerprint}",
                 "wall_time_s": round(time.time() - t0, 3),

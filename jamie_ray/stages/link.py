@@ -130,34 +130,41 @@ def candidate_edges_group(
 
 
 def build_canonical_map(
-    surfaces: Iterable[str], edges: Iterable[tuple[str, str]]
+    surfaces: Iterable[str],
+    edges: Iterable[tuple[str, str]],
+    preferred: Iterable[str] = (),
 ) -> dict[str, tuple[int, str]]:
     """Union-find merge -> {surface: (canonical_id, canonical_surface)}.
 
-    Canonical id = min pre-linking entity id in the cluster; canonical
-    surface = lexicographically smallest member surface (deterministic,
-    independent of edge order).
+    Canonical surface = lexicographically smallest *preferred* member if
+    the cluster contains one (alias-table targets), else smallest member
+    overall; canonical id = ``entity_id`` of that surface. Deterministic
+    and independent of edge order.
     """
     uf = UnionFind()
     surfaces = list(surfaces)
+    preferred = set(preferred)
     for s in surfaces:
         uf.find(normalize_surface(s))
     for a, b in edges:
         uf.union(normalize_surface(a), normalize_surface(b))
     comp = uf.components()
 
-    cluster_id: dict[str, int] = {}
     cluster_surface: dict[str, str] = {}
+    cluster_has_pref: dict[str, bool] = {}
     for s in surfaces:
         root = comp[normalize_surface(s)]
-        eid = entity_id(s)
-        if root not in cluster_id or eid < cluster_id[root]:
-            cluster_id[root] = eid
-        if root not in cluster_surface or s < cluster_surface[root]:
+        is_pref = s in preferred
+        cur = cluster_surface.get(root)
+        cur_pref = cluster_has_pref.get(root, False)
+        if cur is None or (is_pref and not cur_pref) or (is_pref == cur_pref and s < cur):
             cluster_surface[root] = s
+            cluster_has_pref[root] = is_pref
     return {
-        s: (cluster_id[comp[normalize_surface(s)]],
-            cluster_surface[comp[normalize_surface(s)]])
+        s: (
+            entity_id(cluster_surface[comp[normalize_surface(s)]]),
+            cluster_surface[comp[normalize_surface(s)]],
+        )
         for s in surfaces
     }
 
@@ -204,12 +211,23 @@ class RewriteIds:
         )
 
 
-def link_triples(triples, *, threshold: float = DEFAULT_THRESHOLD):
+def link_triples(
+    triples,
+    *,
+    threshold: float = DEFAULT_THRESHOLD,
+    alias_table: dict[str, str] | None = None,
+):
     """Full linking stage: triples Dataset -> linked triples Dataset.
 
     Physical plan: surface projection -> distinct (groupby shuffle kept
     small by the projection) -> band expansion -> groupby(band) candidate
     gen -> driver union-find -> broadcast rewrite.
+
+    ``alias_table`` (north-rule "alias-table resolution"): a curated
+    ``{alias_surface: canonical_surface}`` map — e.g. known entity
+    aliases from a KB — merged as union-find edges ALONGSIDE the LSH
+    candidates, so curated knowledge and similarity blocking
+    canonicalize through one deterministic mechanism.
 
     The input is materialized first: linking consumes the triples twice
     (candidate generation, then the id rewrite), and triples are the
@@ -234,8 +252,12 @@ def link_triples(triples, *, threshold: float = DEFAULT_THRESHOLD):
     edges = {
         (r["surface_a"], r["surface_b"]) for r in edges_ds.take_all()
     }
+    preferred: set[str] = set()
+    if alias_table:
+        edges |= set(alias_table.items())
+        preferred = set(alias_table.values())
     member_surfaces = {s for e in edges for s in e}
-    canonical = build_canonical_map(member_surfaces, edges)
+    canonical = build_canonical_map(member_surfaces, edges, preferred)
     ref = ray.put(canonical)
     return triples.map_batches(
         RewriteIds,

@@ -133,3 +133,36 @@ def test_fixture_linking_is_identity():
         na, nb = link.normalize_surface(a), link.normalize_surface(b)
         if set(link.minhash_bands(na)) & set(link.minhash_bands(nb)):
             assert link.jaccard(na, nb) < link.DEFAULT_THRESHOLD, (a, b)
+
+
+def test_alias_table_resolution(ray_session):
+    """Curated aliases merge clusters and pin the canonical surface to
+    the alias target (north-rule alias-table resolution)."""
+    import ray.data
+
+    rows = [
+        {"subj": "JR東日本", "pred": "r", "obj": "東京", "subj_type": "cc",
+         "obj_type": "a", "subj_mod": "_", "url": "u1", "chunk_id": 0},
+        {"subj": "東日本旅客鉄道", "pred": "r", "obj": "東京", "subj_type": "cc",
+         "obj_type": "a", "subj_mod": "_", "url": "u2", "chunk_id": 0},
+    ]
+    alias = {"JR東日本": "東日本旅客鉄道"}
+    linked = link.link_triples(
+        ray.data.from_items(rows), alias_table=alias
+    ).take_all()
+    by_url = {r["url"]: r for r in linked}
+    # surfaces that LSH would never merge (jaccard ~0) unify via alias
+    assert link.jaccard(
+        link.normalize_surface("JR東日本"), link.normalize_surface("東日本旅客鉄道")
+    ) < link.DEFAULT_THRESHOLD
+    assert by_url["u1"]["subj_id"] == by_url["u2"]["subj_id"]
+    # canonical surface = the alias TARGET, not the lexicographic min
+    assert by_url["u1"]["subj_canon"] == "東日本旅客鉄道"
+
+
+def test_build_canonical_map_preferred():
+    cmap = link.build_canonical_map(
+        ["aaa", "zzz"], [("aaa", "zzz")], preferred={"zzz"}
+    )
+    assert cmap["aaa"][1] == "zzz" and cmap["zzz"][1] == "zzz"
+    assert cmap["aaa"][0] == link.entity_id("zzz")
