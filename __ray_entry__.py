@@ -209,6 +209,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dedup_docs.exact_dedup(docs)
 
+    def doc_ngram_jaccard(sf_dir: str):
+        """n-gram Jaccard scorer with a non-trivial exact oracle: each
+        document's first-half shingle set vs its full shingle set."""
+        import pyarrow as pa
+
+        from jamie_ray.functions.dedup_docs import ngram_jaccard
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def score(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            out = []
+            for t in batch.column("text").to_pylist():
+                toks = (t or "").split()
+                half = " ".join(toks[: len(toks) // 2])
+                out.append(ngram_jaccard(half, t or ""))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "half_jaccard": pa.array(out, pa.float64()),
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
     def docs_minhash_clusters(sf_dir: str):
         docs = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -386,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pmhs_out": kg_pmhs_out,
         # dedup family
         "dedup_docs_exact": dedup_docs_exact,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
         "docs_minhash_clusters": docs_minhash_clusters,
         "docs_simhash": docs_simhash,
         "docs_simhash_pairs": docs_simhash_pairs,
@@ -599,6 +627,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_docs_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        "doc_ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+              FROM documents
+            ), halves AS (
+              SELECT doc_id, w, w[1:len(w)//2] AS h FROM toks
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                          WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                     END AS s_full,
+                     CASE WHEN len(h) = 0 THEN []::VARCHAR[]
+                          WHEN len(h) <= 3 THEN [array_to_string(h, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(h) - 1),
+                                 i -> h[i] || ' ' || h[i+1] || ' ' || h[i+2]))
+                     END AS s_half
+              FROM halves
+            )
+            SELECT doc_id,
+                   CASE WHEN len(list_intersect(s_half, s_full)) = 0 THEN 0.0
+                        ELSE len(list_intersect(s_half, s_full))::DOUBLE
+                             / len(list_distinct(list_concat(s_half, s_full)))
+                   END AS half_jaccard
+            FROM sh
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT embedding::DOUBLE[] AS embedding FROM embeddings WHERE vec_id = 0)
