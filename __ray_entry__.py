@@ -93,6 +93,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["subj_id", "obj_id"]
         )
 
+    def kg_entity_degree(sf_dir: str):
+        """Downstream KG analytics: top-20 subjects by out-degree over
+        the deduplicated graph (ties by surface)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        corpus = _kg_dir(sf_dir)
+        graph = kg.build_graph(f"{corpus}/pages.parquet")
+
+        def local(batch: pa.Table) -> pa.Table:
+            gb = batch.group_by(["subj"]).aggregate([("subj", "count")])
+            return gb.rename_columns(["subj", "degree"])
+
+        reduced = (
+            graph.map_batches(local, batch_format="pyarrow")
+            .groupby("subj")
+            .sum(["degree"])
+        )
+        return (
+            reduced.map_batches(
+                lambda b: pa.table(
+                    {
+                        "subj": b.column("subj"),
+                        "degree": pc.cast(b.column("sum(degree)"), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .sort(["degree", "subj"], descending=[True, False])
+            .limit(20)
+        )
+
     def kg_triples_pipeline_mode(sf_dir: str):
         """Legacy 3-stage architecture — must equal the joint-mode oracle."""
         corpus = _kg_dir(sf_dir)
@@ -385,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_brat_out": kg_brat_out,
         "kg_graph": kg_graph,
         "kg_graph_surface": kg_graph_surface,
+        "kg_entity_degree": kg_entity_degree,
         "kg_eval": kg_eval,
         "kg_eval_entities": kg_eval_entities,
         # relational operator suite (testdata tables)
@@ -481,6 +514,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, obj, subj_type, obj_type, subj_mod,
                    n_sources, url, chunk_id
             FROM ranked WHERE rn = 1
+        """,
+        "kg_entity_degree": f"""
+            SELECT subj, count(DISTINCT (pred, obj)) AS degree
+            FROM read_parquet('{os.path.join(_KG_ROOT, "n1200")}/expected_triples.parquet')
+            GROUP BY subj
+            ORDER BY degree DESC, subj ASC LIMIT 20
         """,
         "kg_eval": "SELECT 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1",
         "kg_eval_entities": "SELECT 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1",
