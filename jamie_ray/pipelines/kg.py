@@ -58,7 +58,10 @@ def read_pages(pages_path: str, *, shard_filter=None) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         pages_path,
         columns=["url", "html", "lang"],
-        override_num_blocks=_cluster_cpus() * 2,
+        # ~6 blocks per core: enough waves that the last one's stragglers
+        # cost little (measured ~7% at 16 cpus vs 2 blocks/core), still
+        # few enough that task overhead stays negligible
+        override_num_blocks=_cluster_cpus() * 6,
     )
     if shard_filter is not None:
         ds = ds.map_batches(shard_filter, batch_format="pyarrow")
