@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": rel.distinct_event_types,
         "events_hourly": rel.events_hourly,
         "top_users_by_events": rel.top_users_by_events,
+        "events_json_extract": rel.events_json_extract,
         "events_asof_orders": events_asof_orders,
         "events_range_orders": events_range_orders,
         "events_sessionize": events_sessionize,
@@ -549,6 +550,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_json_extract": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY event_type
         """,
         "events_asof_orders": """
             WITH j AS (

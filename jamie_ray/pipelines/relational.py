@@ -562,3 +562,44 @@ def top_customers_per_segment(sf_dir: str) -> ray.data.Dataset:
         return group.take(idx[:3])
 
     return ds.groupby("c_mktsegment").map_groups(topk, batch_format="pyarrow")
+
+
+def events_json_extract(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured extraction: parse the JSON ``props`` column and
+    aggregate the extracted field per event type (the engine's answer
+    to the reference's stringified-literal columns — parsed once into
+    typed columns at the boundary, never re-parsed downstream)."""
+    import json
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = []
+        for s in batch.column("props").to_pylist():
+            try:
+                v = json.loads(s).get("k") if s else None
+            except (ValueError, AttributeError):
+                v = None
+            ks.append(v)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    reduced = _partial_groupby_sum(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"], ["k"], count_as="n",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": batch.column("n"),
+                "sum_k": batch.column("k_sum"),
+            }
+        )
+
+    return reduced.map_batches(finish, batch_format="pyarrow")
