@@ -62,7 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from jamie_ray.stages.extract import extract_batch
 
         pages = kg.read_pages(f"{corpus}/pages.parquet")
-        return pages.map_batches(extract_batch, batch_format="pyarrow")
+        return pages.map_batches(extract_batch, batch_format="pyarrow").map_batches(
+            lambda b: b.select(["url", "text"]), batch_format="pyarrow"
+        )
 
     def kg_chunks(sf_dir: str):
         corpus = _kg_dir(sf_dir)

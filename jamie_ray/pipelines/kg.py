@@ -268,11 +268,21 @@ def materialize_graph(
         os.makedirs(shard_dir, exist_ok=True)
         graph.write_parquet(shard_dir)
         n_triples = _count_parquet_rows(shard_dir)
-        # lineage counters: page count is a pruned two-column scan of
-        # the shard's input; chunk count re-runs only the cheap
-        # extract+chunk prefix (no scoring)
-        shard_pages = read_pages(shard_input, shard_filter=shard_filter)
-        n_pages = extracted_pages(shard_pages, lang).count()
+        # lineage counters: one cheap extract pass (no scoring) yields
+        # healthy and quarantined page counts; chunk count re-runs the
+        # extract+chunk prefix
+        ex = extracted_pages(read_pages(shard_input, shard_filter=shard_filter), lang)
+
+        def page_counts(b):
+            errs = b.column("error").to_pylist()
+            q = sum(1 for e in errs if e)
+            import pyarrow as _pa
+
+            return _pa.table({"h": [len(errs) - q], "q": [q]})
+
+        counted = ex.map_batches(page_counts, batch_format="pyarrow").sum(["h", "q"])
+        n_pages = counted["sum(h)"] or 0
+        n_quarantined = counted["sum(q)"] or 0
         n_chunks = chunk_pages(
             extracted_pages(read_pages(shard_input, shard_filter=shard_filter), lang)
         ).count()
@@ -283,6 +293,7 @@ def materialize_graph(
                 "n_pages": int(n_pages),
                 "n_chunks": int(n_chunks),
                 "n_triples": int(n_triples),
+                "n_quarantined_pages": int(n_quarantined),
                 "input_fingerprint": f"{pages_path}#{fingerprint}",
                 "wall_time_s": round(time.time() - t0, 3),
             },

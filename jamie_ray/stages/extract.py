@@ -18,14 +18,44 @@ from ..textnorm import extract_text
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
-    """map_batches kernel: (url, html, ...) -> (url, text)."""
+    """map_batches kernel: (url, html, ...) -> (url, text, error).
+
+    Poison-page quarantine (SURVEY.md §4): the reference prints and
+    skips failing files (/root/reference/utils.py:868-880 — silent data
+    loss); here a page that fails extraction keeps its row with empty
+    text and a non-empty ``error`` column, so failures are counted,
+    inspectable and re-processable instead of vanishing.
+    """
     urls = batch.column("url")
     htmls = batch.column("html").to_pylist()
-    texts = [
-        extract_text(h.decode("utf-8", errors="replace")) if h else ""
-        for h in htmls
-    ]
-    return pa.table({"url": urls, "text": pa.array(texts, pa.string())})
+    texts: list[str] = []
+    errors: list[str] = []
+    for h in htmls:
+        try:
+            texts.append(extract_text(h.decode("utf-8", errors="replace")) if h else "")
+            errors.append("")
+        except Exception as ex:  # total by design; belt-and-braces
+            texts.append("")
+            errors.append(f"{type(ex).__name__}: {ex}"[:500])
+    return pa.table(
+        {
+            "url": urls,
+            "text": pa.array(texts, pa.string()),
+            "error": pa.array(errors, pa.string()),
+        }
+    )
+
+
+def quarantined_batch(batch: pa.Table) -> pa.Table:
+    """Filter to the quarantined rows (url, error) of an extract batch."""
+    mask = pc.not_equal(batch.column("error"), "")
+    return batch.select(["url", "error"]).filter(mask)
+
+
+def healthy_batch(batch: pa.Table) -> pa.Table:
+    """Drop quarantined rows and the error column."""
+    mask = pc.equal(batch.column("error"), "")
+    return batch.filter(mask).drop_columns(["error"])
 
 
 def filter_lang_batch(batch: pa.Table, lang: str = "ja") -> pa.Table:

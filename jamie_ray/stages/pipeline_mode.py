@@ -145,8 +145,12 @@ def score_chunks_pipeline(chunks):
     tagged = chunks.map_batches(NerStage, concurrency=(1, 4), batch_format="pyarrow")
     tagged = tagged.map_batches(modality_stage, batch_format="pyarrow")
     tagged = tagged.map_batches(relation_stage, batch_format="pyarrow")
-    # column order parity with the joint scorer output
-    return tagged.map_batches(
-        lambda b: b.select(["url", "chunk_id", "tokens", "ner", "mod", "rels", "heads"]),
-        batch_format="pyarrow",
-    )
+    # column parity with the joint scorer output (incl. the quarantine
+    # column — the three-stage mock never fails, so it is empty)
+    def finalize(b: pa.Table) -> pa.Table:
+        b = b.append_column("score_error", pa.array([""] * b.num_rows, pa.string()))
+        return b.select(
+            ["url", "chunk_id", "tokens", "ner", "mod", "rels", "heads", "score_error"]
+        )
+
+    return tagged.map_batches(finalize, batch_format="pyarrow")

@@ -221,27 +221,44 @@ class JointScorer:
         out_rels: list[list[list[str]]] = []
         out_heads: list[list[list[int]]] = []
 
+        out_errors: list[str] = []
         for text in texts:
-            sbw_toks, sbw_ner, sbw_mod, cells = self.model.predict(text)
-            self.cost.burn(len(sbw_toks))
-            rel_ix_triplets = selection_decode(sbw_ner, cells)
+            # poison-chunk quarantine: a chunk whose scoring fails keeps
+            # its row (empty labels + error string) instead of killing
+            # the task or silently vanishing (reference prints-and-skips,
+            # utils.py:868-880)
+            try:
+                sbw_toks, sbw_ner, sbw_mod, cells = self.model.predict(text)
+                self.cost.burn(len(sbw_toks))
+                rel_ix_triplets = selection_decode(sbw_ner, cells)
 
-            # realignment exactly as clinical_joint.py:87-98
-            w_tok, aligned_ids = sbwtok2tok_alignment(sbw_toks)
-            w_ner = sbwner2ner(sbw_ner, aligned_ids)
-            w_mod = sbwmod2mod(sbw_mod, aligned_ids)
-            w_rel, w_head = sbwrel2head(rel_ix_triplets, aligned_ids)
-            w_tok = w_tok[1:-1]
-            w_ner = w_ner[1:-1]
-            w_mod = w_mod[1:-1]
-            if not (len(w_tok) == len(w_ner) == len(w_mod) == len(w_rel) == len(w_head)):
-                raise AssertionError("realignment length mismatch")
+                # realignment exactly as clinical_joint.py:87-98
+                w_tok, aligned_ids = sbwtok2tok_alignment(sbw_toks)
+                w_ner = sbwner2ner(sbw_ner, aligned_ids)
+                w_mod = sbwmod2mod(sbw_mod, aligned_ids)
+                w_rel, w_head = sbwrel2head(rel_ix_triplets, aligned_ids)
+                w_tok = w_tok[1:-1]
+                w_ner = w_ner[1:-1]
+                w_mod = w_mod[1:-1]
+                if not (
+                    len(w_tok) == len(w_ner) == len(w_mod) == len(w_rel) == len(w_head)
+                ):
+                    raise AssertionError("realignment length mismatch")
+            except Exception as ex:
+                out_tokens.append([])
+                out_ner.append([])
+                out_mod.append([])
+                out_rels.append([])
+                out_heads.append([])
+                out_errors.append(f"{type(ex).__name__}: {ex}"[:500])
+                continue
 
             out_tokens.append(w_tok)
             out_ner.append(w_ner)
             out_mod.append(w_mod)
             out_rels.append(w_rel)
             out_heads.append(w_head)
+            out_errors.append("")
 
         return pa.table(
             {
@@ -252,6 +269,7 @@ class JointScorer:
                 "mod": pa.array(out_mod, pa.list_(pa.string())),
                 "rels": pa.array(out_rels, pa.list_(pa.list_(pa.string()))),
                 "heads": pa.array(out_heads, pa.list_(pa.list_(pa.int32()))),
+                "score_error": pa.array(out_errors, pa.string()),
             }
         )
 

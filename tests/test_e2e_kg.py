@@ -185,3 +185,38 @@ def test_materialize_file_sharded(corpus, tmp_path):
     b = sorted(map(tuple, (tuple(r.values()) for r in
                ray.data.read_parquet(str(single / "graph")).take_all())))
     assert a == b
+
+
+def test_quarantine_counters(corpus, tmp_path):
+    """Lineage records carry the quarantine counter; a scorer failure
+    quarantines the chunk instead of killing the task."""
+    pages_dir, _ = corpus
+    out = tmp_path / "graph_q"
+    kg.materialize_graph(str(pages_dir / "pages.parquet"), str(out), n_shards=2)
+    from jamie_ray.state.lineage import read_manifest
+
+    recs = read_manifest(str(out))
+    assert all("n_quarantined_pages" in r for r in recs.values())
+    assert all(r["n_quarantined_pages"] == 0 for r in recs.values())
+    assert all(r["n_pages"] > 0 and r["n_chunks"] > 0 for r in recs.values())
+
+    # scorer poison-chunk path: force a failure, row survives with error
+    import pyarrow as pa
+
+    from jamie_ray.stages.score import JointScorer
+
+    scorer = JointScorer()
+    orig = scorer.model.predict
+    scorer.model.predict = lambda text: (_ for _ in ()).throw(ValueError("boom"))
+    batch = pa.table(
+        {
+            "url": pa.array(["u"], pa.string()),
+            "chunk_id": pa.array([0], pa.int32()),
+            "text": pa.array(["発熱あり。"], pa.string()),
+        }
+    )
+    out_tab = scorer(batch)
+    assert out_tab.num_rows == 1
+    assert out_tab.column("score_error")[0].as_py().startswith("ValueError")
+    assert out_tab.column("tokens")[0].as_py() == []
+    scorer.model.predict = orig
