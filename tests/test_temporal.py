@@ -143,3 +143,31 @@ def test_range_join_matches_duckdb(ray_session):
          AND o.o_orderdate <= e.ts
     """).fetchall()))
     assert got == exp and len(got) > 0
+
+
+def test_running_counts_incremental_state(ray_session):
+    import ray.data
+
+    from jamie_ray.functions.streaming import running_counts
+
+    sf = "/root/testdata/sf0.001"
+    events = ray.data.read_parquet(f"{sf}/events.parquet",
+                                   columns=["event_id", "ts", "event_type"])
+    snaps = running_counts(events, batch_size=128).take_all()
+    assert snaps
+    # monotone per type across snapshots
+    seen: dict = {}
+    last_wm = None
+    for r in snaps:
+        if last_wm is not None and r["watermark"] is not None:
+            assert r["watermark"] >= last_wm or r["watermark"] == last_wm
+        last_wm = r["watermark"] or last_wm
+        assert r["cumulative_n"] >= seen.get(r["event_type"], 0)
+        seen[r["event_type"]] = r["cumulative_n"]
+    # final snapshot equals batch groupby counts
+    import duckdb
+
+    exp = dict(duckdb.connect().execute(
+        f"SELECT event_type, count(*) FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
+    ).fetchall())
+    assert seen == exp
