@@ -76,6 +76,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = _kg_dir(sf_dir)
         return kg.build_entities(f"{corpus}/pages.parquet")
 
+    def kg_quarantine(sf_dir: str):
+        """Quarantined pages (url, error) — empty on the healthy
+        fixture corpus; the inspectable side of the poison-page path."""
+        from jamie_ray.stages.extract import quarantined_batch
+
+        corpus = _kg_dir(sf_dir)
+        return kg.extracted_pages(
+            kg.read_pages(f"{corpus}/pages.parquet")
+        ).map_batches(quarantined_batch, batch_format="pyarrow")
+
     def kg_triples(sf_dir: str):
         corpus = _kg_dir(sf_dir)
         return kg.build_triples(f"{corpus}/pages.parquet")
@@ -245,10 +255,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def doc_ngram_jaccard(sf_dir: str):
         """n-gram Jaccard scorer with a non-trivial exact oracle: each
-        document's first-half shingle set vs its full shingle set."""
+        document's first-half shingle set vs its full shingle set.
+
+        Tokenization here is RE2-ASCII whitespace ([ \\t\\n\\f\\r]+) to
+        match DuckDB's ``string_split_regex('\\s+')`` exactly — Python's
+        ``str.split()`` also splits on Unicode whitespace (U+3000, NBSP)
+        and would silently diverge on such documents.
+        """
+        import re
+
         import pyarrow as pa
 
-        from jamie_ray.functions.dedup_docs import ngram_jaccard
+        ascii_ws = re.compile(r"[ \t\n\f\r]+")
+
+        def shingles(toks: list[str]) -> set[str]:
+            if not toks:
+                return set()
+            if len(toks) <= 3:
+                return {" ".join(toks)}
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
 
         docs = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -258,9 +283,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ids = batch.column("doc_id").to_pylist()
             out = []
             for t in batch.column("text").to_pylist():
-                toks = (t or "").split()
-                half = " ".join(toks[: len(toks) // 2])
-                out.append(ngram_jaccard(half, t or ""))
+                toks = [x for x in ascii_ws.split(t or "") if x]
+                a = shingles(toks[: len(toks) // 2])
+                b = shingles(toks)
+                inter = len(a & b)
+                out.append(inter / len(a | b) if inter else 0.0)
             return pa.table(
                 {
                     "doc_id": pa.array(ids, pa.int64()),
@@ -412,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extract_text": kg_extract_text,
         "kg_chunks": kg_chunks,
         "kg_entities": kg_entities,
+        "kg_quarantine": kg_quarantine,
         "kg_triples": kg_triples,
         "kg_triples_pipeline_mode": kg_triples_pipeline_mode,
         "kg_conll_roundtrip": kg_conll_roundtrip,

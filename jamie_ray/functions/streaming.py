@@ -56,7 +56,17 @@ def running_counts(events, batch_size: int = 256):
     the batch groupby counts (asserted in tests). Deliberately a
     single-actor stage: global running state cannot shard without
     changing semantics — use the per-key pattern when it can.
+
+    Requires ordered block delivery: Ray's default
+    ``preserve_order=False`` may feed sorted blocks to the actor out of
+    order, breaking monotone watermarks — so this sets
+    ``execution_options.preserve_order`` (a session-wide DataContext
+    flag; documented side effect of choosing a globally-ordered
+    streaming semantics).
     """
+    import ray.data
+
+    ray.data.DataContext.get_current().execution_options.preserve_order = True
     ordered = events.sort("ts")
     return ordered.map_batches(
         RunningCounter,

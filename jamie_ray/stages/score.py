@@ -244,6 +244,10 @@ class JointScorer:
                     len(w_tok) == len(w_ner) == len(w_mod) == len(w_rel) == len(w_head)
                 ):
                     raise AssertionError("realignment length mismatch")
+            except AssertionError:
+                # engine-invariant violations are bugs, not poison data —
+                # fail loudly instead of quietly dropping triples
+                raise
             except Exception as ex:
                 out_tokens.append([])
                 out_ner.append([])

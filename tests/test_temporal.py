@@ -160,7 +160,7 @@ def test_running_counts_incremental_state(ray_session):
     last_wm = None
     for r in snaps:
         if last_wm is not None and r["watermark"] is not None:
-            assert r["watermark"] >= last_wm or r["watermark"] == last_wm
+            assert r["watermark"] >= last_wm
         last_wm = r["watermark"] or last_wm
         assert r["cumulative_n"] >= seen.get(r["event_type"], 0)
         seen[r["event_type"]] = r["cumulative_n"]
