@@ -583,7 +583,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_extract": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
         "events_asof_orders": """
@@ -605,10 +605,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sessionize": """
             SELECT event_id, user_id, ts,
-                   (sum(CASE WHEN prev_ts IS NULL OR epoch(ts - prev_ts) > 1800
+                   CAST((sum(CASE WHEN prev_ts IS NULL OR epoch(ts - prev_ts) > 1800
                              THEN 1 ELSE 0 END)
                     OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) - 1) AS session_id
+                          ROWS UNBOUNDED PRECEDING) - 1) AS BIGINT) AS session_id
             FROM (
               SELECT event_id, user_id, ts,
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

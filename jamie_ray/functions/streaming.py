@@ -60,13 +60,11 @@ def running_counts(events, batch_size: int = 256):
     Requires ordered block delivery: Ray's default
     ``preserve_order=False`` may feed sorted blocks to the actor out of
     order, breaking monotone watermarks — so this sets
-    ``execution_options.preserve_order`` (a session-wide DataContext
-    flag; documented side effect of choosing a globally-ordered
-    streaming semantics).
+    ``execution_options.preserve_order`` on THIS dataset's own
+    DataContext copy (each Dataset snapshots the context at creation),
+    leaving the session-wide singleton untouched for other pipelines.
     """
-    import ray.data
-
-    ray.data.DataContext.get_current().execution_options.preserve_order = True
+    events.context.execution_options.preserve_order = True
     ordered = events.sort("ts")
     return ordered.map_batches(
         RunningCounter,

@@ -271,6 +271,12 @@ def materialize_graph(
         graph = dedup_triples(linked)
         shard_dir = f"{out_dir}/shard={shard}"
         os.makedirs(shard_dir, exist_ok=True)
+        # resume crash window: a prior run may have died after writing
+        # parquet but before its manifest append — the shard is not in
+        # the manifest, so clear any orphan files or the finalize pass
+        # would read both copies and double-count provenance
+        for stale in _parquet_files(shard_dir):
+            os.unlink(stale)
         graph.write_parquet(shard_dir)
         n_triples = _count_parquet_rows(shard_dir)
         # lineage counters: one cheap extract pass (no scoring) yields

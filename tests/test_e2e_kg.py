@@ -154,6 +154,42 @@ def test_materialize_survives_kill(corpus, tmp_path, monkeypatch):
     assert a == b and s["n_triples"] == s2["n_triples"]
 
 
+def test_materialize_survives_pre_manifest_kill(corpus, tmp_path, monkeypatch):
+    """Crash AFTER the shard parquet write but BEFORE its manifest
+    append: the rerun must clear the orphan files, not read two copies
+    (which would double n_sources / inflate lineage counters)."""
+    pages_dir, _ = corpus
+    out = tmp_path / "graph_orphan"
+    calls = {"n": 0}
+    import jamie_ray.pipelines.kg as kgmod
+
+    real_append = kgmod.append_manifest
+
+    def dying_append(out_dir, record):
+        calls["n"] += 1
+        if calls["n"] == 1:  # die with the parquet already on disk
+            raise RuntimeError("simulated crash before manifest append")
+        real_append(out_dir, record)
+
+    monkeypatch.setattr(kgmod, "append_manifest", dying_append)
+    with pytest.raises(RuntimeError):
+        kg.materialize_graph(str(pages_dir / "pages.parquet"), str(out), n_shards=3)
+    monkeypatch.setattr(kgmod, "append_manifest", real_append)
+
+    s = kg.materialize_graph(str(pages_dir / "pages.parquet"), str(out), n_shards=3)
+    assert s["shards_skipped"] == 0 and s["shards_run"] == 3
+
+    clean = tmp_path / "graph_orphan_clean"
+    s2 = kg.materialize_graph(str(pages_dir / "pages.parquet"), str(clean), n_shards=3)
+    import ray.data
+
+    a = sorted(map(tuple, (tuple(r.values()) for r in
+               ray.data.read_parquet(str(out / "graph")).take_all())))
+    b = sorted(map(tuple, (tuple(r.values()) for r in
+               ray.data.read_parquet(str(clean / "graph")).take_all())))
+    assert a == b and s["n_triples"] == s2["n_triples"]
+
+
 def test_materialize_file_sharded(corpus, tmp_path):
     """Multi-file input -> shards prune at the file level (no rescans)
     and produce the same graph as the single-file path."""
