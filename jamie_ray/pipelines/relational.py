@@ -314,19 +314,26 @@ def union_docs(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 class _BroadcastJoin:
-    """map_batches actor: join against a dict shipped via ray.put once."""
+    """map_batches actor: join against a dict shipped via ray.put once.
+
+    The dict is unpacked into parallel key/value Arrow arrays in
+    ``__init__`` (once per actor), so ``__call__`` is two vectorized
+    kernels — ``index_in`` + ``take`` — with no per-row Python.
+    """
 
     def __init__(self, lookup_ref, key_col: str, out_col: str) -> None:
-        self.lookup = (
+        lookup = (
             ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
         )
+        self.keys = pa.array(list(lookup.keys()))
+        self.values = pa.array(list(lookup.values()))
         self.key_col = key_col
         self.out_col = out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self.key_col).to_pylist()
-        vals = [self.lookup.get(k) for k in keys]
-        out = batch.append_column(self.out_col, pa.array(vals))
+        idx = pc.index_in(batch.column(self.key_col), value_set=self.keys)
+        vals = pc.take(self.values, idx)  # null where the key is absent
+        out = batch.append_column(self.out_col, vals)
         return out.filter(pc.is_valid(out.column(self.out_col)))
 
 
@@ -458,92 +465,128 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
 
 
 def shipping_priority(sf_dir: str) -> ray.data.Dataset:
-    """TPC-H Q3-flavored composite: filter + broadcast joins + grouped
-    revenue + top-10 (exercises the full operator chain in one query).
+    """TPC-H Q3-flavored composite: dimension broadcast + distributed
+    fact filter + ONE hash-shuffle join + grouped revenue + top-10.
+
+    Scale shape (VERDICT r1 item 5): ``orders`` is a FACT table, so it
+    never touches the driver. Only ``customer`` — a true dimension —
+    is broadcast (as a key array resolved once per actor); the
+    BUILDING/<cutoff order filter runs distributed, lineitem revenue is
+    pre-aggregated per block (combiner), and the two sides meet in a
+    single ``groupby(l_orderkey)`` shuffle whose merge is four standard
+    sums — no per-group Python, no driver-side dict.
 
     revenue = sum(floor(l_extendedprice * (1 - l_discount) * 100 + .5))
     in integer cents (the exact-sum trick; the per-row double product is
     the same expression tree as the oracle's, so bit-identical).
     """
+    import datetime
+
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    building = {
+    building = sorted(
         c
         for c, seg in zip(
             cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()
         )
         if seg == "BUILDING"
-    }
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
-    cutoff = __import__("datetime").datetime(1998, 1, 1)
-    order_date = {
-        k: d
-        for k, c, d in zip(
-            orders["o_orderkey"].to_pylist(),
-            orders["o_custkey"].to_pylist(),
-            orders["o_orderdate"].to_pylist(),
-        )
-        if c in building and d < cutoff
-    }
+    bref = ray.put(building)
+    cutoff = pa.scalar(datetime.datetime(1998, 1, 1), pa.timestamp("us"))
 
-    import ray as _ray
+    class FilterOrders:
+        """Orders side of the join: semijoin against the broadcast
+        customer-key set + date cut, emitted in the union schema."""
 
-    ref = _ray.put(order_date)
-
-    class JoinScale:
-        def __init__(self, lookup_ref) -> None:
-            self.lookup = (
-                _ray.get(lookup_ref)
-                if isinstance(lookup_ref, _ray.ObjectRef)
-                else lookup_ref
-            )
+        def __init__(self, ref) -> None:
+            keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.value_set = pa.array(keys, pa.int64())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("l_orderkey").to_pylist()
-            dates = [self.lookup.get(k) for k in keys]
-            keep = pa.array([d is not None for d in dates])
-            batch = batch.append_column(
-                "o_orderdate", pa.array(dates, pa.timestamp("us"))
-            ).filter(keep)
-            rev = pc.multiply(
-                pc.cast(batch.column("l_extendedprice"), pa.float64()),
-                pc.subtract(
-                    pa.scalar(1.0), pc.cast(batch.column("l_discount"), pa.float64())
+            mask = pc.and_(
+                pc.is_in(batch.column("o_custkey"), value_set=self.value_set),
+                pc.less(
+                    pc.cast(batch.column("o_orderdate"), pa.timestamp("us")), cutoff
                 ),
             )
+            t = batch.filter(mask)
+            n = t.num_rows
             return pa.table(
                 {
-                    "l_orderkey": batch.column("l_orderkey"),
-                    "o_orderdate": batch.column("o_orderdate"),
-                    "rev_c": _scaled_int(rev, 100.0),
+                    "l_orderkey": t.column("o_orderkey"),
+                    "date_us": pc.cast(
+                        pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                        pa.int64(),
+                    ),
+                    "rev_c": pa.array([0] * n, pa.int64()),
+                    "n_order": pa.array([1] * n, pa.int64()),
+                    "n_li": pa.array([0] * n, pa.int64()),
                 }
             )
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = li.map_batches(
-        JoinScale, fn_constructor_args=(ref,), concurrency=(1, 4),
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.subtract(
+                pa.scalar(1.0), pc.cast(batch.column("l_discount"), pa.float64())
+            ),
+        )
+        scaled = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "rev_c": _scaled_int(rev, 100.0),
+            }
+        )
+        gb = scaled.group_by(["l_orderkey"]).aggregate(
+            [("rev_c", "sum"), ("l_orderkey", "count")]
+        )  # columns by name: l_orderkey, rev_c_sum, l_orderkey_count
+        n = gb.num_rows
+        return pa.table(
+            {
+                "l_orderkey": gb.column("l_orderkey"),
+                "date_us": pa.array([0] * n, pa.int64()),
+                "rev_c": gb.column("rev_c_sum"),
+                "n_order": pa.array([0] * n, pa.int64()),
+                "n_li": gb.column("l_orderkey_count"),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    o_side = orders.map_batches(
+        FilterOrders, fn_constructor_args=(bref,), concurrency=(1, 4),
         batch_format="pyarrow",
     )
-    reduced = _partial_groupby_sum(
-        joined, ["l_orderkey", "o_orderdate"], ["rev_c"], count_as=None
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li_side = li.map_batches(li_partial, batch_format="pyarrow")
+
+    # the one shuffle: both sides hash-partition by l_orderkey; the
+    # merge is plain sums (date_us is 0 on lineitem rows, so its sum IS
+    # the order date; n_order/n_li > 0 encode inner-join presence)
+    merged = (
+        o_side.union(li_side)
+        .groupby("l_orderkey")
+        .sum(["rev_c", "date_us", "n_order", "n_li"])
     )
 
     def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(batch.column("sum(n_order)"), 0),
+            pc.greater(batch.column("sum(n_li)"), 0),
+        )
+        t = batch.filter(keep)
         return pa.table(
             {
-                "l_orderkey": batch.column("l_orderkey"),
-                "o_orderdate": batch.column("o_orderdate"),
+                "l_orderkey": t.column("l_orderkey"),
+                "o_orderdate": pc.cast(t.column("sum(date_us)"), pa.timestamp("us")),
                 "revenue": pc.divide(
-                    pc.cast(batch.column("rev_c_sum"), pa.float64()), pa.scalar(100.0)
+                    pc.cast(t.column("sum(rev_c)"), pa.float64()), pa.scalar(100.0)
                 ),
             }
         )
 
     return (
-        reduced.map_batches(finish, batch_format="pyarrow")
+        merged.map_batches(finish, batch_format="pyarrow")
         .sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(10)
     )
