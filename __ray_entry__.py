@@ -77,8 +77,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kg.build_entities(f"{corpus}/pages.parquet")
 
     def kg_quarantine(sf_dir: str):
-        """Quarantined pages (url, error) — empty on the healthy
-        fixture corpus; the inspectable side of the poison-page path."""
+        """Quarantined pages (url, error): the corpus plants
+        deterministic poison pages (invalid utf-8 html, fixture class
+        adv==3), so this conformance query exercises — and its oracle
+        value-checks — the real quarantine path."""
         from jamie_ray.stages.extract import quarantined_batch
 
         corpus = _kg_dir(sf_dir)
@@ -516,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_text": kg_sql("pages", "url, text"),
         "kg_chunks": kg_sql("expected_chunks", "url, chunk_id, text, n_subwords"),
         "kg_entities": kg_sql("expected_entities", "url, chunk_id, mention, ner_tag, mod"),
+        "kg_quarantine": kg_sql("expected_quarantine", "url, error"),
         "kg_triples": kg_sql(
             "expected_triples",
             "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",

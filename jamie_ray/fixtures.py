@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -138,6 +138,8 @@ def generate(n_pages: int) -> dict[str, pa.Table]:
     }
     chk_rows: dict[str, list] = {k: [] for k in ("url", "chunk_id", "text", "n_subwords")}
 
+    qua_rows: dict[str, list] = {"url": [], "error": []}
+
     for i in range(n_pages):
         url = _url_for(i)
         lang = _lang_for(i)
@@ -150,6 +152,33 @@ def generate(n_pages: int) -> dict[str, pa.Table]:
             htmls.append(b"")
             texts.append("")
             langs.append(lang)
+            continue
+
+        if adv == 3:
+            # poison page: invalid utf-8 inside the html — quarantined
+            # by extract_batch's strict decode (VERDICT r1 item 2: the
+            # conformance query must see real quarantined rows). The
+            # byte position varies per page so the oracled error string
+            # is non-trivial.
+            from .stages.extract import format_extract_error
+
+            prefix = "データ" * (1 + stable_hash64("plen", i) % 7)
+            bad = bytes([0xFF, 0x80 + stable_hash64("pbyte", i) % 0x40])
+            html = (
+                b"<html><body><p>" + prefix.encode("utf-8") + bad
+                + b"</p></body></html>"
+            )
+            urls.append(url)
+            tss.append(EPOCH_US + (stable_hash64("ts", i) % 86_400) * 1_000_000)
+            htmls.append(html)
+            texts.append("")
+            langs.append("ja")  # passes the lang filter -> reaches extract
+            try:
+                html.decode("utf-8")
+                raise AssertionError(f"poison page {i} decoded cleanly")
+            except UnicodeDecodeError as ex:
+                qua_rows["url"].append(url)
+                qua_rows["error"].append(format_extract_error(ex))
             continue
 
         if lang == "ja":
@@ -271,12 +300,19 @@ def generate(n_pages: int) -> dict[str, pa.Table]:
             "chunk_id": pa.array(tri_rows["chunk_id"], pa.int32()),
         }
     )
+    expected_quarantine = pa.table(
+        {
+            "url": pa.array(qua_rows["url"], pa.string()),
+            "error": pa.array(qua_rows["error"], pa.string()),
+        }
+    )
     return {
         "pages": pages,
         "expected_text": expected_text,
         "expected_chunks": expected_chunks,
         "expected_entities": expected_entities,
         "expected_triples": expected_triples,
+        "expected_quarantine": expected_quarantine,
     }
 
 

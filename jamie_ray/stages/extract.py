@@ -17,6 +17,12 @@ import pyarrow.compute as pc
 from ..textnorm import extract_text
 
 
+def format_extract_error(ex: Exception) -> str:
+    """Deterministic quarantine error string (shared with the fixture
+    generator so expected_quarantine.parquet is oracle-exact)."""
+    return f"{type(ex).__name__}: {ex}"[:500]
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
     """map_batches kernel: (url, html, ...) -> (url, text, error).
 
@@ -24,7 +30,9 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     skips failing files (/root/reference/utils.py:868-880 — silent data
     loss); here a page that fails extraction keeps its row with empty
     text and a non-empty ``error`` column, so failures are counted,
-    inspectable and re-processable instead of vanishing.
+    inspectable and re-processable instead of vanishing. The decode is
+    STRICT utf-8: mojibake bytes quarantine the page rather than
+    silently corrupting the byte-pinned text invariant with U+FFFD.
     """
     urls = batch.column("url")
     htmls = batch.column("html").to_pylist()
@@ -32,11 +40,11 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     errors: list[str] = []
     for h in htmls:
         try:
-            texts.append(extract_text(h.decode("utf-8", errors="replace")) if h else "")
+            texts.append(extract_text(h.decode("utf-8")) if h else "")
             errors.append("")
         except Exception as ex:  # total by design; belt-and-braces
             texts.append("")
-            errors.append(f"{type(ex).__name__}: {ex}"[:500])
+            errors.append(format_extract_error(ex))
     return pa.table(
         {
             "url": urls,

@@ -226,14 +226,18 @@ def test_materialize_file_sharded(corpus, tmp_path):
 def test_quarantine_counters(corpus, tmp_path):
     """Lineage records carry the quarantine counter; a scorer failure
     quarantines the chunk instead of killing the task."""
-    pages_dir, _ = corpus
+    pages_dir, tables = corpus
     out = tmp_path / "graph_q"
     kg.materialize_graph(str(pages_dir / "pages.parquet"), str(out), n_shards=2)
     from jamie_ray.state.lineage import read_manifest
 
     recs = read_manifest(str(out))
     assert all("n_quarantined_pages" in r for r in recs.values())
-    assert all(r["n_quarantined_pages"] == 0 for r in recs.values())
+    # the fixture plants poison pages (invalid utf-8, class adv==3);
+    # shard counters must add up to exactly the planted set
+    planted = tables["expected_quarantine"].num_rows
+    assert planted > 0
+    assert sum(r["n_quarantined_pages"] for r in recs.values()) == planted
     assert all(r["n_pages"] > 0 and r["n_chunks"] > 0 for r in recs.values())
 
     # scorer poison-chunk path: force a failure, row survives with error
