@@ -242,8 +242,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return similarity.knn_lsh(ds, _query_vec(sf_dir), k=10)
 
     def embedding_near_dup(sf_dir: str):
+        """Cosine near-dup pairs over the fixture embeddings, which
+        plant deterministic same-LSH-bucket twins (fixtures.py
+        generate_embeddings) so the operator's output is non-empty and
+        value-checked against the generator's expected-pairs table."""
+        corpus = _kg_dir(sf_dir)
         ds = ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+            f"{corpus}/embeddings_nd.parquet", columns=["vec_id", "embedding"]
         )
         return similarity.embedding_near_dup(ds, threshold=0.9)
 
@@ -300,8 +305,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docs.map_batches(score, batch_format="pyarrow")
 
     def docs_minhash_clusters(sf_dir: str):
+        """MinHash+LSH near-dup clusters over the fixture documents,
+        which plant deterministic band-sharing near-dup groups
+        (fixtures.py generate_docs_nd) so cluster assignments are
+        value-checked against the generator's expected table."""
+        corpus = _kg_dir(sf_dir)
         docs = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            f"{corpus}/documents_nd.parquet", columns=["doc_id", "text"]
         )
         return dedup_docs.minhash_clusters(docs, threshold=0.8)
 
@@ -315,8 +325,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def docs_simhash_pairs(sf_dir: str):
+        """SimHash hamming-banded pairs over the fixture documents;
+        the oracle is a banding-free brute force over all pairs, so
+        the pigeonhole blocking's recall is value-checked."""
+        corpus = _kg_dir(sf_dir)
         docs = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            f"{corpus}/documents_nd.parquet", columns=["doc_id", "text"]
         )
         return dedup_docs.simhash_pairs(docs, max_hamming=8)
 
@@ -741,8 +755,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY score DESC, e.vec_id ASC LIMIT 10
         """,
-        # kg_chunks / kg_graph / docs_minhash_clusters / docs_simhash* /
-        # knn_lsh / embedding_near_dup / multimodal_features are
+        # planted-fixture oracles: the generator computes the expected
+        # outputs independently (brute force / component closure over
+        # the planted sets) — see fixtures.generate_embeddings /
+        # generate_docs_nd for the exactness arguments
+        "embedding_near_dup": kg_sql("expected_near_dup", "id_a, id_b, cosine"),
+        "docs_minhash_clusters": kg_sql(
+            "expected_minhash_clusters", "doc_id, cluster_id"
+        ),
+        "docs_simhash_pairs": kg_sql(
+            "expected_simhash_pairs", "id_a, id_b, hamming"
+        ),
+        # kg_graph / docs_simhash / knn_lsh / multimodal_features are
         # non-SQL-expressible (stateful decode, approximate, union-find)
         # -> rows-only checks by design
     }

@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -111,6 +111,247 @@ def _compose_page(i: int) -> tuple[list[str], list[list[tuple[str, str]]]]:
             per_sentence.append(mentions)
         lines.append("".join(sents))
     return lines, per_sentence
+
+
+# ---------------------------------------------------------------------------
+# planted near-duplicate embeddings (oracle for embedding_near_dup)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+EMB_TWIN_EVERY = 37  # every 37th base vector gets a planted near-dup twin
+NEAR_DUP_THRESHOLD = 0.9  # the conformance query's threshold
+
+
+def generate_embeddings(n_vec: int) -> dict[str, pa.Table]:
+    """Deterministic embeddings with PLANTED near-duplicate pairs plus
+    the exact expected (id_a, id_b, cosine) output of
+    ``similarity.embedding_near_dup`` at :data:`NEAR_DUP_THRESHOLD`.
+
+    Guarantees that make the oracle exact rather than probabilistic:
+
+    - each twin is retried (deterministically) until it lands in the
+      SAME LSH bucket as its base, so the engine's bucket blocking has
+      recall 1.0 on the planted set;
+    - a brute-force all-pairs check asserts NO unplanted pair reaches
+      within 0.02 of the threshold, so the engine cannot emit extras;
+    - expected cosines are computed from the float32-ingested values
+      (what the engine reads back from parquet), rounded like the
+      engine rounds.
+    """
+    import math
+
+    import numpy as np
+
+    from .functions.similarity import _planes, lsh_bucket
+    from .hashing import mix64
+
+    idx = np.arange(n_vec * EMB_DIM, dtype=np.uint64)
+    base = (
+        (mix64(idx, seed=4242).astype(np.float64) / float(1 << 64)) * 2.0 - 1.0
+    ).reshape(n_vec, EMB_DIM).astype(np.float32)
+    planes = _planes(EMB_DIM)
+
+    twins: list[np.ndarray] = []
+    pair_rows: dict[str, list] = {"id_a": [], "id_b": [], "cosine": []}
+    next_id = n_vec
+    for i in range(0, n_vec, EMB_TWIN_EVERY):
+        v = base[i].astype(np.float64)
+        vu = v / np.linalg.norm(v)
+        # target cosine in [0.93, 0.99): clear of the 0.9 threshold;
+        # attempts shrink the angle toward the base (cosine -> 1) so a
+        # base sitting close to an LSH hyperplane still finds a
+        # same-bucket twin; a base essentially ON a plane is skipped
+        # (the oracle includes only successfully planted pairs)
+        target_c = 0.93 + (stable_hash64("ndc", i) % 600) / 10000.0
+        w32 = None
+        for attempt in range(96):
+            c_att = 1.0 - (1.0 - target_c) * (0.5 ** (attempt // 12))
+            t = math.sqrt(1.0 / c_att**2 - 1.0)
+            seed = stable_hash64("ndn", i, attempt) % (1 << 32)
+            nidx = np.arange(EMB_DIM, dtype=np.uint64) + np.uint64(seed)
+            noise = (mix64(nidx, seed=97).astype(np.float64) / float(1 << 64)) * 2.0 - 1.0
+            n_perp = noise - (noise @ vu) * vu
+            norm = np.linalg.norm(n_perp)
+            if norm < 1e-9:
+                continue
+            cand = ((vu + t * (n_perp / norm)) * np.linalg.norm(v)).astype(np.float32)
+            if lsh_bucket(cand.astype(np.float64), planes) == lsh_bucket(v, planes):
+                w32 = cand
+                break
+        if w32 is None:
+            continue
+        twins.append(w32)
+        b = w32.astype(np.float64)
+        cos = float((v @ b) / (np.linalg.norm(v) * np.linalg.norm(b)))
+        pair_rows["id_a"].append(i)
+        pair_rows["id_b"].append(next_id)
+        pair_rows["cosine"].append(round(cos, 6))
+        next_id += 1
+
+    all_vecs = np.vstack([base] + [t[None, :] for t in twins]).astype(np.float64)
+    n_all = all_vecs.shape[0]
+    norms = np.linalg.norm(all_vecs, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = all_vecs / norms[:, None]
+    planted = set(zip(pair_rows["id_a"], pair_rows["id_b"]))
+    # blockwise brute force: no UNPLANTED pair may approach the threshold
+    block = 2048
+    for s in range(0, n_all, block):
+        sims = unit[s : s + block] @ unit.T
+        hot = np.argwhere(sims >= NEAR_DUP_THRESHOLD - 0.02)
+        for r, c in hot:
+            a, b = sorted((int(r) + s, int(c)))
+            if a != b and (a, b) not in planted:
+                raise AssertionError(
+                    f"unplanted near-dup pair ({a},{b}) cos={sims[r, c]:.4f}"
+                )
+
+    ids = list(range(n_vec)) + [n_vec + k for k in range(len(twins))]
+    emb_col = pa.array(
+        [v.tolist() for v in base] + [t.tolist() for t in twins],
+        pa.list_(pa.float32()),
+    )
+    embeddings = pa.table(
+        {"vec_id": pa.array(ids, pa.int64()), "embedding": emb_col}
+    )
+    expected = pa.table(
+        {
+            "id_a": pa.array(pair_rows["id_a"], pa.int64()),
+            "id_b": pa.array(pair_rows["id_b"], pa.int64()),
+            "cosine": pa.array(pair_rows["cosine"], pa.float64()),
+        }
+    )
+    return {"embeddings_nd": embeddings, "expected_near_dup": expected}
+
+
+# ---------------------------------------------------------------------------
+# planted near-duplicate documents (oracles for minhash clusters +
+# simhash pairs)
+# ---------------------------------------------------------------------------
+
+DOC_GROUP_EVERY = 23  # every 23rd doc seeds a near-dup group
+MINHASH_THRESHOLD = 0.8
+SIMHASH_MAX_HAMMING = 8
+
+
+def _popcount64(x):
+    """Vectorized SWAR popcount over a uint64 numpy array."""
+    import numpy as np
+
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def generate_docs_nd(n_docs: int) -> dict[str, pa.Table]:
+    """Deterministic documents with PLANTED near-duplicate groups plus
+    exact expected outputs for ``minhash_clusters`` (threshold
+    :data:`MINHASH_THRESHOLD`) and ``simhash_pairs`` (budget
+    :data:`SIMHASH_MAX_HAMMING`).
+
+    Exactness argument:
+
+    - every doc draws tokens from its own disjoint vocabulary
+      (``d{i}w{k}``), so cross-doc word-shingle Jaccard is 0 for every
+      unplanted pair — LSH band collisions can create candidates but
+      the exact-Jaccard verify always rejects them;
+    - each planted member is retried (deterministic edit choices) until
+      it (a) shares at least one minhash band with the group seed and
+      (b) has Jaccard >= threshold vs the seed — so the required edges
+      are guaranteed found and expected clusters are exactly the
+      planted components (extra intra-group edges cannot change them);
+    - expected simhash pairs are brute-forced over ALL docs with the
+      shared ``simhash64`` (pair discovery is banding-free here, so
+      the check is independent of the engine's pigeonhole blocking).
+    """
+    import numpy as np
+
+    from .functions.dedup_docs import _doc_bands, ngram_jaccard, simhash64
+
+    texts: list[str] = []
+    ids: list[int] = []
+    cluster_of: dict[int, int] = {}
+
+    i = 0
+    doc_id = 0
+    while doc_id < n_docs:
+        n_tok = 20 + stable_hash64("dlen", i) % 30
+        toks = [f"d{i}w{k}" for k in range(n_tok)]
+        seed_text = " ".join(toks)
+        seed_id = doc_id
+        ids.append(seed_id)
+        texts.append(seed_text)
+        doc_id += 1
+        if i % DOC_GROUP_EVERY == 0 and doc_id < n_docs:
+            group_n = 1 + stable_hash64("gn", i) % 3  # 1-3 extra members
+            for m in range(group_n):
+                if doc_id >= n_docs:
+                    break
+                for attempt in range(32):
+                    # deterministic small edit: replace one token near the
+                    # end (position varies by attempt) with a member token
+                    pos = n_tok - 1 - (stable_hash64("gpos", i, m, attempt) % max(1, n_tok // 4))
+                    etoks = list(toks)
+                    etoks[pos] = f"d{i}m{m}a{attempt}"
+                    member_text = " ".join(etoks)
+                    if (
+                        ngram_jaccard(seed_text, member_text) >= MINHASH_THRESHOLD
+                        and set(_doc_bands(seed_text)) & set(_doc_bands(member_text))
+                    ):
+                        break
+                else:
+                    raise AssertionError(f"no valid near-dup member for doc {i}")
+                ids.append(doc_id)
+                texts.append(member_text)
+                cluster_of[doc_id] = seed_id
+                cluster_of.setdefault(seed_id, seed_id)
+                doc_id += 1
+        i += 1
+
+    documents = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    expected_clusters = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(
+                [cluster_of.get(d, d) for d in ids], pa.int64()
+            ),
+        }
+    )
+
+    # simhash expected pairs: brute force over all docs (independent of
+    # the engine's banding)
+    sigs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    a_out, b_out, d_out = [], [], []
+    block = 1024
+    n = len(sigs)
+    for s in range(0, n, block):
+        xor = sigs[s : s + block, None] ^ sigs[None, :]
+        ham = _popcount64(xor)
+        hot = np.argwhere(ham <= SIMHASH_MAX_HAMMING)
+        for r, c in hot:
+            a, b = int(r) + s, int(c)
+            if a < b:
+                a_out.append(ids[a])
+                b_out.append(ids[b])
+                d_out.append(int(ham[r, c]))
+    order = sorted(range(len(a_out)), key=lambda k: (a_out[k], b_out[k]))
+    expected_simhash = pa.table(
+        {
+            "id_a": pa.array([a_out[k] for k in order], pa.int64()),
+            "id_b": pa.array([b_out[k] for k in order], pa.int64()),
+            "hamming": pa.array([d_out[k] for k in order], pa.int64()),
+        }
+    )
+    return {
+        "documents_nd": documents,
+        "expected_minhash_clusters": expected_clusters,
+        "expected_simhash_pairs": expected_simhash,
+    }
 
 
 def _compose_en_page(i: int) -> list[str]:
@@ -306,7 +547,7 @@ def generate(n_pages: int) -> dict[str, pa.Table]:
             "error": pa.array(qua_rows["error"], pa.string()),
         }
     )
-    return {
+    out = {
         "pages": pages,
         "expected_text": expected_text,
         "expected_chunks": expected_chunks,
@@ -314,6 +555,9 @@ def generate(n_pages: int) -> dict[str, pa.Table]:
         "expected_triples": expected_triples,
         "expected_quarantine": expected_quarantine,
     }
+    out.update(generate_embeddings(n_pages))
+    out.update(generate_docs_nd(max(30, n_pages // 2)))
+    return out
 
 
 def write_corpus(out_dir: str, n_pages: int, overwrite: bool = False) -> str:

@@ -269,3 +269,48 @@ def test_salted_group_sum_matches_plain(ray_session):
         c[1] += r["y"]
         c[2] += 1
     assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+# ---- planted-fixture oracles (near-dup family) ----------------------------
+
+def test_planted_near_dup_fixtures(ray_session, tmp_path):
+    """The generator's expected tables ARE the operator outputs: twins
+    share LSH buckets by construction, unplanted pairs are provably far,
+    and the simhash expected set is a banding-free brute force."""
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(300)
+
+    emb = ray.data.from_arrow(tabs["embeddings_nd"])
+    got = pa.Table.from_pylist(
+        similarity.embedding_near_dup(emb, threshold=0.9).take_all()
+    )
+    exp = tabs["expected_near_dup"]
+    assert exp.num_rows > 0
+    key = lambda t: sorted(
+        zip(t["id_a"].to_pylist(), t["id_b"].to_pylist(), t["cosine"].to_pylist())
+    )
+    assert key(got) == key(exp)
+
+    docs = ray.data.from_arrow(tabs["documents_nd"])
+    got_cl = pa.Table.from_pylist(
+        dedup_docs.minhash_clusters(docs, threshold=0.8).take_all()
+    )
+    exp_cl = tabs["expected_minhash_clusters"]
+    pairs = lambda t: sorted(
+        zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist())
+    )
+    assert pairs(got_cl) == pairs(exp_cl)
+    assert any(d != c for d, c in pairs(exp_cl))  # non-trivial clusters
+
+    got_sh = pa.Table.from_pylist(
+        dedup_docs.simhash_pairs(docs, max_hamming=8).take_all()
+    )
+    exp_sh = tabs["expected_simhash_pairs"]
+    assert exp_sh.num_rows > 0
+    trip = lambda t: sorted(
+        zip(t["id_a"].to_pylist(), t["id_b"].to_pylist(), t["hamming"].to_pylist())
+    )
+    assert trip(got_sh) == trip(exp_sh)
