@@ -166,8 +166,11 @@ def minhash_clusters(
         .map_groups(pairs, batch_format="pyarrow")
     )
     uf = UnionFind()
-    for r in edges_ds.take_all():
-        uf.union(r["id_a"], r["id_b"])
+    from ..state.collect import iter_capped_batches
+
+    for b in iter_capped_batches(edges_ds, context="minhash near-dup edges"):
+        for a, bb in zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()):
+            uf.union(a, bb)
     comp = uf.components()
     ref = ray.put(comp)
 

@@ -248,10 +248,15 @@ def link_triples(
     )
     # only cluster members reach the driver: singleton surfaces resolve
     # locally inside RewriteIds via entity_id(), so the collected edge
-    # list (post-verification) is the whole driver-side state
-    edges = {
-        (r["surface_a"], r["surface_b"]) for r in edges_ds.take_all()
-    }
+    # list (post-verification) is the whole driver-side state — streamed
+    # under a hard cap so a pathological corpus fails loudly, not OOM
+    from ..state.collect import iter_capped_batches
+
+    edges: set[tuple[str, str]] = set()
+    for b in iter_capped_batches(edges_ds, context="entity-link edges"):
+        edges.update(
+            zip(b.column("surface_a").to_pylist(), b.column("surface_b").to_pylist())
+        )
     preferred: set[str] = set()
     if alias_table:
         edges |= set(alias_table.items())

@@ -314,3 +314,19 @@ def test_planted_near_dup_fixtures(ray_session, tmp_path):
         zip(t["id_a"].to_pylist(), t["id_b"].to_pylist(), t["hamming"].to_pylist())
     )
     assert trip(got_sh) == trip(exp_sh)
+
+
+def test_edge_cap_guard_rail(ray_session):
+    """Driver-side edge collection fails loudly past the cap instead of
+    OOMing (VERDICT r1 item 10)."""
+    import ray.data
+
+    from jamie_ray.state.collect import iter_capped_batches
+
+    ds = ray.data.range(100)
+    with pytest.raises(RuntimeError, match="exceeded its cap"):
+        for _ in iter_capped_batches(ds, cap=10, context="test edges"):
+            pass
+    # under the cap: passes through every row
+    total = sum(b.num_rows for b in iter_capped_batches(ds, cap=1000))
+    assert total == 100
