@@ -15,11 +15,31 @@ here matches the oracle semantics exactly.
 from __future__ import annotations
 
 import datetime as _dt
+from bisect import bisect_left
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _NAIVE_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def _seconds_col(col) -> pa.Array:
+    """Vectorized ts column -> float64 seconds (same value per row as
+    :func:`_naive_seconds`)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_timestamp(col.type):
+        us = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        return pc.divide(pc.cast(us, pa.float64()), pa.scalar(1e6))
+    return pc.cast(col, pa.float64())
+
+
+def _bucket_col(col, bucket_seconds: float) -> pa.Array:
+    """ts column -> int64 time-bucket id (floor(seconds / bucket))."""
+    sec = _seconds_col(col)
+    return pc.cast(
+        pc.floor(pc.divide(sec, pa.scalar(float(bucket_seconds)))), pa.int64()
+    )
 
 
 def _naive_seconds(t) -> float:
@@ -44,13 +64,25 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    bucket_seconds: float | None = None,
 ):
     """As-of join: for each left row, the right row with the same key and
     the greatest ``right_ts <= left_ts`` (DuckDB ``ASOF JOIN``
     semantics; inner — left rows with no match are dropped). Ties on
     ``right_ts`` resolve to the greatest value of the first attached
     column — deterministic and mirrored in the oracle.
+
+    ``bucket_seconds`` (hot-key salting, SURVEY §4): when set, the
+    shuffle key becomes (key, time_bucket). A left whose bucket holds
+    no earlier right falls back to a per-(key, bucket) SUMMARY — the
+    max-(ts, first_col) right row of each bucket, a tiny side aggregate
+    broadcast via ``ray.put`` — from the greatest earlier bucket (any
+    in-bucket right beats every earlier bucket by construction, so the
+    result is bit-identical to the unsalted path; asserted in tests).
+    Assumes summary mass (#keys x #occupied buckets) ≪ corpus; the
+    driver-side collection is guarded by the edge cap.
     """
+    salted = bucket_seconds is not None
 
     def tag(side: int, key: str, ts: str, cols: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -59,6 +91,8 @@ def asof_join(
                 "__ts": batch.column(ts),
                 "__side": pa.array([side] * batch.num_rows, pa.int8()),
             }
+            if salted:
+                out["__salt"] = _bucket_col(batch.column(ts), bucket_seconds)
             for c in cols:
                 out[c] = batch.column(c)
             return pa.table(out)
@@ -72,6 +106,46 @@ def asof_join(
     rt = right.map_batches(
         tag(1, right_key, right_ts, right_cols), batch_format="pyarrow"
     )
+
+    summary_ref = None
+    if salted:
+        import ray
+
+        from ..state.collect import iter_capped_batches
+
+        def summarize(group: pa.Table) -> pa.Table:
+            ts = np.asarray(
+                [_naive_seconds(t) for t in group.column("__ts").to_pylist()],
+                dtype=np.float64,
+            )
+            first = group.column(right_cols[0]).to_pylist()
+            best = max(range(len(ts)), key=lambda i: (ts[i], first[i]))
+            row = {
+                "__key": group.column("__key").slice(best, 1),
+                "__salt": group.column("__salt").slice(best, 1),
+                "__ts_sec": pa.array([float(ts[best])], pa.float64()),
+            }
+            for c in right_cols:
+                row[c] = group.column(c).slice(best, 1)
+            return pa.table(row)
+
+        summ_ds = rt.groupby(["__key", "__salt"]).map_groups(
+            summarize, batch_format="pyarrow"
+        )
+        # key -> sorted [(bucket, ts_sec, {col: value})]
+        summary_map: dict = {}
+        for b in iter_capped_batches(summ_ds, context="asof bucket summaries"):
+            keys = b.column("__key").to_pylist()
+            salts = b.column("__salt").to_pylist()
+            tss = b.column("__ts_sec").to_pylist()
+            vals = {c: b.column(c).to_pylist() for c in right_cols}
+            for i, k in enumerate(keys):
+                summary_map.setdefault(k, []).append(
+                    (salts[i], tss[i], {c: vals[c][i] for c in right_cols})
+                )
+        for k in summary_map:
+            summary_map[k].sort(key=lambda e: e[0])
+        summary_ref = ray.put(summary_map)
     # union of two different schemas is not allowed -> pad each side
     # with the other's columns as nulls
     def pad(missing: list[str], types: dict):
@@ -98,6 +172,17 @@ def asof_join(
     lt = lt.map_batches(lambda b: b.select(all_cols), batch_format="pyarrow")
     rt = rt.map_batches(lambda b: b.select(all_cols), batch_format="pyarrow")
 
+    drop_cols = ["__side"] + (["__salt"] if salted else [])
+    _summary_cache: dict = {}
+
+    def _summaries():
+        import ray
+
+        k = summary_ref.hex()
+        if k not in _summary_cache:
+            _summary_cache[k] = ray.get(summary_ref)
+        return _summary_cache[k]
+
     def merge(group: pa.Table) -> pa.Table:
         sides = np.asarray(group.column("__side").to_pylist())
         ts = np.asarray(
@@ -106,29 +191,61 @@ def asof_join(
         )
         l_ix = np.where(sides == 0)[0]
         r_ix = np.where(sides == 1)[0]
-        if not len(l_ix) or not len(r_ix):
-            return group.slice(0, 0).drop_columns(["__side"])
-        # right side sorted by (ts, first right col) so the backward
-        # search and the tie rule are deterministic
-        r_first = group.column(right_cols[0]).take(pa.array(r_ix)).to_pylist()
-        r_order = sorted(range(len(r_ix)), key=lambda i: (ts[r_ix[i]], r_first[i]))
-        r_sorted = r_ix[r_order]
-        r_ts_sorted = ts[r_sorted]
-        pos = np.searchsorted(r_ts_sorted, ts[l_ix], side="right") - 1
+        if not len(l_ix) or (not salted and not len(r_ix)):
+            return group.slice(0, 0).drop_columns(drop_cols)
+        if len(r_ix):
+            # right side sorted by (ts, first right col) so the backward
+            # search and the tie rule are deterministic
+            r_first = group.column(right_cols[0]).take(pa.array(r_ix)).to_pylist()
+            r_order = sorted(range(len(r_ix)), key=lambda i: (ts[r_ix[i]], r_first[i]))
+            r_sorted = r_ix[r_order]
+            r_ts_sorted = ts[r_sorted]
+            pos = np.searchsorted(r_ts_sorted, ts[l_ix], side="right") - 1
+        else:
+            r_sorted = np.array([], dtype=np.int64)
+            pos = np.full(len(l_ix), -1, dtype=np.int64)
         keep = pos >= 0
         l_keep = l_ix[keep]
-        match = r_sorted[pos[keep]]
+        match = r_sorted[pos[keep]] if keep.any() else np.array([], dtype=np.int64)
         out: dict[str, pa.Array] = {}
         for c in group.column_names:
-            if c == "__side":
+            if c in drop_cols:
                 continue
             col = group.column(c)
             src = match if c in right_cols else l_keep
-            out[c] = col.take(pa.array(src))
-        return pa.table(out)
+            out[c] = col.take(pa.array(src, pa.int64()))
+        parts = [pa.table(out)]
+        if salted and (~keep).any():
+            # lefts with no in-bucket right fall back to the summary of
+            # the greatest earlier bucket of this key (its ts is < this
+            # bucket's start, hence <= every left_ts here)
+            l_miss = l_ix[~keep]
+            key_val = group.column("__key")[0].as_py()
+            salt_val = group.column("__salt")[0].as_py()
+            summs = _summaries().get(key_val, [])
+            idx = bisect_left([e[0] for e in summs], salt_val) - 1
+            if idx >= 0:
+                _, _, vals = summs[idx]
+                fb: dict[str, pa.Array] = {}
+                for c in group.column_names:
+                    if c in drop_cols:
+                        continue
+                    col = group.column(c)
+                    if c in right_cols:
+                        fb[c] = pa.array(
+                            [vals[c]] * len(l_miss),
+                            type=col.type
+                            if not isinstance(col, pa.ChunkedArray)
+                            else col.type,
+                        )
+                    else:
+                        fb[c] = col.take(pa.array(l_miss, pa.int64()))
+                parts.append(pa.table(fb))
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
     unioned = lt.union(rt)
-    return unioned.groupby("__key").map_groups(merge, batch_format="pyarrow")
+    group_keys = ["__key", "__salt"] if salted else "__key"
+    return unioned.groupby(group_keys).map_groups(merge, batch_format="pyarrow")
 
 
 def sessionize(
@@ -171,6 +288,7 @@ def range_join(
     right_cols: list[str],
     lower_seconds: float,
     upper_seconds: float,
+    bucket_seconds: float | None = None,
 ):
     """Range (interval) join: every (left, right) pair with matching key
     and ``right_ts`` in ``[left_ts + lower, left_ts + upper]`` seconds.
@@ -178,24 +296,60 @@ def range_join(
     Same physical shape as :func:`asof_join` (one hash shuffle on the
     key, vectorized per-group window scan via searchsorted); emits one
     row per qualifying pair (inner join).
+
+    ``bucket_seconds`` (hot-key salting, SURVEY §4): when set, the
+    shuffle key becomes (key, time_bucket) — a hot key's rows spread
+    over its time buckets instead of landing on one reducer. Each left
+    row goes to its own bucket; each right row is replicated to the
+    bucket range its matches' left timestamps can occupy
+    (``(upper-lower)/bucket_seconds + 1`` copies), so every qualifying
+    pair meets in exactly ONE group and the output is bit-identical to
+    the unsalted path (asserted in tests). Pick ``bucket_seconds``
+    on the order of the window span to bound replication at ~2x.
     """
+    salted = bucket_seconds is not None
 
-    def tag(side: int, key: str, ts: str, cols: list[str]):
-        def fn(batch: pa.Table) -> pa.Table:
-            out = {
-                "__key": batch.column(key),
-                "__ts": batch.column(ts),
-                "__side": pa.array([side] * batch.num_rows, pa.int8()),
-            }
-            for c in cols:
-                out[c] = batch.column(c)
-            return pa.table(out)
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = [c for c in batch.column_names if c != left_key]
+        out = {
+            "__key": batch.column(left_key),
+            "__ts": batch.column(left_ts),
+            "__side": pa.array([0] * batch.num_rows, pa.int8()),
+        }
+        if salted:
+            out["__salt"] = _bucket_col(batch.column(left_ts), bucket_seconds)
+        for c in cols:
+            out[c] = batch.column(c)
+        return pa.table(out)
 
-        return fn
+    def tag_right(batch: pa.Table) -> pa.Table:
+        out = {
+            "__key": batch.column(right_key),
+            "__ts": batch.column(right_ts),
+            "__side": pa.array([1] * batch.num_rows, pa.int8()),
+        }
+        for c in right_cols:
+            out[c] = batch.column(c)
+        t = pa.table(out)
+        if not salted:
+            return t
+        # replicate each right row into every bucket a matching left
+        # could be in: left_ts in [ts - upper, ts - lower]
+        sec = np.asarray(_seconds_col(batch.column(right_ts)))
+        bmin = np.floor((sec - upper_seconds) / bucket_seconds).astype(np.int64)
+        bmax = np.floor((sec - lower_seconds) / bucket_seconds).astype(np.int64)
+        reps = (bmax - bmin + 1).astype(np.int64)
+        row_idx = np.repeat(np.arange(len(sec), dtype=np.int64), reps)
+        # per-replica bucket: bmin[row] + intra-row offset
+        offsets = np.arange(len(row_idx), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        salts = bmin[row_idx] + offsets
+        t = t.take(pa.array(row_idx))
+        return t.append_column("__salt", pa.array(salts, pa.int64()))
 
-    left_cols = [c for c in left.schema().names if c != left_key]
-    lt = left.map_batches(tag(0, left_key, left_ts, left_cols), batch_format="pyarrow")
-    rt = right.map_batches(tag(1, right_key, right_ts, right_cols), batch_format="pyarrow")
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
 
     def pad(missing: list[str], types: dict):
         def fn(batch: pa.Table) -> pa.Table:
@@ -215,6 +369,8 @@ def range_join(
     lt = lt.map_batches(lambda b: b.select(all_cols), batch_format="pyarrow")
     rt = rt.map_batches(lambda b: b.select(all_cols), batch_format="pyarrow")
 
+    drop_cols = ["__side"] + (["__salt"] if salted else [])
+
     def merge(group: pa.Table) -> pa.Table:
         sides = np.asarray(group.column("__side").to_pylist())
         ts = np.asarray(
@@ -224,7 +380,7 @@ def range_join(
         l_ix = np.where(sides == 0)[0]
         r_ix = np.where(sides == 1)[0]
         if not len(l_ix) or not len(r_ix):
-            return group.slice(0, 0).drop_columns(["__side"])
+            return group.slice(0, 0).drop_columns(drop_cols)
         r_order = np.argsort(ts[r_ix], kind="stable")
         r_sorted = r_ix[r_order]
         r_ts_sorted = ts[r_sorted]
@@ -240,10 +396,12 @@ def range_join(
         r_idx = pa.array(np.asarray(r_out, dtype=np.int64))
         out: dict[str, pa.Array] = {}
         for c in group.column_names:
-            if c == "__side":
+            if c in drop_cols:
                 continue
             col = group.column(c)
             out[c] = col.take(r_idx if c in right_cols else l_idx)
         return pa.table(out)
 
-    return lt.union(rt).groupby("__key").map_groups(merge, batch_format="pyarrow")
+    unioned = lt.union(rt)
+    keys = ["__key", "__salt"] if salted else "__key"
+    return unioned.groupby(keys).map_groups(merge, batch_format="pyarrow")

@@ -171,3 +171,64 @@ def test_running_counts_incremental_state(ray_session):
         f"SELECT event_type, count(*) FROM read_parquet('{sf}/events.parquet') GROUP BY 1"
     ).fetchall())
     assert seen == exp
+
+
+def _skewed(ray_session):
+    """One hot user with many events/orders spread over weeks + a few
+    normal users; used to prove the salted path is bit-identical."""
+    import ray.data
+
+    base = dt.datetime(2024, 1, 1)
+    events, orders = [], []
+    eid = 0
+    for u, n in [(1, 60), (2, 5), (3, 1)]:
+        for k in range(n):
+            events.append(
+                {"event_id": (eid := eid + 1), "user_id": u,
+                 "ts": base + dt.timedelta(hours=7 * k + u)}
+            )
+        for k in range(max(1, n // 2)):
+            orders.append(
+                {"o_custkey": u, "o_orderkey": 1000 * u + k,
+                 "o_orderdate": base + dt.timedelta(hours=11 * k)}
+            )
+    # a user with events but no orders, and vice versa
+    events.append({"event_id": (eid := eid + 1), "user_id": 4, "ts": base})
+    orders.append({"o_custkey": 5, "o_orderkey": 5000, "o_orderdate": base})
+    return ray.data.from_items(events), ray.data.from_items(orders)
+
+
+def _rows_key(rows):
+    return sorted(tuple(sorted(r.items())) for r in rows)
+
+
+def test_asof_join_salted_equals_unsalted(ray_session):
+    from jamie_ray.functions.temporal import asof_join
+
+    events, orders = _skewed(ray_session)
+    kw = dict(
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+    )
+    plain = asof_join(events, orders, **kw).take_all()
+    # 1-day buckets: the hot user's 60 events spread over ~18 buckets
+    salted = asof_join(events, orders, bucket_seconds=86400.0, **kw).take_all()
+    assert len(plain) > 0
+    assert _rows_key(plain) == _rows_key(salted)
+
+
+def test_range_join_salted_equals_unsalted(ray_session):
+    from jamie_ray.functions.temporal import range_join
+
+    events, orders = _skewed(ray_session)
+    kw = dict(
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        lower_seconds=-86400.0 * 3, upper_seconds=0.0,
+    )
+    plain = range_join(events, orders, **kw).take_all()
+    salted = range_join(events, orders, bucket_seconds=86400.0 * 3, **kw).take_all()
+    assert len(plain) > 0
+    assert _rows_key(plain) == _rows_key(salted)
