@@ -25,6 +25,7 @@ class PipelineConfig:
     scorer_batch_size: int = 64
     scorer_concurrency: int | None = None  # None -> cluster-sized
     scorer_use_actors: bool = False        # actors for real models, tasks for mock
+    scorer_model: str = "mock"             # "mock" | "hf:<checkpoint_dir>"
     model_cost_layers: int = 0             # >0: deterministic forward-pass emulator
     link_threshold: float = 0.6            # LSH verification Jaccard
     n_shards: int = 8                      # resumable materialize shards
@@ -72,6 +73,7 @@ def build_graph_with_config(pages_path: str, config: PipelineConfig):
         mode=config.scorer_mode,
         len_limit=config.len_limit,
         use_actors=config.scorer_use_actors,
+        model=config.scorer_model,
     )
     for name in config.extra_stages:
         triples = get_stage(name)(triples)

@@ -132,18 +132,28 @@ def score_chunks(
     batch_size: int = DEFAULT_SCORER_BATCH,
     model_cost_layers: int = 0,
     use_actors: bool = False,
+    model="mock",
+    hf_kwargs: dict | None = None,
 ) -> ray.data.Dataset:
     """Scoring stage, two physical shapes:
 
     - tasks (default for the mock): per-worker singleton model, fuses
       with the surrounding stateless stages, zero per-job pool startup;
-    - actor pool (``use_actors=True``): the shape a real transformer
-      needs (heavy weights / GPUs) — ``__init__`` loads once per actor.
+    - actor pool (``use_actors=True``, forced for non-mock backends):
+      the shape a real transformer needs (heavy weights / GPUs) —
+      ``__init__`` loads once per actor.
+
+    ``model`` selects the backend (see ``JointScorer.__init__``):
+    "mock", "hf:<checkpoint_dir>", or a predict()-bearing object.
     """
-    if use_actors:
+    if use_actors or model != "mock":
         return chunks.map_batches(
             JointScorer,
-            fn_constructor_kwargs={"model_cost_layers": model_cost_layers},
+            fn_constructor_kwargs={
+                "model_cost_layers": model_cost_layers,
+                "model": model,
+                "hf_kwargs": hf_kwargs,
+            },
             concurrency=concurrency or default_scorer_concurrency(),
             batch_size=batch_size,
             batch_format="pyarrow",
@@ -168,6 +178,8 @@ def build_triples(
     mode: str = "joint",
     len_limit: int | None = None,
     use_actors: bool = False,
+    model="mock",
+    hf_kwargs: dict | None = None,
 ) -> ray.data.Dataset:
     """pages parquet -> raw mention-level triples Dataset (streaming).
 
@@ -188,6 +200,8 @@ def build_triples(
             batch_size=batch_size,
             model_cost_layers=model_cost_layers,
             use_actors=use_actors,
+            model=model,
+            hf_kwargs=hf_kwargs,
         )
     return tagged.map_batches(assemble_batch, batch_format="pyarrow")
 

@@ -193,13 +193,35 @@ class JointScorer:
     by bench; correctness runs leave it at 0).
     """
 
-    def __init__(self, model: str = "mock", model_cost_layers: int = 0) -> None:
-        if model != "mock":
-            raise NotImplementedError(
-                "only the deterministic mock model ships in v0; a real "
-                "transformer implements MockJointModel's predict() contract"
+    def __init__(
+        self,
+        model="mock",
+        model_cost_layers: int = 0,
+        hf_kwargs: dict | None = None,
+    ) -> None:
+        """``model`` selects the backend behind the predict() contract:
+
+        - ``"mock"`` (default): the deterministic gazetteer model;
+        - ``"hf:<checkpoint_dir>"``: the transformers backend
+          (``stages/hf_model.py``) — optional torch/transformers
+          import, weights load HERE (once per actor); ``hf_kwargs``
+          passes label vocabularies etc.;
+        - any object with a ``predict(text)`` method: direct injection
+          (user-supplied backends, tests).
+        """
+        if model == "mock":
+            self.model = MockJointModel()
+        elif isinstance(model, str) and model.startswith("hf:"):
+            from .hf_model import HFJointModel
+
+            self.model = HFJointModel(model[3:], **(hf_kwargs or {}))
+        elif hasattr(model, "predict"):
+            self.model = model
+        else:
+            raise ValueError(
+                f"unknown scorer model {model!r}: expected 'mock', "
+                "'hf:<checkpoint_dir>', or an object with predict()"
             )
-        self.model = MockJointModel()
         self.cost = _CostEmulator(model_cost_layers)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
