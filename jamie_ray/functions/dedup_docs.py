@@ -125,6 +125,14 @@ def minhash_clusters(
     doc_id of its near-duplicate cluster (singletons map to themselves).
     """
 
+    # Most band keys are singletons (every non-duplicate doc emits 8
+    # unique bands), and the framework's per-group dispatch overhead at
+    # ~10 groups/doc dwarfs the real work. So the SHUFFLE key is a
+    # coarse band BUCKET (band_key mod N) and each group scans its band
+    # runs vectorized — identical candidates, ~1000 groups instead of
+    # ~8x corpus.
+    n_buckets = 1024
+
     def expand(batch: pa.Table) -> pa.Table:
         out_band: list[int] = []
         out_id: list[int] = []
@@ -136,8 +144,10 @@ def minhash_clusters(
                 out_band.append(bd)
                 out_id.append(i)
                 out_text.append(t)
+        buckets = [b % n_buckets for b in out_band]
         return pa.table(
             {
+                "band_bucket": pa.array(buckets, pa.int64()),
                 "band_key": pa.array(out_band, pa.int64()),
                 id_col: pa.array(out_id, pa.int64()),
                 text_col: pa.array(out_text, pa.string()),
@@ -145,24 +155,32 @@ def minhash_clusters(
         )
 
     def pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(group.column(id_col).to_pylist(), group.column(text_col).to_pylist())
-        )[:max_group]
+        # one bucket = many bands: sort by (band_key, id), walk runs
+        group = group.sort_by([("band_key", "ascending"), (id_col, "ascending")])
+        bands = group.column("band_key").to_pylist()
+        ids = group.column(id_col).to_pylist()
+        texts = group.column(text_col).to_pylist()
         a_out, b_out = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if rows[i][0] == rows[j][0]:
-                    continue
-                if ngram_jaccard(rows[i][1], rows[j][1]) >= threshold:
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
+        run_start = 0
+        for k in range(1, len(bands) + 1):
+            if k < len(bands) and bands[k] == bands[run_start]:
+                continue
+            rows = list(zip(ids[run_start:k], texts[run_start:k]))[:max_group]
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    if rows[i][0] == rows[j][0]:
+                        continue
+                    if ngram_jaccard(rows[i][1], rows[j][1]) >= threshold:
+                        a_out.append(rows[i][0])
+                        b_out.append(rows[j][0])
+            run_start = k
         return pa.table(
             {"id_a": pa.array(a_out, pa.int64()), "id_b": pa.array(b_out, pa.int64())}
         )
 
     edges_ds = (
         docs.map_batches(expand, batch_format="pyarrow")
-        .groupby("band_key")
+        .groupby("band_bucket")
         .map_groups(pairs, batch_format="pyarrow")
     )
     uf = UnionFind()
