@@ -102,22 +102,32 @@ def _local_combine(batch: pa.Table) -> pa.Table:
     return gb.select(_OUT_COLS)
 
 
-def _merge_group(group: pa.Table) -> pa.Table:
-    """Reducer for one triple key: sum counts, min provenance."""
-    combined = _local_combine(group)
-    if combined.num_rows != 1:
-        # same key, already combined per block — merging preserves that
-        raise AssertionError("triple_key group merged to >1 row")
-    return combined
+def _merge_bucket(group: pa.Table) -> pa.Table:
+    """Reducer for one key BUCKET: the combiner is associative and
+    commutative (min-representative + count sum), so re-running it over
+    all of a bucket's block-partials yields one exact row per key."""
+    return _local_combine(group.drop_columns(["key_bucket"]))
 
 
-def dedup_triples(linked):
+def dedup_triples(linked, n_buckets: int = 1024):
     """linked triples Dataset -> deduplicated graph rows Dataset.
 
     The subj/obj columns of the output carry the canonical surfaces.
+    The reduce shuffle is keyed on ``triple_key mod n_buckets`` rather
+    than the raw key: per-group dispatch overhead then scales with the
+    bucket count, not the (much larger) distinct-triple count, and each
+    group merge is one vectorized combiner pass.
     """
-    combined = linked.map_batches(_local_combine, batch_format="pyarrow")
-    out = combined.groupby("triple_key").map_groups(
-        _merge_group, batch_format="pyarrow"
+    mask = pa.scalar(n_buckets - 1, pa.int64())
+
+    def combine_and_bucket(batch: pa.Table) -> pa.Table:
+        c = _local_combine(batch)
+        return c.append_column(
+            "key_bucket", pc.bit_wise_and(c.column("triple_key"), mask)
+        )
+
+    combined = linked.map_batches(combine_and_bucket, batch_format="pyarrow")
+    out = combined.groupby("key_bucket").map_groups(
+        _merge_bucket, batch_format="pyarrow"
     )
     return out.drop_columns(["triple_key"])

@@ -169,10 +169,59 @@ def build_canonical_map(
     }
 
 
+# per-worker state for the task-shaped rewrite: canonical map resolved
+# from the object store ONCE per worker (keyed by ref), plus a surface
+# -> (id, canon) memo — entity vocabularies repeat heavily, so the
+# blake2b entity_id cost amortizes to vocabulary size, not row count
+_REWRITE_STATE: dict[str, tuple[dict, dict]] = {}
+
+
+def _rewrite_state(canonical_ref) -> tuple[dict, dict]:
+    if isinstance(canonical_ref, ray.ObjectRef):
+        key = canonical_ref.hex()
+        entry = _REWRITE_STATE.get(key)
+        if entry is None:
+            entry = (ray.get(canonical_ref), {})
+            _REWRITE_STATE[key] = entry
+        return entry
+    return (canonical_ref, {})
+
+
+def rewrite_ids_task(batch: pa.Table, canonical_ref) -> pa.Table:
+    """Task-shaped id rewrite (per-worker cached map — no actor-pool
+    startup; the map rides the object store via ``ray.put`` once and is
+    fetched once per worker, never re-shipped per batch)."""
+    canonical, memo = _rewrite_state(canonical_ref)
+
+    def ids(vals: list[str]) -> tuple[list[int], list[str]]:
+        out_id, out_surf = [], []
+        for v in vals:
+            hit = memo.get(v)
+            if hit is None:
+                c = canonical.get(v)
+                hit = (entity_id(v), v) if c is None else c
+                memo[v] = hit
+            out_id.append(hit[0])
+            out_surf.append(hit[1])
+        return out_id, out_surf
+
+    subj_ids, subj_canon = ids(batch.column("subj").to_pylist())
+    obj_ids, obj_canon = ids(batch.column("obj").to_pylist())
+    return batch.append_column(
+        "subj_id", pa.array(subj_ids, pa.int64())
+    ).append_column(
+        "obj_id", pa.array(obj_ids, pa.int64())
+    ).append_column(
+        "subj_canon", pa.array(subj_canon, pa.string())
+    ).append_column(
+        "obj_canon", pa.array(obj_canon, pa.string())
+    )
+
+
 class RewriteIds:
-    """Actor-pool id rewrite: the canonical map rides the object store
-    (``ray.put`` once) and is resolved once per actor in ``__init__`` —
-    never re-shipped per batch."""
+    """Actor-pool variant of :func:`rewrite_ids_task` (kept for users
+    who want the rewrite pinned to a fixed pool; the pipeline default
+    is the task shape, which fuses with the dedup combiner)."""
 
     def __init__(self, canonical_ref) -> None:
         self.canonical = (
@@ -182,33 +231,7 @@ class RewriteIds:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subj = batch.column("subj").to_pylist()
-        obj = batch.column("obj").to_pylist()
-        canon = self.canonical
-
-        def ids(vals: list[str]) -> tuple[list[int], list[str]]:
-            out_id, out_surf = [], []
-            for v in vals:
-                hit = canon.get(v)
-                if hit is None:
-                    out_id.append(entity_id(v))
-                    out_surf.append(v)
-                else:
-                    out_id.append(hit[0])
-                    out_surf.append(hit[1])
-            return out_id, out_surf
-
-        subj_ids, subj_canon = ids(subj)
-        obj_ids, obj_canon = ids(obj)
-        return batch.append_column(
-            "subj_id", pa.array(subj_ids, pa.int64())
-        ).append_column(
-            "obj_id", pa.array(obj_ids, pa.int64())
-        ).append_column(
-            "subj_canon", pa.array(subj_canon, pa.string())
-        ).append_column(
-            "obj_canon", pa.array(obj_canon, pa.string())
-        )
+        return rewrite_ids_task(batch, self.canonical)
 
 
 def link_triples(
@@ -263,10 +286,10 @@ def link_triples(
         preferred = set(alias_table.values())
     member_surfaces = {s for e in edges for s in e}
     canonical = build_canonical_map(member_surfaces, edges, preferred)
+    import functools
+
     ref = ray.put(canonical)
     return triples.map_batches(
-        RewriteIds,
-        fn_constructor_args=(ref,),
-        concurrency=(1, 8),
+        functools.partial(rewrite_ids_task, canonical_ref=ref),
         batch_format="pyarrow",
     )
