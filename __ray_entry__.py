@@ -180,6 +180,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         back = xml.map_batches(gold_xml_to_tagged_batch, batch_format="pyarrow")
         return back.map_batches(assemble_batch, batch_format="pyarrow")
 
+    _I2B2_DOCS = {"sf0.001": 20, "sf0.01": 80, "sf0.1": 800}
+
+    def i2b2_triples(sf_dir: str):
+        """S11 alternate-corpus path: synthetic i2b2-style file quartets
+        -> distributed reader -> assemble; the oracle is the expected
+        triple table the generator derives from its own annotation
+        structure (reader-independent)."""
+        from jamie_ray.fixtures import write_i2b2_corpus
+        from jamie_ray.stages.assemble import assemble_batch
+        from jamie_ray.stages.i2b2 import read_i2b2
+
+        label = os.path.basename(os.path.normpath(sf_dir))
+        n = _I2B2_DOCS.get(label, 30)
+        root = os.path.join(_KG_ROOT, f"i2b2_n{n}")
+        write_i2b2_corpus(root, n)
+        return read_i2b2(root, "beth").map_batches(
+            assemble_batch, batch_format="pyarrow"
+        )
+
     def kg_xml_out(sf_dir: str):
         from jamie_ray.stages.format_out import tagged_to_xml_batch
 
@@ -478,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_pipeline_mode": kg_triples_pipeline_mode,
         "kg_conll_roundtrip": kg_conll_roundtrip,
         "kg_gold_xml_roundtrip": kg_gold_xml_roundtrip,
+        "i2b2_triples": i2b2_triples,
         "kg_xml_out": kg_xml_out,
         "kg_brat_out": kg_brat_out,
         "kg_graph": kg_graph,
@@ -568,6 +588,12 @@ def oracle_sql() -> dict[str, str]:
             "expected_triples",
             "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",
         ),
+        "i2b2_triples": (lambda root: (
+            __import__("jamie_ray.fixtures", fromlist=["write_i2b2_corpus"])
+            .write_i2b2_corpus(root, 80)
+            and f"SELECT subj, pred, obj, subj_type, obj_type, subj_mod, "
+                f"url, chunk_id FROM read_parquet('{root}/expected_triples.parquet')"
+        ))(os.path.join(_KG_ROOT, "i2b2_n80")),
         # dedup semantics in SQL: partition by the triple surface (=id
         # partition, since fixture linking is identity), representative =
         # lexicographic min over (provenance, attributes), n_sources =

@@ -114,6 +114,117 @@ def _compose_page(i: int) -> tuple[list[str], list[list[tuple[str, str]]]]:
 
 
 # ---------------------------------------------------------------------------
+# synthetic i2b2-style corpus (oracle for the S11 reader path)
+# ---------------------------------------------------------------------------
+
+I2B2_TAGS = ("problem", "treatment", "test")
+I2B2_ASTS = ("present", "absent", "possible", "_")
+I2B2_RELS = ("TrIP", "TrAP", "PIP")
+
+
+def write_i2b2_corpus(root: str, n_docs: int, collection: str = "beth") -> str:
+    """Write a deterministic i2b2-style corpus (txt/concept/ast/rel
+    file quartets) plus ``expected_triples.parquet`` computed straight
+    from the generated annotation structure (independent of the
+    reader): the reader -> assemble path must reproduce it exactly.
+
+    Layout + line formats follow /root/reference/formater.py:87-176;
+    some filler tokens are uppercased to exercise the reader's
+    lowercased span check.
+    """
+    marker = os.path.join(root, f".complete-v{FIXTURE_VERSION}-{n_docs}")
+    if os.path.exists(marker):
+        return root
+    for sub in ("txt", "concept", "ast", "rel"):
+        os.makedirs(os.path.join(root, collection, sub), exist_ok=True)
+
+    tri_rows: dict[str, list] = {
+        k: []
+        for k in ("subj", "pred", "obj", "subj_type", "obj_type", "subj_mod", "url", "chunk_id")
+    }
+    for d in range(n_docs):
+        name = f"record-{d:04d}"
+        url = f"i2b2://{collection}/{name}"
+        txt_lines: list[str] = []
+        con_lines: list[str] = []
+        ast_lines: list[str] = []
+        rel_lines: list[str] = []
+        n_sents = 2 + stable_hash64("i2s", d) % 3
+        for s in range(n_sents):
+            toks: list[str] = []
+            concepts: list[tuple[int, int, str, str]] = []  # (tb, te, tag, ast)
+            n_parts = 1 + stable_hash64("i2p", d, s) % 3
+            for k in range(n_parts):
+                filler = f"w{stable_hash64('i2f', d, s, k) % 97}"
+                if stable_hash64("i2u", d, s, k) % 4 == 0:
+                    filler = filler.upper()  # exercises .lower() check
+                toks.append(filler)
+                if stable_hash64("i2c", d, s, k) % 3 != 0:
+                    width = 1 + stable_hash64("i2w", d, s, k) % 2
+                    tb = len(toks)
+                    ctoks = [f"c{d}s{s}k{k}x{j}" for j in range(width)]
+                    toks.extend(ctoks)
+                    tag = I2B2_TAGS[stable_hash64("i2t", d, s, k) % len(I2B2_TAGS)]
+                    a = I2B2_ASTS[stable_hash64("i2a", d, s, k) % len(I2B2_ASTS)]
+                    concepts.append((tb, tb + width - 1, tag, a))
+            toks.append("eol.")
+            txt_lines.append(" ".join(toks))
+
+            def ptr(tb: int, te: int) -> str:
+                text = " ".join(toks[tb : te + 1]).lower()
+                return f'c="{text}" {s + 1}:{tb} {s + 1}:{te}'
+
+            for tb, te, tag, a in concepts:
+                con_lines.append(f'{ptr(tb, te)}||t="{tag}"')
+                if a != "_":
+                    ast_lines.append(f'{ptr(tb, te)}||t="{tag}"||a="{a}"')
+            # relations between consecutive concept pairs in the sentence
+            for i in range(len(concepts) - 1):
+                t = concepts[i]
+                h = concepts[i + 1]
+                r = I2B2_RELS[stable_hash64("i2r", d, s, i) % len(I2B2_RELS)]
+                rel_lines.append(f'{ptr(t[0], t[1])}||r="{r}"||{ptr(h[0], h[1])}')
+                tri_rows["subj"].append("".join(toks[t[0] : t[1] + 1]))
+                tri_rows["pred"].append(r)
+                tri_rows["obj"].append("".join(toks[h[0] : h[1] + 1]))
+                tri_rows["subj_type"].append(t[2])
+                tri_rows["obj_type"].append(h[2])
+                tri_rows["subj_mod"].append(t[3])
+                tri_rows["url"].append(url)
+                tri_rows["chunk_id"].append(s)
+
+        def write(sub: str, ext: str, lines: list[str]) -> None:
+            with open(
+                os.path.join(root, collection, sub, f"{name}.{ext}"),
+                "w",
+                encoding="utf-8",
+            ) as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+
+        write("txt", "txt", txt_lines)
+        write("concept", "con", con_lines)
+        write("ast", "ast", ast_lines)
+        write("rel", "rel", rel_lines)
+
+    expected = pa.table(
+        {
+            "subj": pa.array(tri_rows["subj"], pa.string()),
+            "pred": pa.array(tri_rows["pred"], pa.string()),
+            "obj": pa.array(tri_rows["obj"], pa.string()),
+            "subj_type": pa.array(tri_rows["subj_type"], pa.string()),
+            "obj_type": pa.array(tri_rows["obj_type"], pa.string()),
+            "subj_mod": pa.array(tri_rows["subj_mod"], pa.string()),
+            "url": pa.array(tri_rows["url"], pa.string()),
+            "chunk_id": pa.array(tri_rows["chunk_id"], pa.int32()),
+        }
+    )
+    pq.write_table(expected, os.path.join(root, "expected_triples.parquet"))
+    with open(marker, "w") as f:
+        f.write(str(n_docs))
+    return root
+
+
+# ---------------------------------------------------------------------------
 # planted near-duplicate embeddings (oracle for embedding_near_dup)
 # ---------------------------------------------------------------------------
 

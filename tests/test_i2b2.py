@@ -1,0 +1,69 @@
+"""i2b2-style reader tests (S11; reference formater.py:87-176 semantics)."""
+
+from jamie_ray.stages.i2b2 import i2b2_doc_to_rows
+
+
+TXT = "The Chest pain was BAD .\nan mri was done .\n"
+
+
+def test_concept_and_assertion():
+    con = 'c="chest pain" 1:1 1:2||t="problem"\nc="mri" 2:1 2:1||t="test"\n'
+    ast = 'c="chest pain" 1:1 1:2||t="problem"||a="present"\n'
+    rows = i2b2_doc_to_rows("i2b2://x/r1", TXT, con, ast, "")
+    assert rows[0]["ner"][1:3] == ["B-problem", "I-problem"]
+    assert rows[0]["mod"][2] == "present"  # last token of the span
+    assert rows[1]["ner"][1] == "B-test"
+    assert rows[0]["anno_errors"] == []
+
+
+def test_span_mismatch_is_recorded_not_silent():
+    con = 'c="wrong words" 1:1 1:2||t="problem"\n'
+    rows = i2b2_doc_to_rows("i2b2://x/r2", TXT, con, "", "")
+    assert rows[0]["ner"] == ["O"] * len(rows[0]["tokens"])
+    assert any("mismatch" in e for e in rows[0]["anno_errors"])
+
+
+def test_relation_or_quirk_and_anchor():
+    con = (
+        'c="chest pain" 1:1 1:2||t="problem"\n'
+        'c="bad" 1:4 1:4||t="problem"\n'
+    )
+    rel = (
+        'c="chest pain" 1:1 1:2||r="PIP"||c="bad" 1:4 1:4\n'
+        'c="chest pain" 1:1 1:2||r="TrAP"||c="bad" 1:4 1:4\n'
+    )
+    rows = i2b2_doc_to_rows("i2b2://x/r3", TXT, con, "", rel)
+    # first rel REPLACES the default cell, second APPENDS
+    assert rows[0]["rels"][2] == ["PIP", "TrAP"]
+    assert rows[0]["heads"][2] == [4, 4]
+
+
+def test_cross_sentence_relation_skipped():
+    con = 'c="chest pain" 1:1 1:2||t="problem"\nc="mri" 2:1 2:1||t="test"\n'
+    rel = 'c="chest pain" 1:1 1:2||r="TrAP"||c="mri" 2:1 2:1\n'
+    rows = i2b2_doc_to_rows("i2b2://x/r4", TXT, con, "", rel)
+    assert rows[0]["rels"][2] == ["N"]
+    assert any("cross-sentence" in e for e in rows[0]["anno_errors"])
+
+
+def test_reader_matches_generator_oracle(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jamie_ray.fixtures import write_i2b2_corpus
+    from jamie_ray.stages.assemble import assemble_batch
+    from jamie_ray.stages.i2b2 import read_i2b2
+
+    root = str(tmp_path / "i2b2")
+    write_i2b2_corpus(root, 25)
+    got = pa.Table.from_pylist(
+        read_i2b2(root, "beth")
+        .map_batches(assemble_batch, batch_format="pyarrow")
+        .take_all()
+    )
+    exp = pq.read_table(f"{root}/expected_triples.parquet")
+    key = lambda t: sorted(
+        zip(*[t.column(c).to_pylist() for c in sorted(t.column_names)])
+    )
+    assert got.num_rows > 0
+    assert key(got) == key(exp)
