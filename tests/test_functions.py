@@ -330,3 +330,30 @@ def test_edge_cap_guard_rail(ray_session):
     # under the cap: passes through every row
     total = sum(b.num_rows for b in iter_capped_batches(ds, cap=1000))
     assert total == 100
+
+
+def test_knn_lsh_recall_on_planted_twins(ray_session):
+    """Single-probe LSH kNN must find a query's planted near-duplicate:
+    the fixture guarantees each twin shares its base's bucket, so the
+    twin is always inside the probed bucket (recall 1.0 on that pair)."""
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(300)
+    emb = tabs["embeddings_nd"]
+    pairs = tabs["expected_near_dup"]
+    ids = emb["vec_id"].to_pylist()
+    vecs = emb["embedding"].to_pylist()
+    ds = ray.data.from_arrow(emb)
+    hits = 0
+    checked = 0
+    for a, b in list(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))[:5]:
+        q = vecs[ids.index(a)]
+        out = similarity.knn_lsh(ds, q, k=5)
+        got = out["vec_id"].to_pylist()
+        assert a in got  # the query itself shares its own bucket
+        checked += 1
+        if b in got:
+            hits += 1
+    assert checked == 5 and hits == 5
