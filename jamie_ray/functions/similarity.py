@@ -109,13 +109,28 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    multiprobe: int = 0,
 ):
     """Approximate cosine top-k: restrict scoring to vectors whose LSH
-    bucket matches the query's (single-probe). Same output schema as
-    :func:`knn_bruteforce`; recall is approximate by design."""
+    bucket matches the query's. Same output schema as
+    :func:`knn_bruteforce`; recall is approximate by design.
+
+    ``multiprobe`` > 0 also probes the buckets reached by flipping the
+    ``multiprobe`` hyperplanes the query lies CLOSEST to (the standard
+    multi-probe LSH recall/cost dial: each extra probe grows candidate
+    mass ~linearly while staying far below a brute-force scan).
+    """
     q = np.asarray(query, dtype=np.float64)
     planes = _planes(len(q))
     q_bucket = lsh_bucket(q, planes)
+    probe_buckets = {q_bucket}
+    if multiprobe > 0:
+        # planes sorted by |distance| of the query to the plane: the
+        # nearest ones are the likeliest sign flips for true neighbors
+        margins = np.abs(planes @ q) / np.linalg.norm(planes, axis=1)
+        for p in np.argsort(margins)[: int(multiprobe)]:
+            probe_buckets.add(q_bucket ^ (1 << int(p)))
+    probes = np.array(sorted(probe_buckets), dtype=np.int64)
 
     def partial(batch: pa.Table) -> pa.Table:
         mat = _as_matrix(batch.column(vec_col))
@@ -123,7 +138,7 @@ def knn_lsh(
         if not len(ids):
             return pa.table({id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
         buckets = ((mat @ planes.T) > 0) @ (1 << np.arange(N_PLANES))
-        mask = buckets == q_bucket
+        mask = np.isin(buckets, probes)
         mat, ids = mat[mask], ids[mask]
         if not len(ids):
             return pa.table({id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})

@@ -37,6 +37,20 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+# per-worker cache for broadcast Arrow arrays fetched from the object
+# store by task-shaped kernels (same pattern as stages/link.py)
+_BCAST_CACHE: dict[str, pa.Array] = {}
+
+
+def _broadcast_array(ref) -> pa.Array:
+    if not isinstance(ref, ray.ObjectRef):
+        return ref
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
 def _rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
     return ds.map_batches(
         lambda b: b.rename_columns([mapping.get(c, c) for c in b.column_names]),
@@ -525,7 +539,12 @@ def shipping_priority(sf_dir: str) -> ray.data.Dataset:
                 }
             )
 
-    def li_partial(batch: pa.Table) -> pa.Table:
+    def li_partial(batch: pa.Table, keyset_ref=None) -> pa.Table:
+        if keyset_ref is not None:
+            vs = _broadcast_array(keyset_ref)
+            batch = batch.filter(
+                pc.is_in(batch.column("l_orderkey"), value_set=vs)
+            )
         rev = pc.multiply(
             pc.cast(batch.column("l_extendedprice"), pa.float64()),
             pc.subtract(
@@ -557,8 +576,33 @@ def shipping_priority(sf_dir: str) -> ray.data.Dataset:
         FilterOrders, fn_constructor_args=(bref,), concurrency=(1, 4),
         batch_format="pyarrow",
     )
+
+    # guarded semijoin prefilter: when the filtered order keyset fits
+    # under the driver cap (it is a *filtered fraction* of the fact
+    # table, not the table), broadcast it and prune lineitem BEFORE the
+    # partials — the join shuffle then moves only matching rows. A
+    # corpus whose keyset exceeds the cap skips the prefilter; the join
+    # itself never needs driver state either way.
+    from ..state.collect import iter_capped_batches
+
+    keyset_ref = None
+    try:
+        keys: list[int] = []
+        key_ds = o_side.map_batches(
+            lambda b: b.select(["l_orderkey"]), batch_format="pyarrow"
+        )
+        for b in iter_capped_batches(key_ds, context="shipping_priority semijoin keys"):
+            keys.extend(b.column("l_orderkey").to_pylist())
+        keyset_ref = ray.put(pa.array(sorted(keys), pa.int64()))
+    except RuntimeError:
+        keyset_ref = None  # keyset too large: fall back to the full shuffle
+
+    import functools
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    li_side = li.map_batches(li_partial, batch_format="pyarrow")
+    li_side = li.map_batches(
+        functools.partial(li_partial, keyset_ref=keyset_ref), batch_format="pyarrow"
+    )
 
     # the one shuffle: both sides hash-partition by l_orderkey; the
     # merge is plain sums (date_us is 0 on lineitem rows, so its sum IS

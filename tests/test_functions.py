@@ -357,3 +357,24 @@ def test_knn_lsh_recall_on_planted_twins(ray_session):
         if b in got:
             hits += 1
     assert checked == 5 and hits == 5
+
+
+def test_knn_lsh_multiprobe_recall_dial(ray_session):
+    """Multiprobe probes supersets of buckets: results grow monotonically
+    toward the brute-force set as probes increase."""
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(300)
+    vecs = tabs["embeddings_nd"]["embedding"].to_pylist()
+    ds = ray.data.from_arrow(tabs["embeddings_nd"])
+    q = vecs[3]
+    exact = set(similarity.knn_bruteforce(ds, q, k=10)["vec_id"].to_pylist())
+    r0 = set(similarity.knn_lsh(ds, q, k=10)["vec_id"].to_pylist())
+    r4 = set(similarity.knn_lsh(ds, q, k=10, multiprobe=4)["vec_id"].to_pylist())
+    # more probes -> at least as many results and at least as much of
+    # the exact top-k recovered (top-k truncation means strict subset
+    # relations are not guaranteed, counts are)
+    assert len(r4) >= len(r0)
+    assert len(r4 & exact) >= len(r0 & exact)
