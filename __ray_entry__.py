@@ -459,6 +459,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def events_hopping_window(sf_dir: str):
+        """Hopping-window aggregate (§2.8 windowed aggregate): 2h
+        windows hopping by 30min, count + exact value sum per
+        (window_start, event_type)."""
+        from jamie_ray.functions.temporal import hopping_window_agg
+
+        events = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        return hopping_window_agg(
+            events,
+            size_seconds=7200.0,
+            hop_seconds=1800.0,
+            value_col="value",
+            group_cols=["event_type"],
+        )
+
     def events_sessionize(sf_dir: str):
         """Gap-based sessions (30 min) per user."""
         from jamie_ray.functions.temporal import sessionize
@@ -516,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": events_asof_orders,
         "events_range_orders": events_range_orders,
         "events_sessionize": events_sessionize,
+        "events_hopping_window": events_hopping_window,
         "top_orders": rel.top_orders,
         "filter_docs": rel.filter_docs,
         "union_docs": rel.union_docs,
@@ -680,6 +698,19 @@ def oracle_sql() -> dict[str, str]:
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
               FROM events
             )
+        """,
+        "events_hopping_window": """
+            WITH ex AS (
+              SELECT make_timestamp(k * 1800000000) AS window_start,
+                     event_type,
+                     CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS val_s
+              FROM events,
+              LATERAL unnest(range((epoch_us(ts) - 7200000000) // 1800000000 + 1,
+                                   epoch_us(ts) // 1800000000 + 1)) AS t(k)
+            )
+            SELECT window_start, event_type, count(*) AS n,
+                   CAST(sum(val_s) AS BIGINT)::DOUBLE / 1000000.0 AS sum_value
+            FROM ex GROUP BY 1, 2
         """,
         "top_users_by_events": """
             SELECT user_id, count(*) AS n_events,

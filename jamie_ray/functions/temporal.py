@@ -277,6 +277,106 @@ def sessionize(
     return events.groupby(key).map_groups(sessions, batch_format="pyarrow")
 
 
+def hopping_window_agg(
+    events,
+    *,
+    ts: str = "ts",
+    size_seconds: float,
+    hop_seconds: float,
+    value_col: str | None = None,
+    group_cols: list[str] | None = None,
+    value_scale: float = 1_000_000.0,
+):
+    """Hopping (sliding) window aggregate: count + exact value sum per
+    (window_start, *group_cols) for windows ``[k*hop, k*hop + size)``.
+
+    A tumbling window is the ``size == hop`` special case
+    (``events_hourly`` in the relational suite); here each event lands
+    in ``size/hop`` windows via a vectorized integer expansion, the
+    per-batch combiner pre-aggregates, and ONE groupby-sum shuffle
+    reduces (the §2.8 windowed-aggregate shape).
+
+    Integer microsecond window math and scaled-integer value sums keep
+    the result bit-identical to the DuckDB oracle regardless of
+    summation order.
+    """
+    import pyarrow.compute as _pc
+
+    group_cols = group_cols or []
+    h_us = int(round(hop_seconds * 1e6))
+    s_us = int(round(size_seconds * 1e6))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = {"window_us": pa.array([], pa.int64())}
+            for g in group_cols:
+                cols[g] = batch.column(g)
+            cols["n"] = pa.array([], pa.int64())
+            if value_col:
+                cols["val_s"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        t_us = np.asarray(
+            _pc.cast(
+                _pc.cast(batch.column(ts).combine_chunks(), pa.timestamp("us")),
+                pa.int64(),
+            )
+        )
+        k_min = (t_us - s_us) // h_us + 1
+        k_max = t_us // h_us
+        reps = (k_max - k_min + 1).astype(np.int64)
+        row_idx = np.repeat(np.arange(len(t_us), dtype=np.int64), reps)
+        offs = np.arange(len(row_idx), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        window_us = (k_min[row_idx] + offs) * h_us
+        expanded = {"window_us": pa.array(window_us, pa.int64())}
+        idx = pa.array(row_idx)
+        for g in group_cols:
+            expanded[g] = _pc.take(batch.column(g).combine_chunks(), idx)
+        if value_col:
+            scaled = _pc.cast(
+                _pc.floor(
+                    _pc.add(
+                        _pc.multiply(
+                            _pc.cast(batch.column(value_col), pa.float64()),
+                            pa.scalar(value_scale),
+                        ),
+                        pa.scalar(0.5),
+                    )
+                ),
+                pa.int64(),
+            )
+            expanded["val_s"] = _pc.take(scaled.combine_chunks() if isinstance(scaled, pa.ChunkedArray) else scaled, idx)
+        t = pa.table(expanded)
+        # combiner: collapse within the batch before the shuffle
+        aggs = [("window_us", "count")] + ([("val_s", "sum")] if value_col else [])
+        gb = t.group_by(["window_us"] + group_cols).aggregate(aggs)
+        names = ["window_us"] + group_cols + ["n"] + (["val_s"] if value_col else [])
+        return gb.rename_columns(names)
+
+    reduced = (
+        events.map_batches(expand, batch_format="pyarrow")
+        .groupby(["window_us"] + group_cols)
+        .sum(["n"] + (["val_s"] if value_col else []))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {
+            "window_start": _pc.cast(batch.column("window_us"), pa.timestamp("us")),
+        }
+        for g in group_cols:
+            cols[g] = batch.column(g)
+        cols["n"] = batch.column("sum(n)")
+        if value_col:
+            cols["sum_value"] = _pc.divide(
+                _pc.cast(batch.column("sum(val_s)"), pa.float64()),
+                pa.scalar(value_scale),
+            )
+        return pa.table(cols)
+
+    return reduced.map_batches(finish, batch_format="pyarrow")
+
+
 def range_join(
     left,
     right,

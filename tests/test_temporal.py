@@ -232,3 +232,35 @@ def test_range_join_salted_equals_unsalted(ray_session):
     salted = range_join(events, orders, bucket_seconds=86400.0 * 3, **kw).take_all()
     assert len(plain) > 0
     assert _rows_key(plain) == _rows_key(salted)
+
+
+def test_hopping_window_agg(ray_session):
+    """Each event lands in size/hop windows; tumbling (size==hop) gives
+    exactly one window per event."""
+    import ray.data
+
+    from jamie_ray.functions.temporal import hopping_window_agg
+
+    base = dt.datetime(2024, 1, 1, 0, 15)
+    events = ray.data.from_items(
+        [
+            {"ts": base, "event_type": "a", "value": 1.5},
+            {"ts": base + dt.timedelta(minutes=40), "event_type": "a", "value": 2.0},
+            {"ts": base + dt.timedelta(hours=3), "event_type": "b", "value": 0.25},
+        ]
+    )
+    hop = hopping_window_agg(
+        events, size_seconds=3600.0, hop_seconds=1800.0,
+        value_col="value", group_cols=["event_type"],
+    ).take_all()
+    # 2 windows per event; the two 'a' events share one window (00:00)
+    n_total = sum(r["n"] for r in hop)
+    assert n_total == 6
+    shared = [r for r in hop if r["event_type"] == "a" and r["n"] == 2]
+    assert len(shared) == 1 and abs(shared[0]["sum_value"] - 3.5) < 1e-9
+
+    tumble = hopping_window_agg(
+        events, size_seconds=3600.0, hop_seconds=3600.0,
+        value_col="value", group_cols=["event_type"],
+    ).take_all()
+    assert sum(r["n"] for r in tumble) == 3
