@@ -239,6 +239,7 @@ def link_triples(
     *,
     threshold: float = DEFAULT_THRESHOLD,
     alias_table: dict[str, str] | None = None,
+    spill_dir: str | None = None,
 ):
     """Full linking stage: triples Dataset -> linked triples Dataset.
 
@@ -252,13 +253,27 @@ def link_triples(
     candidates, so curated knowledge and similarity blocking
     canonicalize through one deterministic mechanism.
 
-    The input is materialized first: linking consumes the triples twice
-    (candidate generation, then the id rewrite), and triples are the
-    *reduced* output of the expensive scoring stage — caching them in
-    the object store costs little memory and avoids re-running the
-    scorer end to end.
+    The input is consumed twice (candidate generation, then the id
+    rewrite), and triples are the *reduced* output of the expensive
+    scoring stage, so by default they are ``materialize()``-cached in
+    the object store (spillable). For triple sets too large even for
+    spill comfort, pass ``spill_dir``: triples are written to
+    partitioned Parquet there and both passes re-read from disk —
+    bounded memory at any scale (the 100-TB-safe shape).
     """
-    triples = triples.materialize()
+    if spill_dir is not None:
+        import os
+
+        import ray.data as _rd
+
+        os.makedirs(spill_dir, exist_ok=True)
+        for stale in os.listdir(spill_dir):
+            if stale.endswith(".parquet"):
+                os.unlink(os.path.join(spill_dir, stale))
+        triples.write_parquet(spill_dir)
+        triples = _rd.read_parquet(spill_dir)
+    else:
+        triples = triples.materialize()
     bands = (
         triples.map_batches(surfaces_batch, batch_format="pyarrow")
         .groupby("surface")

@@ -166,3 +166,27 @@ def test_build_canonical_map_preferred():
     )
     assert cmap["aaa"][1] == "zzz" and cmap["zzz"][1] == "zzz"
     assert cmap["aaa"][0] == link.entity_id("zzz")
+
+
+def test_link_triples_spill_dir_equals_materialize(ray_session, tmp_path):
+    """spill_dir (write-to-parquet + re-read, the 100-TB shape) must
+    produce the same linked output as the default materialize path."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from jamie_ray import fixtures
+    from jamie_ray.pipelines import kg
+    from jamie_ray.stages.link import link_triples
+
+    tables = fixtures.generate(60)
+    pq.write_table(tables["pages"], tmp_path / "pages.parquet")
+    p = str(tmp_path / "pages.parquet")
+
+    key = lambda rows: sorted(tuple(sorted(r.items())) for r in rows)
+    a = key(link_triples(kg.build_triples(p)).take_all())
+    b = key(
+        link_triples(
+            kg.build_triples(p), spill_dir=str(tmp_path / "spill")
+        ).take_all()
+    )
+    assert len(a) > 0 and a == b
