@@ -106,6 +106,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "agg_pricing_summary",
         "segment_revenue",
         "events_hourly",
+        "events_hopping_window",
+        "i2b2_triples",
         "top_orders",
         "doc_token_stats",
         "doc_quality",
