@@ -87,6 +87,18 @@ def surfaces_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"surface": pa.array(vals, pa.string())})
 
 
+def distinct_surfaces_batch(batch: pa.Table) -> pa.Table:
+    """Combiner: block-local DISTINCT of subj/obj surfaces.
+
+    Replaces a global ``groupby(surface)`` distinct (which shuffles one
+    row per occurrence) — cross-block duplicates that survive are
+    re-deduplicated inside each band group, so the global shuffle is
+    spent only on (block x distinct-surface) rows."""
+    vals = set(batch.column("subj").to_pylist())
+    vals.update(batch.column("obj").to_pylist())
+    return pa.table({"surface": pa.array(sorted(vals), pa.string())})
+
+
 def expand_bands_batch(batch: pa.Table) -> pa.Table:
     """distinct surfaces -> (band_key, surface, norm) rows."""
     out_band: list[int] = []
@@ -101,6 +113,9 @@ def expand_bands_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "band_key": pa.array(out_band, pa.int64()),
+            "band_bucket": pa.array(
+                [b % N_BAND_BUCKETS for b in out_band], pa.int64()
+            ),
             "surface": pa.array(out_surface, pa.string()),
             "norm": pa.array(out_norm, pa.string()),
         }
@@ -112,7 +127,7 @@ def candidate_edges_group(
     threshold: float = DEFAULT_THRESHOLD,
     max_group: int = DEFAULT_MAX_GROUP,
 ) -> pa.Table:
-    """map_groups kernel over one band bucket -> verified edges."""
+    """map_groups kernel over one band -> verified edges."""
     norms = sorted(set(zip(group.column("norm").to_pylist(),
                            group.column("surface").to_pylist())))
     norms = norms[:max_group]
@@ -127,6 +142,44 @@ def candidate_edges_group(
     return pa.table(
         {"surface_a": pa.array(a_out, pa.string()), "surface_b": pa.array(b_out, pa.string())}
     )
+
+
+N_BAND_BUCKETS = 256
+
+
+def candidate_edges_bucket(
+    group: pa.Table,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_group: int = DEFAULT_MAX_GROUP,
+) -> pa.Table:
+    """map_groups kernel over one band BUCKET (band_key mod
+    :data:`N_BAND_BUCKETS`): sorts by band_key and runs
+    :func:`candidate_edges_group` per run — identical edges, with
+    per-group dispatch paid once per bucket instead of once per
+    (mostly singleton) band."""
+    group = group.sort_by([("band_key", "ascending")])
+    bands = group.column("band_key").to_pylist()
+    parts: list[pa.Table] = []
+    run_start = 0
+    for k in range(1, len(bands) + 1):
+        if k < len(bands) and bands[k] == bands[run_start]:
+            continue
+        parts.append(
+            candidate_edges_group(
+                group.slice(run_start, k - run_start),
+                threshold=threshold,
+                max_group=max_group,
+            )
+        )
+        run_start = k
+    if not parts:
+        return pa.table(
+            {
+                "surface_a": pa.array([], pa.string()),
+                "surface_b": pa.array([], pa.string()),
+            }
+        )
+    return pa.concat_tables(parts)
 
 
 def build_canonical_map(
@@ -274,14 +327,15 @@ def link_triples(
         triples = _rd.read_parquet(spill_dir)
     else:
         triples = triples.materialize()
-    bands = (
-        triples.map_batches(surfaces_batch, batch_format="pyarrow")
-        .groupby("surface")
-        .count()
-        .map_batches(expand_bands_batch, batch_format="pyarrow")
-    )
-    edges_ds = bands.groupby("band_key").map_groups(
-        lambda g: candidate_edges_group(g, threshold=threshold),
+    # candidate generation: block-local distinct (combiner — the global
+    # per-occurrence distinct shuffle is gone), band expansion, then ONE
+    # shuffle on the band bucket; cross-block duplicate surfaces are
+    # re-deduplicated inside each band run
+    bands = triples.map_batches(
+        distinct_surfaces_batch, batch_format="pyarrow"
+    ).map_batches(expand_bands_batch, batch_format="pyarrow")
+    edges_ds = bands.groupby("band_bucket").map_groups(
+        lambda g: candidate_edges_bucket(g, threshold=threshold),
         batch_format="pyarrow",
     )
     # only cluster members reach the driver: singleton surfaces resolve
