@@ -504,6 +504,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def multimodal_video_frames(sf_dir: str):
+        """Video path: frame sampling (every 4th frame) -> per-frame
+        image features; rows explode per sampled frame."""
+        media = ray.data.from_arrow(multimodal.synthetic_media(60, kind="video"))
+        frames = media.map_batches(
+            multimodal.SampleFrames,
+            fn_constructor_kwargs={"stride": 4, "strict": False},
+            concurrency=(1, 2),
+            batch_size=16,
+            batch_format="pyarrow",
+        )
+        return frames.map_batches(
+            multimodal.ImageFeatures, concurrency=(1, 2), batch_size=64,
+            batch_format="pyarrow",
+        )
+
+    def multimodal_audio(sf_dir: str):
+        """Audio path: fake-decode waveform -> windowed RMS/ZCR features."""
+        media = ray.data.from_arrow(multimodal.synthetic_media(60, kind="audio"))
+        decoded = media.map_batches(
+            multimodal.DecodeAudio,
+            fn_constructor_kwargs={"strict": False},
+            concurrency=(1, 2),
+            batch_size=16,
+            batch_format="pyarrow",
+        )
+        return decoded.map_batches(
+            multimodal.AudioFeatures, concurrency=(1, 2), batch_size=32,
+            batch_format="pyarrow",
+        )
+
     return {
         # KG flagship stages
         "kg_extract_text": kg_extract_text,
@@ -560,6 +591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": embedding_near_dup,
         # multimodal
         "multimodal_features": multimodal_features,
+        "multimodal_video_frames": multimodal_video_frames,
+        "multimodal_audio": multimodal_audio,
     }
 
 

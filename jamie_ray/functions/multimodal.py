@@ -39,10 +39,25 @@ MEDIA = pa.schema(
 
 
 def synthetic_media(n: int, kind: str = "image") -> pa.Table:
-    """Deterministic fake media table (payload = hash-derived bytes)."""
+    """Deterministic fake media table (payload = hash-derived bytes).
+
+    ``kind``: image (1 frame), video (8-31 frames), audio (16 kHz,
+    no frames) — the metadata shapes each decode stage keys on.
+    """
     ids = np.arange(n, dtype=np.uint64)
     w = (mix64(ids, 1) % np.uint64(48) + np.uint64(16)).astype(np.int32)
     h = (mix64(ids, 2) % np.uint64(48) + np.uint64(16)).astype(np.int32)
+    if kind == "video":
+        n_frames = (mix64(ids, 3) % np.uint64(24) + np.uint64(8)).astype(np.int32)
+        sample_rate = np.zeros(n, dtype=np.int32)
+    elif kind == "audio":
+        n_frames = np.zeros(n, dtype=np.int32)
+        sample_rate = np.full(n, 16_000, dtype=np.int32)
+        w = np.zeros(n, dtype=np.int32)
+        h = np.zeros(n, dtype=np.int32)
+    else:
+        n_frames = np.ones(n, dtype=np.int32)
+        sample_rate = np.zeros(n, dtype=np.int32)
     payloads = [
         mix64(np.arange(64, dtype=np.uint64), seed=int(i) + 7).astype(np.uint8).tobytes()
         for i in ids
@@ -54,8 +69,8 @@ def synthetic_media(n: int, kind: str = "image") -> pa.Table:
             "payload": pa.array(payloads, pa.binary()),
             "width": pa.array(w, pa.int32()),
             "height": pa.array(h, pa.int32()),
-            "n_frames": pa.array([1] * n, pa.int32()),
-            "sample_rate": pa.array([0] * n, pa.int32()),
+            "n_frames": pa.array(n_frames, pa.int32()),
+            "sample_rate": pa.array(sample_rate, pa.int32()),
         }
     )
 
@@ -120,6 +135,123 @@ class ImageFeatures:
             feats.append(
                 [float(a.mean()), float(a.std())] + (hist / max(len(a), 1)).tolist()
             )
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "features": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+class SampleFrames:
+    """Actor-pool stage: video payload -> one row per SAMPLED frame.
+
+    Samples every ``stride``-th frame (deterministic; the real codec
+    would seek-decode exactly those frames — the fake decode derives
+    pixels from (payload, frame_idx) so frames differ but reproduce).
+    Output explodes rows: (media_id, frame_idx, width, height, pixels).
+    Same strict/fake codec boundary as :class:`DecodeImage`.
+    """
+
+    def __init__(self, stride: int = 4, strict: bool = False) -> None:
+        self.stride = int(stride)
+        self.strict = strict
+
+    def _decode_frame(self, payload: bytes, w: int, h: int, idx: int) -> np.ndarray:
+        if self.strict:
+            # STUB: the video codec is not available in this container.
+            raise NotImplementedError(
+                "video frame decode requires a codec library not present "
+                "here; install one and replace this call"
+            )
+        seed = (int.from_bytes(payload[:8] or b"\0" * 8, "little") + idx * 1_000_003) % (
+            1 << 31
+        )
+        n_px = int(w) * int(h)
+        px = (mix64(np.arange(n_px, dtype=np.uint64), seed=seed) & np.uint64(0xFF)).astype(
+            np.uint8
+        )
+        return px.reshape(int(h), int(w))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, ws, hs, pixels = [], [], [], [], []
+        for mid, payload, w, h, nf in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+            batch.column("n_frames").to_pylist(),
+        ):
+            for idx in range(0, int(nf), self.stride):
+                mids.append(mid)
+                fidx.append(idx)
+                ws.append(w)
+                hs.append(h)
+                pixels.append(self._decode_frame(payload, w, h, idx).flatten().tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "pixels": pa.array(pixels, pa.list_(pa.uint8())),
+            }
+        )
+
+
+class DecodeAudio:
+    """Actor-pool stage: audio payload -> waveform column (float32 in
+    [-1, 1], one fake second at the declared sample rate). Strict mode
+    marks the codec boundary exactly like :class:`DecodeImage`."""
+
+    def __init__(self, strict: bool = False) -> None:
+        self.strict = strict
+
+    def _decode_one(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        if self.strict:
+            # STUB: the audio codec is not available in this container.
+            raise NotImplementedError(
+                "audio decode requires a codec library not present here; "
+                "install one and replace this call"
+            )
+        seed = int.from_bytes(payload[:8] or b"\0" * 8, "little") % (1 << 31)
+        n = max(int(sample_rate), 1)
+        u = mix64(np.arange(n, dtype=np.uint64), seed=seed)
+        return ((u >> np.uint64(11)).astype(np.float32) / float(1 << 53)) * 2.0 - 1.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        waves = [
+            self._decode_one(p, sr).tolist()
+            for p, sr in zip(
+                batch.column("payload").to_pylist(),
+                batch.column("sample_rate").to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "sample_rate": batch.column("sample_rate"),
+                "waveform": pa.array(waves, pa.list_(pa.float32())),
+            }
+        )
+
+
+class AudioFeatures:
+    """Actor-pool stage: waveform -> per-window RMS energy + zero-cross
+    rate (vectorized; stands in for batched model inference)."""
+
+    def __init__(self, window: int = 1024) -> None:
+        self.window = int(window)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for wav in batch.column("waveform").to_pylist():
+            a = np.asarray(wav, dtype=np.float64)
+            n_win = max(len(a) // self.window, 1)
+            a = a[: n_win * self.window].reshape(n_win, -1)
+            rms = np.sqrt((a**2).mean(axis=1))
+            zcr = (np.abs(np.diff(np.sign(a), axis=1)) > 0).mean(axis=1)
+            feats.append(np.concatenate([rms, zcr]).tolist())
         return pa.table(
             {
                 "media_id": batch.column("media_id"),

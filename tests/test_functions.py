@@ -378,3 +378,48 @@ def test_knn_lsh_multiprobe_recall_dial(ray_session):
     # relations are not guaranteed, counts are)
     assert len(r4) >= len(r0)
     assert len(r4 & exact) >= len(r0 & exact)
+
+
+def test_video_frame_sampling(ray_session):
+    import ray.data
+
+    media = multimodal.synthetic_media(10, kind="video")
+    nf = media["n_frames"].to_pylist()
+    expected_rows = sum((n + 3) // 4 for n in nf)
+    frames = (
+        ray.data.from_arrow(media)
+        .map_batches(
+            multimodal.SampleFrames,
+            fn_constructor_kwargs={"stride": 4, "strict": False},
+            concurrency=1, batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    assert len(frames) == expected_rows
+    # frames of one video differ (seeded by frame_idx) but reproduce
+    f0 = [r for r in frames if r["media_id"] == 0]
+    assert len({tuple(r["pixels"]) for r in f0}) == len(f0)
+    again = multimodal.SampleFrames(stride=4)(media)
+    assert again.num_rows == expected_rows
+
+
+def test_video_strict_marks_codec_boundary():
+    import pytest as _pytest
+
+    media = multimodal.synthetic_media(2, kind="video")
+    with _pytest.raises(NotImplementedError, match="video frame decode"):
+        multimodal.SampleFrames(strict=True)(media)
+
+
+def test_audio_decode_and_features():
+    media = multimodal.synthetic_media(4, kind="audio")
+    decoded = multimodal.DecodeAudio()(media)
+    wav = decoded["waveform"][0].as_py()
+    assert len(wav) == 16_000 and all(-1.0 <= v <= 1.0 for v in wav)
+    feats = multimodal.AudioFeatures(window=1024)(decoded)
+    f = feats["features"][0].as_py()
+    assert len(f) == 2 * (16_000 // 1024)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="audio decode"):
+        multimodal.DecodeAudio(strict=True)(media)
