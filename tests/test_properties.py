@@ -123,3 +123,105 @@ def test_extract_text_total(html):
     # the extractor must be total on arbitrary input
     out = tn.extract_text(html)
     assert isinstance(out, str)
+
+
+# -- gold-XML roundtrip property --------------------------------------------
+
+@st.composite
+def tagged_chunks(draw):
+    """Random tagged-chunk rows under the writer's representable
+    constraints: non-overlapping spans, MOD_DICT modalities, at most
+    one relation per (tail, head) span pair (the writer's span2rel dict
+    collapses duplicates by design)."""
+    from jamie_ray.stages.format_out import MOD_DICT
+
+    n = draw(st.integers(2, 14))
+    # token alphabet restricted to analyze()-fixed-points (kana/kanji):
+    # pipeline tokens are always analyzer output, so half-width chars
+    # that the reader's re-analysis would width-fold are out of domain
+    tok = st.text(
+        alphabet=st.sampled_from(list("あいうえ漢字熱痛ナカ")), min_size=1, max_size=4
+    )
+    tokens = [draw(tok) for _ in range(n)]
+    ner = ["O"] * n
+    mod = ["_"] * n
+    spans = []
+    i = 0
+    while i < n:
+        if draw(st.booleans()) and i < n:
+            w = min(draw(st.integers(1, 2)), n - i)
+            tag = draw(st.sampled_from(["d", "a", "TIMEX3"]))
+            ner[i] = f"B-{tag}"
+            for j in range(i + 1, i + w):
+                ner[j] = f"I-{tag}"
+            m = draw(st.sampled_from(list(MOD_DICT) + ["_"]))
+            mod[i + w - 1] = m
+            spans.append((i, i + w))
+            i += w + 1
+        else:
+            i += 1
+    rels = [["N"] for _ in range(n)]
+    heads = [[k] for k in range(n)]
+    anchors = [e - 1 for _, e in spans]
+    pairs = draw(
+        st.lists(
+            st.tuples(st.sampled_from(anchors or [0]), st.sampled_from(anchors or [0])),
+            max_size=4,
+            unique=True,
+        )
+    ) if anchors else []
+    for t, h in pairs:
+        r = draw(st.sampled_from(["on", "before", "TrAP"]))
+        if rels[t] == ["N"] and heads[t] == [t]:
+            rels[t] = [r]
+            heads[t] = [h]
+        else:
+            rels[t].append(r)
+            heads[t].append(h)
+    return tokens, ner, mod, rels, heads
+
+
+@given(tagged_chunks())
+@settings(max_examples=60, deadline=None)
+def test_gold_xml_roundtrip_property(chunk):
+    """writer -> reader -> assemble equals direct assemble for ANY
+    representable tagged chunk (triple surfaces survive re-tokenization
+    because mention strings and tid-anchored relations are
+    index-free)."""
+    import pyarrow as pa
+
+    from jamie_ray.stages.assemble import assemble_batch
+    from jamie_ray.stages.format_out import chunk_to_xml
+    from jamie_ray.stages.gold_xml import gold_xml_to_tagged_batch
+
+    tokens, ner, mod, rels, heads = chunk
+
+    def tagged_table(t, nr, md, rl, hd):
+        return pa.table(
+            {
+                "url": pa.array(["u"], "string"),
+                "chunk_id": pa.array([0], pa.int32()),
+                "tokens": pa.array([t], pa.list_(pa.string())),
+                "ner": pa.array([nr], pa.list_(pa.string())),
+                "mod": pa.array([md], pa.list_(pa.string())),
+                "rels": pa.array([rl], pa.list_(pa.list_(pa.string()))),
+                "heads": pa.array([hd], pa.list_(pa.list_(pa.int32()))),
+            }
+        )
+
+    direct = assemble_batch(tagged_table(tokens, ner, mod, rels, heads))
+    xml = chunk_to_xml(tokens, ner, mod, rels, heads)
+    back = gold_xml_to_tagged_batch(
+        pa.table(
+            {
+                "url": pa.array(["u"], "string"),
+                "chunk_id": pa.array([0], pa.int32()),
+                "xml": pa.array([xml], "string"),
+            }
+        )
+    )
+    via = assemble_batch(back)
+    key = lambda t: sorted(
+        zip(*[t.column(c).to_pylist() for c in sorted(t.column_names)])
+    ) if t.num_rows else []
+    assert key(direct) == key(via)
