@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 4
+FIXTURE_VERSION = 5
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -293,7 +293,11 @@ def generate_embeddings(n_vec: int) -> dict[str, pa.Table]:
             continue
         twins.append(w32)
         b = w32.astype(np.float64)
-        cos = float((v @ b) / (np.linalg.norm(v) * np.linalg.norm(b)))
+        # normalize-then-dot, the engine's expression tree
+        # (similarity.py verify: unit rows, then gram product) — NOT
+        # dot-then-divide, whose last-ulp difference could flip a
+        # round(,6) boundary
+        cos = float((v / np.linalg.norm(v)) @ (b / np.linalg.norm(b)))
         pair_rows["id_a"].append(i)
         pair_rows["id_b"].append(next_id)
         pair_rows["cosine"].append(round(cos, 6))

@@ -156,16 +156,14 @@ def minhash_clusters(
 
     def pairs(group: pa.Table) -> pa.Table:
         # one bucket = many bands: sort by (band_key, id), walk runs
+        from ..runs import iter_key_runs
+
         group = group.sort_by([("band_key", "ascending"), (id_col, "ascending")])
-        bands = group.column("band_key").to_pylist()
-        ids = group.column(id_col).to_pylist()
-        texts = group.column(text_col).to_pylist()
         a_out, b_out = [], []
-        run_start = 0
-        for k in range(1, len(bands) + 1):
-            if k < len(bands) and bands[k] == bands[run_start]:
-                continue
-            rows = list(zip(ids[run_start:k], texts[run_start:k]))[:max_group]
+        for run in iter_key_runs(group, "band_key"):
+            rows = list(
+                zip(run.column(id_col).to_pylist(), run.column(text_col).to_pylist())
+            )[:max_group]
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
                     if rows[i][0] == rows[j][0]:
@@ -173,7 +171,6 @@ def minhash_clusters(
                     if ngram_jaccard(rows[i][1], rows[j][1]) >= threshold:
                         a_out.append(rows[i][0])
                         b_out.append(rows[j][0])
-            run_start = k
         return pa.table(
             {"id_a": pa.array(a_out, pa.int64()), "id_b": pa.array(b_out, pa.int64())}
         )

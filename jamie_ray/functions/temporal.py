@@ -173,15 +173,14 @@ def asof_join(
     rt = rt.map_batches(lambda b: b.select(all_cols), batch_format="pyarrow")
 
     drop_cols = ["__side"] + (["__salt"] if salted else [])
-    _summary_cache: dict = {}
 
     def _summaries():
+        # plain ray.get per group call: the object is worker-local after
+        # the first fetch and closures are re-pickled per task anyway,
+        # so a cross-call cache here could never live long enough to pay
         import ray
 
-        k = summary_ref.hex()
-        if k not in _summary_cache:
-            _summary_cache[k] = ray.get(summary_ref)
-        return _summary_cache[k]
+        return ray.get(summary_ref)
 
     def merge(group: pa.Table) -> pa.Table:
         sides = np.asarray(group.column("__side").to_pylist())
@@ -232,12 +231,7 @@ def asof_join(
                         continue
                     col = group.column(c)
                     if c in right_cols:
-                        fb[c] = pa.array(
-                            [vals[c]] * len(l_miss),
-                            type=col.type
-                            if not isinstance(col, pa.ChunkedArray)
-                            else col.type,
-                        )
+                        fb[c] = pa.array([vals[c]] * len(l_miss), type=col.type)
                     else:
                         fb[c] = col.take(pa.array(l_miss, pa.int64()))
                 parts.append(pa.table(fb))
@@ -348,11 +342,13 @@ def hopping_window_agg(
             )
             expanded["val_s"] = _pc.take(scaled.combine_chunks() if isinstance(scaled, pa.ChunkedArray) else scaled, idx)
         t = pa.table(expanded)
-        # combiner: collapse within the batch before the shuffle
+        # combiner: collapse within the batch before the shuffle;
+        # rename by NAME, not position (pyarrow output order is an
+        # implementation detail)
         aggs = [("window_us", "count")] + ([("val_s", "sum")] if value_col else [])
         gb = t.group_by(["window_us"] + group_cols).aggregate(aggs)
-        names = ["window_us"] + group_cols + ["n"] + (["val_s"] if value_col else [])
-        return gb.rename_columns(names)
+        strip = {"window_us_count": "n", "val_s_sum": "val_s"}
+        return gb.rename_columns([strip.get(c, c) for c in gb.column_names])
 
     reduced = (
         events.map_batches(expand, batch_format="pyarrow")

@@ -38,7 +38,8 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.
 
 
 # per-worker cache for broadcast Arrow arrays fetched from the object
-# store by task-shaped kernels (same pattern as stages/link.py)
+# store by task-shaped kernels (same pattern as stages/link.py).
+# Single-entry: a new ref evicts the old, bounding worker memory
 _BCAST_CACHE: dict[str, pa.Array] = {}
 
 
@@ -47,6 +48,7 @@ def _broadcast_array(ref) -> pa.Array:
         return ref
     key = ref.hex()
     if key not in _BCAST_CACHE:
+        _BCAST_CACHE.clear()
         _BCAST_CACHE[key] = ray.get(ref)
     return _BCAST_CACHE[key]
 
@@ -583,8 +585,11 @@ def shipping_priority(sf_dir: str) -> ray.data.Dataset:
     # partials — the join shuffle then moves only matching rows. A
     # corpus whose keyset exceeds the cap skips the prefilter; the join
     # itself never needs driver state either way.
-    from ..state.collect import iter_capped_batches
+    from ..state.collect import EdgeCapExceeded, iter_capped_batches
 
+    # materialize the (small) filtered orders once: the keyset scan and
+    # the union below otherwise each re-execute the read+filter
+    o_side = o_side.materialize()
     keyset_ref = None
     try:
         keys: list[int] = []
@@ -594,7 +599,7 @@ def shipping_priority(sf_dir: str) -> ray.data.Dataset:
         for b in iter_capped_batches(key_ds, context="shipping_priority semijoin keys"):
             keys.extend(b.column("l_orderkey").to_pylist())
         keyset_ref = ray.put(pa.array(sorted(keys), pa.int64()))
-    except RuntimeError:
+    except EdgeCapExceeded:
         keyset_ref = None  # keyset too large: fall back to the full shuffle
 
     import functools

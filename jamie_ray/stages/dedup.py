@@ -95,10 +95,11 @@ def _local_combine(batch: pa.Table) -> pa.Table:
             ("n_sources", "sum"), ("url", "first"), ("chunk_id", "first"),
         ]
     )
-    gb = gb.rename_columns(
-        ["triple_key", "subj_id", "pred", "obj_id", "subj", "obj",
-         "subj_type", "obj_type", "subj_mod", "n_sources", "url", "chunk_id"]
-    )
+    # rename by NAME (strip the _first/_sum suffixes), never by
+    # position — pyarrow's output column order is an implementation
+    # detail (CLAUDE.md r2 gotcha)
+    strip = {f"{c}_first": c for c in _OUT_COLS} | {"n_sources_sum": "n_sources"}
+    gb = gb.rename_columns([strip.get(c, c) for c in gb.column_names])
     return gb.select(_OUT_COLS)
 
 
@@ -113,11 +114,13 @@ def dedup_triples(linked, n_buckets: int = 1024):
     """linked triples Dataset -> deduplicated graph rows Dataset.
 
     The subj/obj columns of the output carry the canonical surfaces.
-    The reduce shuffle is keyed on ``triple_key mod n_buckets`` rather
-    than the raw key: per-group dispatch overhead then scales with the
-    bucket count, not the (much larger) distinct-triple count, and each
-    group merge is one vectorized combiner pass.
+    The reduce shuffle is keyed on the low bits of ``triple_key``
+    (``n_buckets`` rounded UP to a power of two so the bitmask is a
+    true uniform modulo): per-group dispatch overhead then scales with
+    the bucket count, not the (much larger) distinct-triple count, and
+    each group merge is one vectorized combiner pass.
     """
+    n_buckets = 1 << max(0, (n_buckets - 1)).bit_length()
     mask = pa.scalar(n_buckets - 1, pa.int64())
 
     def combine_and_bucket(batch: pa.Table) -> pa.Table:

@@ -95,7 +95,10 @@ def parse_gold_xml(xml: str) -> dict:
             mod[-1] = modality
             end = len(tokens)
             auto_tid += 1
-            tid_span[attrs.get("tid", f"T{auto_tid}")] = (start, end)
+            # auto ids are namespaced so an entity WITHOUT a tid can
+            # never collide with (and be overwritten by) a later
+            # explicit tid="T1" from the file
+            tid_span[attrs.get("tid", f"__auto{auto_tid}")] = (start, end)
             if "DCT-Rel" in attrs:
                 self_rels.append((end - 1, attrs["DCT-Rel"]))
         pos = m.end()

@@ -59,6 +59,27 @@ def i2b2_doc_to_rows(
     """One document's four file contents -> tagged-chunk dicts (one per
     sentence) with an ``anno_errors`` list of skipped annotations."""
     tok_2d = [line.rstrip().split() for line in txt.splitlines()]
+    if not tok_2d and (con.strip() or ast.strip() or rel.strip()):
+        # empty/missing txt but annotations exist: the doc must surface
+        # as ONE countable error row, not vanish (the reference's silent
+        # data loss is exactly what this reader exists to fix)
+        n_anno = sum(
+            1 for blob in (con, ast, rel) for ln in blob.splitlines() if ln.strip()
+        )
+        return [
+            {
+                "url": url,
+                "chunk_id": 0,
+                "tokens": [],
+                "ner": [],
+                "mod": [],
+                "rels": [],
+                "heads": [],
+                "anno_errors": [
+                    f"[doc] empty txt but {n_anno} annotation lines present"
+                ],
+            }
+        ]
     ner_2d = [["O"] * len(t) for t in tok_2d]
     mod_2d = [["_"] * len(t) for t in tok_2d]
     rel_2d = [[["N"] for _ in t] for t in tok_2d]

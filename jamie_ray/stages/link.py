@@ -157,21 +157,13 @@ def candidate_edges_bucket(
     :func:`candidate_edges_group` per run — identical edges, with
     per-group dispatch paid once per bucket instead of once per
     (mostly singleton) band."""
+    from ..runs import iter_key_runs
+
     group = group.sort_by([("band_key", "ascending")])
-    bands = group.column("band_key").to_pylist()
-    parts: list[pa.Table] = []
-    run_start = 0
-    for k in range(1, len(bands) + 1):
-        if k < len(bands) and bands[k] == bands[run_start]:
-            continue
-        parts.append(
-            candidate_edges_group(
-                group.slice(run_start, k - run_start),
-                threshold=threshold,
-                max_group=max_group,
-            )
-        )
-        run_start = k
+    parts = [
+        candidate_edges_group(run, threshold=threshold, max_group=max_group)
+        for run in iter_key_runs(group, "band_key")
+    ]
     if not parts:
         return pa.table(
             {
@@ -225,7 +217,10 @@ def build_canonical_map(
 # per-worker state for the task-shaped rewrite: canonical map resolved
 # from the object store ONCE per worker (keyed by ref), plus a surface
 # -> (id, canon) memo — entity vocabularies repeat heavily, so the
-# blake2b entity_id cost amortizes to vocabulary size, not row count
+# blake2b entity_id cost amortizes to vocabulary size, not row count.
+# SINGLE-entry by design: a new ref (another link run in the same
+# session) evicts the old one, so worker memory stays bounded by one
+# canonical map regardless of how many pipelines the process serves
 _REWRITE_STATE: dict[str, tuple[dict, dict]] = {}
 
 
@@ -234,6 +229,7 @@ def _rewrite_state(canonical_ref) -> tuple[dict, dict]:
         key = canonical_ref.hex()
         entry = _REWRITE_STATE.get(key)
         if entry is None:
+            _REWRITE_STATE.clear()
             entry = (ray.get(canonical_ref), {})
             _REWRITE_STATE[key] = entry
         return entry

@@ -17,6 +17,11 @@ from __future__ import annotations
 DEFAULT_EDGE_CAP = 5_000_000
 
 
+class EdgeCapExceeded(RuntimeError):
+    """Raised when a guarded driver-side collection passes its cap —
+    catch THIS (not bare RuntimeError) to fall back gracefully."""
+
+
 def iter_capped_batches(ds, cap: int = DEFAULT_EDGE_CAP, context: str = "edge list"):
     """Yield pyarrow batches of ``ds``, raising once ``cap`` rows pass.
 
@@ -28,7 +33,7 @@ def iter_capped_batches(ds, cap: int = DEFAULT_EDGE_CAP, context: str = "edge li
     for batch in ds.iter_batches(batch_format="pyarrow"):
         n += batch.num_rows
         if n > cap:
-            raise RuntimeError(
+            raise EdgeCapExceeded(
                 f"{context}: driver-side collection exceeded its cap "
                 f"({n} rows > {cap}). A pathological corpus is producing "
                 "too many verified edges for driver memory — tighten the "

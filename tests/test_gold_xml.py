@@ -67,3 +67,20 @@ def test_gold_xml_roundtrip_equals_direct_path(ray_session, tmp_path):
     key = lambda rows: sorted(tuple(sorted(r.items())) for r in rows)
     assert len(direct) > 0
     assert key(direct) == key(via_xml)
+
+
+def test_auto_tid_never_collides_with_explicit():
+    """An entity without a tid must not be overwritten by a later
+    explicit tid=\"T1\" (code-review finding)."""
+    xml = (
+        '<d certainty="positive">発熱</d>と'
+        '<t tid="T1">昨日</t>。\n'
+        '<brel rid="R1" arg1="T1" arg2="T1" reltype="on" />\n'
+    )
+    row = parse_gold_xml(xml)
+    i_kino = row["tokens"].index("昨日")
+    # the brel (T1->T1, a self rel via explicit tid) anchors on 昨日,
+    # NOT on the auto-id'd 発熱
+    assert row["rels"][i_kino] == ["on"]
+    i_hatsu = row["tokens"].index("発熱")
+    assert row["rels"][i_hatsu] == ["N"]

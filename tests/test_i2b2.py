@@ -67,3 +67,13 @@ def test_reader_matches_generator_oracle(ray_session, tmp_path):
     )
     assert got.num_rows > 0
     assert key(got) == key(exp)
+
+
+def test_empty_txt_with_annotations_is_countable():
+    """A doc whose txt is empty/missing but has annotation files must
+    surface as one error row — never vanish (code-review finding)."""
+    con = 'c="foo" 1:0 1:0||t="problem"\n'
+    rows = i2b2_doc_to_rows("i2b2://x/empty", "", con, "", "")
+    assert len(rows) == 1
+    assert rows[0]["tokens"] == []
+    assert any("empty txt" in e for e in rows[0]["anno_errors"])
