@@ -16,6 +16,10 @@ Commands
 - ``graph``        full resumable materialize (link + dedup + sorted write)
 - ``eval``         triple P/R/F1 of pred parquet vs gold parquet
 - ``synth``        write a deterministic synthetic pages corpus
+- ``convert``      format converter (the data_converter.py analogue):
+                   any reader (tagged parquet / gold-XML parquet /
+                   multihead-CoNLL parquet / i2b2 directory) to any
+                   writer (tagged / conll / xml / brat / pmhs / triples)
 
 Every command guards ``ray.init`` with ``is_initialized`` so it works
 both standalone and under a driver that already initialised Ray.
@@ -99,6 +103,72 @@ def cmd_eval(args) -> None:
     )
 
 
+def cmd_convert(args) -> None:
+    """Any supported annotation format -> any output format
+    (/root/reference/data_converter.py:111-155 front-door parity,
+    composed from the engine's reader/writer batch kernels)."""
+    _ensure_ray()
+    import ray.data
+
+    if args.from_fmt == "i2b2":
+        from .stages.i2b2 import read_i2b2
+
+        tagged = read_i2b2(args.inp, args.collection)
+        # drop the error side channel before the format writers
+        tagged = tagged.map_batches(
+            lambda b: b.drop_columns(["anno_errors"]), batch_format="pyarrow"
+        )
+    elif args.from_fmt == "goldxml":
+        from .stages.gold_xml import gold_xml_to_tagged_batch
+
+        tagged = ray.data.read_parquet(args.inp).map_batches(
+            gold_xml_to_tagged_batch, batch_format="pyarrow"
+        )
+    elif args.from_fmt == "conll":
+        from .stages.conll import conll_text_to_tagged_batch
+
+        tagged = ray.data.read_parquet(args.inp).map_batches(
+            conll_text_to_tagged_batch, batch_format="pyarrow"
+        )
+    else:  # tagged parquet
+        tagged = ray.data.read_parquet(args.inp)
+
+    if args.to_fmt == "tagged":
+        out_ds = tagged
+    elif args.to_fmt == "conll":
+        from .stages.conll import tagged_to_conll_batch
+
+        out_ds = tagged.map_batches(tagged_to_conll_batch, batch_format="pyarrow")
+    elif args.to_fmt == "xml":
+        from .stages.format_out import tagged_to_xml_batch
+
+        out_ds = tagged.map_batches(tagged_to_xml_batch, batch_format="pyarrow")
+    elif args.to_fmt == "brat":
+        from .stages.format_out import tagged_to_brat_batch
+
+        out_ds = tagged.map_batches(tagged_to_brat_batch, batch_format="pyarrow")
+    elif args.to_fmt == "pmhs":
+        from .stages.pmhs import tagged_to_pmhs_batch
+
+        out_ds = tagged.map_batches(tagged_to_pmhs_batch, batch_format="pyarrow")
+    else:  # triples
+        from .stages.assemble import assemble_batch
+
+        out_ds = tagged.map_batches(assemble_batch, batch_format="pyarrow")
+
+    out_ds.write_parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "command": "convert",
+                "from": args.from_fmt,
+                "to": args.to_fmt,
+                "out": args.out,
+            }
+        )
+    )
+
+
 def cmd_synth(args) -> None:
     from .fixtures import write_corpus
 
@@ -138,6 +208,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--pred", required=True)
     p.add_argument("--f1-mode", choices=("micro", "macro"), default="micro")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("convert", help="annotation-format converter")
+    p.add_argument("--from", dest="from_fmt", required=True,
+                   choices=("tagged", "goldxml", "conll", "i2b2"))
+    p.add_argument("--to", dest="to_fmt", required=True,
+                   choices=("tagged", "conll", "xml", "brat", "pmhs", "triples"))
+    p.add_argument("--in", dest="inp", required=True,
+                   help="input parquet path (or i2b2 data dir)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--collection", default="beth", help="i2b2 collection name")
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("synth", help="deterministic synthetic pages corpus")
     p.add_argument("--out", required=True)

@@ -77,3 +77,61 @@ def test_empty_txt_with_annotations_is_countable():
     assert len(rows) == 1
     assert rows[0]["tokens"] == []
     assert any("empty txt" in e for e in rows[0]["anno_errors"])
+
+
+def test_cli_convert_i2b2_to_triples(ray_session, tmp_path):
+    """The convert front door (data_converter.py parity): i2b2 dir ->
+    triples parquet equals the generator's expected table."""
+    import pyarrow.parquet as pq
+
+    from jamie_ray.__main__ import main
+    from jamie_ray.fixtures import write_i2b2_corpus
+
+    root = str(tmp_path / "i2b2cli")
+    write_i2b2_corpus(root, 12)
+    out = str(tmp_path / "tri_out")
+    main(["convert", "--from", "i2b2", "--to", "triples",
+          "--in", root, "--out", out])
+    import glob
+
+    got = pq.read_table(sorted(glob.glob(f"{out}/*.parquet")))
+    exp = pq.read_table(f"{root}/expected_triples.parquet")
+    key = lambda t: sorted(
+        zip(*[t.column(c).to_pylist() for c in sorted(t.column_names)])
+    )
+    assert key(got) == key(exp)
+
+
+def test_cli_convert_conll_roundtrip(ray_session, tmp_path):
+    """tagged -> conll parquet (CLI) -> back to triples equals direct."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jamie_ray.__main__ import main
+    from jamie_ray.fixtures import write_i2b2_corpus
+    from jamie_ray.stages.assemble import assemble_batch
+    from jamie_ray.stages.i2b2 import read_i2b2
+
+    root = str(tmp_path / "i2b2cli2")
+    write_i2b2_corpus(root, 8)
+    tagged_dir = str(tmp_path / "tagged_out")
+    main(["convert", "--from", "i2b2", "--to", "tagged",
+          "--in", root, "--out", tagged_dir])
+    conll_dir = str(tmp_path / "conll_out")
+    main(["convert", "--from", "tagged", "--to", "conll",
+          "--in", tagged_dir, "--out", conll_dir])
+    back_dir = str(tmp_path / "back_out")
+    main(["convert", "--from", "conll", "--to", "triples",
+          "--in", conll_dir, "--out", back_dir])
+    got = pq.read_table(sorted(glob.glob(f"{back_dir}/*.parquet")))
+    direct = pa.Table.from_pylist(
+        read_i2b2(root, "beth")
+        .map_batches(assemble_batch, batch_format="pyarrow")
+        .take_all()
+    )
+    key = lambda t: sorted(
+        zip(*[t.column(c).to_pylist() for c in sorted(t.column_names)])
+    ) if t.num_rows else []
+    assert key(got) == key(direct)
