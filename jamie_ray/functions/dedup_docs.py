@@ -98,14 +98,24 @@ def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
 
 # -- minhash-LSH near-dup ---------------------------------------------------
 
-def _doc_bands(text: str) -> list[int]:
+def _doc_shingle_hashes(text: str) -> np.ndarray:
+    """Sorted distinct 64-bit shingle hashes of ``text`` (uint64).
+
+    Hash-set Jaccard over these equals string-shingle Jaccard barring a
+    64-bit collision inside one pair's union — negligible, and
+    deterministic either way (same hashes every run)."""
     sh = sorted(word_shingles(text))
     if not sh:
-        return []
-    base = np.array(
+        return np.empty(0, dtype=np.uint64)
+    return np.array(
         [_cached_hash(s, _SHINGLE_HASH_CACHE, "dsh") for s in sh], dtype=np.uint64
     )
-    sig = mix64_multi(base, np.arange(101, 101 + N_HASHES, dtype=np.uint64)).min(axis=1)
+
+
+def _bands_from_hashes(hashes: np.ndarray) -> list[int]:
+    if hashes.size == 0:
+        return []
+    sig = mix64_multi(hashes, np.arange(101, 101 + N_HASHES, dtype=np.uint64)).min(axis=1)
     out = []
     for b in range(N_BANDS):
         rows = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
@@ -114,78 +124,190 @@ def _doc_bands(text: str) -> list[int]:
     return out
 
 
+def _doc_bands(text: str) -> list[int]:
+    return _bands_from_hashes(_doc_shingle_hashes(text))
+
+
 def minhash_clusters(
     docs,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
     max_group: int = 128,
+    edge_cap: int | None = None,
+    cap_counters=None,
 ):
     """documents -> (doc_id, cluster_id) for every doc; cluster_id = min
     doc_id of its near-duplicate cluster (singletons map to themselves).
-    """
 
-    # Most band keys are singletons (every non-duplicate doc emits 8
-    # unique bands), and the framework's per-group dispatch overhead at
-    # ~10 groups/doc dwarfs the real work. So the SHUFFLE key is a
-    # coarse band BUCKET (band_key mod N) and each group scans its band
-    # runs vectorized — identical candidates, ~1000 groups instead of
-    # ~8x corpus.
+    Physical plan (the 100-TB shape — the band shuffle carries IDS, not
+    document payloads):
+
+    1. band expansion ships only ``(band_bucket, band_key, doc_id)`` —
+       24 bytes/row × 8 bands, independent of document size;
+    2. ``groupby(band_bucket)`` emits *candidate pairs* (ids only; the
+       per-band cap is reported to ``cap_counters`` when it truncates);
+    3. candidate pairs are collected (capped — tiny: bounded by true
+       duplicate mass + LSH false-positive mass) and broadcast;
+    4. a second pass over the input computes shingle-hash sets ONLY for
+       candidate docs and verifies exact Jaccard from the hash sets
+       inside one ``groupby(pair_bucket)`` shuffle over candidate rows;
+    5. verified edges -> driver union-find -> broadcast assign (as
+       before).
+
+    ``edge_cap`` bounds both driver-side collections (candidate pairs
+    and verified edges); ``cap_counters`` (see ``state/caps.py``) makes
+    per-band truncation observable.
+
+    The input Dataset is consumed three times (bands, candidate-doc
+    signatures, cluster assign); each pass streams from the source —
+    nothing materializes the corpus.
+    """
     n_buckets = 1024
 
     def expand(batch: pa.Table) -> pa.Table:
         out_band: list[int] = []
         out_id: list[int] = []
-        out_text: list[str] = []
         for i, t in zip(
             batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
         ):
             for bd in _doc_bands(t or ""):
                 out_band.append(bd)
                 out_id.append(i)
-                out_text.append(t)
         buckets = [b % n_buckets for b in out_band]
         return pa.table(
             {
                 "band_bucket": pa.array(buckets, pa.int64()),
                 "band_key": pa.array(out_band, pa.int64()),
                 id_col: pa.array(out_id, pa.int64()),
-                text_col: pa.array(out_text, pa.string()),
             }
         )
 
-    def pairs(group: pa.Table) -> pa.Table:
+    def candidates(group: pa.Table) -> pa.Table:
         # one bucket = many bands: sort by (band_key, id), walk runs
         from ..runs import iter_key_runs
 
         group = group.sort_by([("band_key", "ascending"), (id_col, "ascending")])
-        a_out, b_out = [], []
+        pair_set: set[tuple[int, int]] = set()
+        n_dropped = 0
         for run in iter_key_runs(group, "band_key"):
-            rows = list(
-                zip(run.column(id_col).to_pylist(), run.column(text_col).to_pylist())
-            )[:max_group]
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    if rows[i][0] == rows[j][0]:
-                        continue
-                    if ngram_jaccard(rows[i][1], rows[j][1]) >= threshold:
-                        a_out.append(rows[i][0])
-                        b_out.append(rows[j][0])
+            ids = run.column(id_col).to_pylist()
+            if len(ids) > max_group:
+                n_dropped += len(ids) - max_group
+                ids = ids[:max_group]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] != ids[j]:
+                        pair_set.add((ids[i], ids[j]))
+        if cap_counters is not None and n_dropped:
+            cap_counters.record.remote(
+                "minhash_truncated_candidates",
+                group.column("band_bucket")[0].as_py(),
+                n_dropped,
+            )
+        ordered = sorted(pair_set)
         return pa.table(
-            {"id_a": pa.array(a_out, pa.int64()), "id_b": pa.array(b_out, pa.int64())}
+            {
+                "id_a": pa.array([p[0] for p in ordered], pa.int64()),
+                "id_b": pa.array([p[1] for p in ordered], pa.int64()),
+            }
         )
 
-    edges_ds = (
+    cand_ds = (
         docs.map_batches(expand, batch_format="pyarrow")
         .groupby("band_bucket")
-        .map_groups(pairs, batch_format="pyarrow")
+        .map_groups(candidates, batch_format="pyarrow")
     )
-    uf = UnionFind()
-    from ..state.collect import iter_capped_batches
 
-    for b in iter_capped_batches(edges_ds, context="minhash near-dup edges"):
-        for a, bb in zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()):
-            uf.union(a, bb)
+    from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
+
+    cap = edge_cap or DEFAULT_EDGE_CAP
+    pair_set: set[tuple[int, int]] = set()
+    for b in iter_capped_batches(cand_ds, cap=cap, context="minhash candidate pairs"):
+        pair_set.update(
+            zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist())
+        )
+    pairs = sorted(pair_set)
+
+    uf = UnionFind()
+    if pairs:
+        # doc_id -> [pair index] lookup, broadcast once; the signature
+        # pass touches ONLY candidate docs (everything else streams past)
+        pair_map: dict[int, list[int]] = {}
+        for idx, (a, b) in enumerate(pairs):
+            pair_map.setdefault(a, []).append(idx)
+            pair_map.setdefault(b, []).append(idx)
+        # one broadcast object carries both directions of the lookup —
+        # workers fetch it once (worker_cache), tasks never re-ship it
+        pair_ref = ray.put((pair_map, pairs))
+
+        def sigs(batch: pa.Table) -> pa.Table:
+            from ..state.worker_cache import cached_get
+
+            pm, _ = cached_get(pair_ref, "minhash_pair_map")
+            out_bucket, out_pair, out_id, out_hashes = [], [], [], []
+            for i, t in zip(
+                batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+            ):
+                hit = pm.get(i)
+                if not hit:
+                    continue
+                hs = _doc_shingle_hashes(t or "").astype(np.int64).tolist()
+                for pidx in hit:
+                    out_bucket.append(pidx % n_buckets)
+                    out_pair.append(pidx)
+                    out_id.append(i)
+                    out_hashes.append(hs)
+            return pa.table(
+                {
+                    "pair_bucket": pa.array(out_bucket, pa.int64()),
+                    "pair_idx": pa.array(out_pair, pa.int64()),
+                    id_col: pa.array(out_id, pa.int64()),
+                    "hashes": pa.array(out_hashes, pa.list_(pa.int64())),
+                }
+            )
+
+        def verify(group: pa.Table) -> pa.Table:
+            from ..runs import iter_key_runs
+            from ..state.worker_cache import cached_get
+
+            _, pair_list = cached_get(pair_ref, "minhash_pair_map")
+            group = group.sort_by([("pair_idx", "ascending"), (id_col, "ascending")])
+            a_out, b_out = [], []
+            for run in iter_key_runs(group, "pair_idx"):
+                # one distinct hash set per side (duplicate doc_id rows
+                # in a pathological input collapse to one)
+                sides: dict[int, set[int]] = {}
+                for di, hs in zip(
+                    run.column(id_col).to_pylist(), run.column("hashes").to_pylist()
+                ):
+                    sides.setdefault(di, set(hs))
+                if len(sides) != 2:
+                    continue  # a side was absent -> unverifiable
+                ha, hb = sides.values()
+                inter = len(ha & hb)
+                j = inter / (len(ha) + len(hb) - inter) if inter else 0.0
+                if j >= threshold:
+                    pidx = run.column("pair_idx")[0].as_py()
+                    a_out.append(pair_list[pidx][0])
+                    b_out.append(pair_list[pidx][1])
+            return pa.table(
+                {
+                    "id_a": pa.array(a_out, pa.int64()),
+                    "id_b": pa.array(b_out, pa.int64()),
+                }
+            )
+
+        edges_ds = (
+            docs.map_batches(sigs, batch_format="pyarrow")
+            .groupby("pair_bucket")
+            .map_groups(verify, batch_format="pyarrow")
+        )
+        for b in iter_capped_batches(edges_ds, cap=cap, context="minhash near-dup edges"):
+            for a, bb in zip(
+                b.column("id_a").to_pylist(), b.column("id_b").to_pylist()
+            ):
+                uf.union(a, bb)
     comp = uf.components()
     ref = ray.put(comp)
 
@@ -235,14 +357,23 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(signed, pa.int64()))
 
 
-def simhash_pairs(docs, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+def simhash_pairs(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_group: int = 512,
+    cap_counters=None,
+):
     """Near-dup candidate pairs by simhash banding.
 
     The 64 signature bits are banded into ``max_hamming + 1`` chunks —
     by pigeonhole, any pair within the hamming budget shares at least
     one unchanged chunk — grouped by chunk value, and verified with the
     exact hamming distance. Larger budgets mean narrower chunks (less
-    selective buckets); the per-group cap bounds the quadratic verify.
+    selective buckets); the per-group cap (``max_group``) bounds the
+    quadratic verify, and every truncation is reported to
+    ``cap_counters`` (``state/caps.py``) so recall loss is observable.
     """
     n_chunks = min(16, max_hamming + 1)
     # chunk bit boundaries: 64 bits split as evenly as possible
@@ -276,7 +407,15 @@ def simhash_pairs(docs, text_col: str = "text", id_col: str = "doc_id", max_hamm
     def verify(group: pa.Table) -> pa.Table:
         rows = sorted(
             set(zip(group.column(id_col).to_pylist(), group.column("simhash").to_pylist()))
-        )[:512]  # deterministic cap on the quadratic verify per bucket
+        )
+        if len(rows) > max_group:  # deterministic cap on the quadratic verify
+            if cap_counters is not None:
+                cap_counters.record.remote(
+                    "simhash_truncated_candidates",
+                    group.column("chunk_key")[0].as_py(),
+                    len(rows) - max_group,
+                )
+            rows = rows[:max_group]
         a_out, b_out, d_out = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):

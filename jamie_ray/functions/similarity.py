@@ -25,7 +25,13 @@ import ray
 
 from ..hashing import mix64
 
-N_PLANES = 12  # 4096 LSH buckets
+# Default hyperplane count -> 2^12 = 4096 buckets. This sizes bucket
+# occupancy for ~10^5-10^7 vectors; the scale dial is ``n_planes`` on
+# the LSH entry points — target roughly corpus_size / 2^n_planes ~=
+# desired candidate-group size (e.g. 10^11 vectors at ~1k/bucket needs
+# n_planes ~= 27). More planes = smaller buckets = higher precision,
+# lower recall per probe (compensate with ``multiprobe``).
+N_PLANES = 12
 
 
 def _as_matrix(column: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -90,15 +96,15 @@ def knn_bruteforce(
     )
 
 
-def _planes(dim: int, seed: int = 7) -> np.ndarray:
-    """Deterministic hash-derived hyperplanes (N_PLANES, dim) in [-1, 1]."""
-    base = np.arange(N_PLANES * dim, dtype=np.uint64)
+def _planes(dim: int, seed: int = 7, n_planes: int = N_PLANES) -> np.ndarray:
+    """Deterministic hash-derived hyperplanes (n_planes, dim) in [-1, 1]."""
+    base = np.arange(n_planes * dim, dtype=np.uint64)
     vals = mix64(base, seed=seed).astype(np.float64) / float(1 << 64)
-    return (vals * 2.0 - 1.0).reshape(N_PLANES, dim)
+    return (vals * 2.0 - 1.0).reshape(n_planes, dim)
 
 
 def lsh_bucket(vec: np.ndarray, planes: np.ndarray) -> int:
-    return int(((planes @ vec) > 0) @ (1 << np.arange(N_PLANES)))
+    return int(((planes @ vec) > 0) @ (1 << np.arange(planes.shape[0])))
 
 
 def knn_lsh(
@@ -110,6 +116,7 @@ def knn_lsh(
     vec_col: str = "embedding",
     round_to: int = 6,
     multiprobe: int = 0,
+    n_planes: int = N_PLANES,
 ):
     """Approximate cosine top-k: restrict scoring to vectors whose LSH
     bucket matches the query's. Same output schema as
@@ -119,9 +126,13 @@ def knn_lsh(
     ``multiprobe`` hyperplanes the query lies CLOSEST to (the standard
     multi-probe LSH recall/cost dial: each extra probe grows candidate
     mass ~linearly while staying far below a brute-force scan).
+
+    ``n_planes`` is the scale dial: 2^n_planes buckets — size it so
+    corpus_size / 2^n_planes lands near the candidate-group size you
+    can afford to scan (see the note at :data:`N_PLANES`).
     """
     q = np.asarray(query, dtype=np.float64)
-    planes = _planes(len(q))
+    planes = _planes(len(q), n_planes=n_planes)
     q_bucket = lsh_bucket(q, planes)
     probe_buckets = {q_bucket}
     if multiprobe > 0:
@@ -137,7 +148,7 @@ def knn_lsh(
         ids = np.asarray(batch.column(id_col).to_pylist())
         if not len(ids):
             return pa.table({id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
-        buckets = ((mat @ planes.T) > 0) @ (1 << np.arange(N_PLANES))
+        buckets = ((mat @ planes.T) > 0) @ (1 << np.arange(planes.shape[0]))
         mask = np.isin(buckets, probes)
         mat, ids = mat[mask], ids[mask]
         if not len(ids):
@@ -168,21 +179,28 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_group: int = 256,
+    n_planes: int = N_PLANES,
+    cap_counters=None,
 ):
     """Cosine near-duplicate pairs via LSH bucket blocking + exact
-    verification inside each bucket. Returns (id_a, id_b, cosine)."""
+    verification inside each bucket. Returns (id_a, id_b, cosine).
+
+    ``n_planes`` sizes the 2^n_planes bucket space to the corpus (see
+    :data:`N_PLANES`); when a bucket overflows ``max_group`` the
+    truncation is reported to ``cap_counters`` (``state/caps.py``) so
+    recall loss is counted, never silent."""
 
     state = {"planes": None}
 
     def expand(batch: pa.Table) -> pa.Table:
         mat = _as_matrix(batch.column(vec_col))
         if state["planes"] is None and mat.size:
-            state["planes"] = _planes(mat.shape[1])
+            state["planes"] = _planes(mat.shape[1], n_planes=n_planes)
         ids = batch.column(id_col).to_pylist()
         if not ids:
             return pa.table({"bucket": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
                              vec_col: batch.column(vec_col)})
-        buckets = ((mat @ state["planes"].T) > 0) @ (1 << np.arange(N_PLANES))
+        buckets = ((mat @ state["planes"].T) > 0) @ (1 << np.arange(n_planes))
         return pa.table(
             {
                 "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
@@ -196,7 +214,15 @@ def embedding_near_dup(
     def verify(group: pa.Table) -> pa.Table:
         mat = _as_matrix(group.column(vec_col))
         ids = group.column(id_col).to_pylist()
-        order = np.argsort(ids)[:max_group]
+        order = np.argsort(ids)
+        if len(order) > max_group:
+            if cap_counters is not None:
+                cap_counters.record.remote(
+                    "embedding_near_dup_truncated",
+                    group.column("bucket")[0].as_py(),
+                    len(order) - max_group,
+                )
+            order = order[:max_group]
         mat, ids = mat[order], [ids[i] for i in order]
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0.0] = 1.0

@@ -126,11 +126,20 @@ def candidate_edges_group(
     group: pa.Table,
     threshold: float = DEFAULT_THRESHOLD,
     max_group: int = DEFAULT_MAX_GROUP,
+    cap_counters=None,
 ) -> pa.Table:
     """map_groups kernel over one band -> verified edges."""
     norms = sorted(set(zip(group.column("norm").to_pylist(),
                            group.column("surface").to_pylist())))
-    norms = norms[:max_group]
+    if len(norms) > max_group:
+        # hot-band truncation: counted (state/caps.py), never silent
+        if cap_counters is not None:
+            cap_counters.record.remote(
+                "link_truncated_candidates",
+                group.column("band_key")[0].as_py(),
+                len(norms) - max_group,
+            )
+        norms = norms[:max_group]
     a_out: list[str] = []
     b_out: list[str] = []
     for i in range(len(norms)):
@@ -151,6 +160,7 @@ def candidate_edges_bucket(
     group: pa.Table,
     threshold: float = DEFAULT_THRESHOLD,
     max_group: int = DEFAULT_MAX_GROUP,
+    cap_counters=None,
 ) -> pa.Table:
     """map_groups kernel over one band BUCKET (band_key mod
     :data:`N_BAND_BUCKETS`): sorts by band_key and runs
@@ -161,7 +171,9 @@ def candidate_edges_bucket(
 
     group = group.sort_by([("band_key", "ascending")])
     parts = [
-        candidate_edges_group(run, threshold=threshold, max_group=max_group)
+        candidate_edges_group(
+            run, threshold=threshold, max_group=max_group, cap_counters=cap_counters
+        )
         for run in iter_key_runs(group, "band_key")
     ]
     if not parts:
@@ -289,6 +301,8 @@ def link_triples(
     threshold: float = DEFAULT_THRESHOLD,
     alias_table: dict[str, str] | None = None,
     spill_dir: str | None = None,
+    edge_cap: int | None = None,
+    cap_counters=None,
 ):
     """Full linking stage: triples Dataset -> linked triples Dataset.
 
@@ -301,6 +315,11 @@ def link_triples(
     aliases from a KB — merged as union-find edges ALONGSIDE the LSH
     candidates, so curated knowledge and similarity blocking
     canonicalize through one deterministic mechanism.
+
+    ``edge_cap`` overrides the driver-collection bound
+    (``state/collect.DEFAULT_EDGE_CAP``) for corpora with genuinely
+    large duplicate mass; ``cap_counters`` (``state/caps.py``) makes
+    hot-band candidate truncation observable.
 
     The input is consumed twice (candidate generation, then the id
     rewrite), and triples are the *reduced* output of the expensive
@@ -331,17 +350,21 @@ def link_triples(
         distinct_surfaces_batch, batch_format="pyarrow"
     ).map_batches(expand_bands_batch, batch_format="pyarrow")
     edges_ds = bands.groupby("band_bucket").map_groups(
-        lambda g: candidate_edges_bucket(g, threshold=threshold),
+        lambda g: candidate_edges_bucket(
+            g, threshold=threshold, cap_counters=cap_counters
+        ),
         batch_format="pyarrow",
     )
     # only cluster members reach the driver: singleton surfaces resolve
     # locally inside RewriteIds via entity_id(), so the collected edge
     # list (post-verification) is the whole driver-side state — streamed
     # under a hard cap so a pathological corpus fails loudly, not OOM
-    from ..state.collect import iter_capped_batches
+    from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
 
     edges: set[tuple[str, str]] = set()
-    for b in iter_capped_batches(edges_ds, context="entity-link edges"):
+    for b in iter_capped_batches(
+        edges_ds, cap=edge_cap or DEFAULT_EDGE_CAP, context="entity-link edges"
+    ):
         edges.update(
             zip(b.column("surface_a").to_pylist(), b.column("surface_b").to_pylist())
         )

@@ -423,3 +423,99 @@ def test_audio_decode_and_features():
 
     with _pytest.raises(NotImplementedError, match="audio decode"):
         multimodal.DecodeAudio(strict=True)(media)
+
+
+# ---- cap observability (no-silent-caps rule) ------------------------------
+
+def test_cap_counters_minhash(ray_session):
+    """An over-cap band reports its dropped candidate count; an
+    uncapped run reports nothing."""
+    import ray.data
+
+    from jamie_ray.state.caps import cap_totals, new_cap_counters
+
+    same = "one two three four five six seven eight nine ten eleven twelve"
+    docs = ray.data.from_items([{"doc_id": i, "text": same} for i in range(10)])
+
+    counters = new_cap_counters()
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_docs.minhash_clusters(
+            docs, threshold=0.5, max_group=4, cap_counters=counters
+        ).take_all()
+    }
+    totals = cap_totals(counters)
+    # 10 identical docs share all 8 bands; cap 4 drops 6 per band
+    assert totals.get("minhash_truncated_candidates", 0) > 0
+    # the surviving ids still cluster
+    assert got[0] == 0 and got[1] == 0
+
+    uncapped = new_cap_counters()
+    dedup_docs.minhash_clusters(
+        docs, threshold=0.5, max_group=64, cap_counters=uncapped
+    ).take_all()
+    assert cap_totals(uncapped) == {}
+
+
+def test_cap_counters_embedding_and_simhash(ray_session):
+    import ray.data
+
+    from jamie_ray.state.caps import cap_totals, new_cap_counters
+
+    vecs = [{"vec_id": i, "embedding": [1.0, 0.0, 0.0]} for i in range(6)]
+    counters = new_cap_counters()
+    similarity.embedding_near_dup(
+        ray.data.from_items(vecs), threshold=0.9, max_group=2, cap_counters=counters
+    ).take_all()
+    assert cap_totals(counters).get("embedding_near_dup_truncated", 0) == 4
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": "alpha beta gamma delta epsilon"} for i in range(5)]
+    )
+    counters2 = new_cap_counters()
+    dedup_docs.simhash_pairs(
+        docs, max_hamming=3, max_group=2, cap_counters=counters2
+    ).take_all()
+    assert cap_totals(counters2).get("simhash_truncated_candidates", 0) > 0
+
+
+def test_cap_counters_link(ray_session):
+    from jamie_ray.stages import link
+    from jamie_ray.state.caps import cap_totals, new_cap_counters
+
+    surfaces = [f"surface {chr(97 + i)}" for i in range(8)]
+    group = pa.table(
+        {
+            "band_key": pa.array([1] * 8, pa.int64()),
+            "norm": pa.array(surfaces, pa.string()),
+            "surface": pa.array(surfaces, pa.string()),
+        }
+    )
+    counters = new_cap_counters()
+    link.candidate_edges_group(group, max_group=3, cap_counters=counters)
+    assert cap_totals(counters).get("link_truncated_candidates", 0) == 5
+
+
+def test_knn_lsh_n_planes_settings(ray_session):
+    """Planted-twin recall holds at two bucket-count settings: planes
+    are prefix-stable (n-plane matrix = first n rows of the m-plane
+    matrix), so a 12-plane bucket match implies a 6-plane match."""
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    planes6 = similarity._planes(8, n_planes=6)
+    planes12 = similarity._planes(8, n_planes=12)
+    assert np.array_equal(planes12[:6], planes6)
+
+    tabs = fixtures.generate(300)
+    emb = tabs["embeddings_nd"]
+    pairs = tabs["expected_near_dup"]
+    ids = emb["vec_id"].to_pylist()
+    vecs = emb["embedding"].to_pylist()
+    ds = ray.data.from_arrow(emb)
+    for n_planes in (6, 12):
+        a, b = pairs["id_a"][0].as_py(), pairs["id_b"][0].as_py()
+        out = similarity.knn_lsh(ds, vecs[ids.index(a)], k=5, n_planes=n_planes)
+        got = out["vec_id"].to_pylist()
+        assert a in got and b in got
