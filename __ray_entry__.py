@@ -738,8 +738,12 @@ def oracle_sql() -> dict[str, str]:
                      event_type,
                      CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS val_s
               FROM events,
-              LATERAL unnest(range((epoch_us(ts) - 7200000000) // 1800000000 + 1,
-                                   epoch_us(ts) // 1800000000 + 1)) AS t(k)
+              -- explicit floor: DuckDB's // truncates toward zero, which
+              -- diverges from the engine's numpy floor semantics for
+              -- timestamps within size_seconds of the epoch
+              LATERAL unnest(range(
+                  CAST(floor((epoch_us(ts) - 7200000000) / 1800000000.0) AS BIGINT) + 1,
+                  CAST(floor(epoch_us(ts) / 1800000000.0) AS BIGINT) + 1)) AS t(k)
             )
             SELECT window_start, event_type, count(*) AS n,
                    CAST(sum(val_s) AS BIGINT)::DOUBLE / 1000000.0 AS sum_value

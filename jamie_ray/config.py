@@ -20,6 +20,8 @@ class PipelineConfig:
     """All knobs of the flagship KG pipeline."""
 
     lang: str = "ja"                      # language filter (input_hint lang col)
+    analyzer: str = "mecab"               # registered analyzer (juman|mecab choice)
+    decode_errors: str = "strict"         # utf-8 policy: strict | replace
     len_limit: int = 512                  # trunk subword budget (reference 512)
     scorer_mode: str = "joint"            # "joint" | "pipeline" (§2.3 A1 vs A3-A5)
     scorer_batch_size: int = 64
@@ -74,6 +76,8 @@ def build_graph_with_config(pages_path: str, config: PipelineConfig):
         len_limit=config.len_limit,
         use_actors=config.scorer_use_actors,
         model=config.scorer_model,
+        analyzer=config.analyzer,
+        decode_errors=config.decode_errors,
     )
     for name in config.extra_stages:
         triples = get_stage(name)(triples)

@@ -175,12 +175,12 @@ def asof_join(
     drop_cols = ["__side"] + (["__salt"] if salted else [])
 
     def _summaries():
-        # plain ray.get per group call: the object is worker-local after
-        # the first fetch and closures are re-pickled per task anyway,
-        # so a cross-call cache here could never live long enough to pay
-        import ray
+        # module-level per-worker cache (outlives the per-task closure):
+        # the summary map is deserialized once per worker process, not
+        # once per group call
+        from ..state.worker_cache import cached_get
 
-        return ray.get(summary_ref)
+        return cached_get(summary_ref, "asof_summary_map")
 
     def merge(group: pa.Table) -> pa.Table:
         sides = np.asarray(group.column("__side").to_pylist())

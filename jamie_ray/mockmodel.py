@@ -59,23 +59,31 @@ _REL_MOD = 3
 _STATE_MOD = 2
 
 
-@lru_cache(maxsize=1)
-def gazetteer_tokens() -> dict[tuple[str, ...], str]:
+@lru_cache(maxsize=8)
+def gazetteer_tokens(analyzer: str = "mecab") -> dict[tuple[str, ...], str]:
     """Gazetteer keyed by post-analyze token tuples (what the scorer
-    actually sees), value = NER tag."""
-    return {tuple(analyze(surf)): tag for surf, tag in GAZETTEER_SURFACES.items()}
+    actually sees — so keys are computed under the SAME analyzer the
+    scorer runs with), value = NER tag."""
+    return {
+        tuple(analyze(surf, analyzer)): tag
+        for surf, tag in GAZETTEER_SURFACES.items()
+    }
 
 
-@lru_cache(maxsize=1)
-def max_gazetteer_len() -> int:
-    return max(len(k) for k in gazetteer_tokens())
+@lru_cache(maxsize=8)
+def max_gazetteer_len(analyzer: str = "mecab") -> int:
+    return max(len(k) for k in gazetteer_tokens(analyzer))
 
 
-def mention_string(surface: str) -> str:
+def mention_string(surface: str, analyzer: str = "mecab") -> str:
     """The mention string the pipeline will emit for a surface: fused
     post-analyze tokens (width-folded), with sentinel restore
     (data_objects.py:210 semantics)."""
-    return "".join(analyze(surface)).replace("[JASP]", "　").replace("[SEP]", "\n")
+    return (
+        "".join(analyze(surface, analyzer))
+        .replace("[JASP]", "　")
+        .replace("[SEP]", "\n")
+    )
 
 
 def modality_for(tag: str, surface: str, ordinal: int) -> str:

@@ -56,12 +56,31 @@ class _ShardCounters:
     def record_chunks(self, key: int, n: int) -> None:
         self._chunks[key] = n
 
-    def totals(self) -> dict:
-        return {
+    def snapshot(self) -> tuple[int, dict]:
+        return len(self._pages) + len(self._chunks), {
             "n_pages": sum(h for h, _ in self._pages.values()),
             "n_quarantined_pages": sum(q for _, q in self._pages.values()),
             "n_chunks": sum(self._chunks.values()),
         }
+
+
+def _settled_totals(counters, settle_s: float = 0.05, timeout_s: float = 5.0) -> dict:
+    """Read counter totals after the pipeline has fully executed.
+
+    The taps report fire-and-forget (no per-batch round trip blocking
+    the hot path); by the time the terminal write has returned, every
+    record message is queued at the actor — this poll only covers the
+    last in-flight tail, settling once the record count is stable
+    across two reads."""
+    deadline = time.time() + timeout_s
+    n_prev, totals = ray.get(counters.snapshot.remote())
+    while time.time() < deadline:
+        time.sleep(settle_s)
+        n, totals = ray.get(counters.snapshot.remote())
+        if n == n_prev:
+            break
+        n_prev = n
+    return totals
 
 
 def _batch_fingerprint(batch, col: str) -> int:
@@ -103,14 +122,23 @@ def read_pages(pages_path: str, *, shard_filter=None) -> ray.data.Dataset:
     return ds
 
 
-def extracted_pages(pages: ray.data.Dataset, lang: str = "ja") -> ray.data.Dataset:
+def extracted_pages(
+    pages: ray.data.Dataset, lang: str = "ja", decode_errors: str = "strict"
+) -> ray.data.Dataset:
+    import functools
+
     return pages.map_batches(
         lambda b: filter_lang_batch(b, lang), batch_format="pyarrow"
-    ).map_batches(extract_batch, batch_format="pyarrow")
+    ).map_batches(
+        functools.partial(extract_batch, decode_errors=decode_errors),
+        batch_format="pyarrow",
+    )
 
 
 def chunk_pages(
-    extracted: ray.data.Dataset, len_limit: int | None = None
+    extracted: ray.data.Dataset,
+    len_limit: int | None = None,
+    analyzer: str = "mecab",
 ) -> ray.data.Dataset:
     from ..stages.chunk import DEFAULT_LEN_LIMIT
     from ..stages.extract import healthy_batch
@@ -120,7 +148,7 @@ def chunk_pages(
     def kernel(b):
         if "error" in b.column_names:  # drop quarantined pages explicitly
             b = healthy_batch(b)
-        return chunk_pages_batch(b, limit)
+        return chunk_pages_batch(b, limit, analyzer)
 
     return extracted.map_batches(kernel, batch_format="pyarrow")
 
@@ -134,6 +162,7 @@ def score_chunks(
     use_actors: bool = False,
     model="mock",
     hf_kwargs: dict | None = None,
+    analyzer: str = "mecab",
 ) -> ray.data.Dataset:
     """Scoring stage, two physical shapes:
 
@@ -153,6 +182,7 @@ def score_chunks(
                 "model_cost_layers": model_cost_layers,
                 "model": model,
                 "hf_kwargs": hf_kwargs,
+                "analyzer": analyzer,
             },
             concurrency=concurrency or default_scorer_concurrency(),
             batch_size=batch_size,
@@ -161,7 +191,11 @@ def score_chunks(
     import functools
 
     return chunks.map_batches(
-        functools.partial(score_chunks_task, model_cost_layers=model_cost_layers),
+        functools.partial(
+            score_chunks_task,
+            model_cost_layers=model_cost_layers,
+            analyzer=analyzer,
+        ),
         batch_size=batch_size,
         batch_format="pyarrow",
     )
@@ -180,15 +214,26 @@ def build_triples(
     use_actors: bool = False,
     model="mock",
     hf_kwargs: dict | None = None,
+    analyzer: str = "mecab",
+    decode_errors: str = "strict",
 ) -> ray.data.Dataset:
     """pages parquet -> raw mention-level triples Dataset (streaming).
 
     ``mode="joint"`` (default, the reference's production path) or
     ``mode="pipeline"`` (the legacy 3-stage NER -> modality -> relation
     architecture; see ``stages/pipeline_mode.py``).
+
+    ``analyzer`` selects the registered morphological analyzer (the
+    reference's juman|mecab choice, utils.py:30-42) for chunking AND
+    scoring — the two must agree; ``decode_errors`` selects strict vs
+    lossy utf-8 at extraction (see ``stages/extract.py``).
     """
     pages = read_pages(pages_path, shard_filter=shard_filter)
-    chunks = chunk_pages(extracted_pages(pages, lang), len_limit=len_limit)
+    chunks = chunk_pages(
+        extracted_pages(pages, lang, decode_errors=decode_errors),
+        len_limit=len_limit,
+        analyzer=analyzer,
+    )
     if mode == "pipeline":
         from ..stages.pipeline_mode import score_chunks_pipeline
 
@@ -202,6 +247,7 @@ def build_triples(
             use_actors=use_actors,
             model=model,
             hf_kwargs=hf_kwargs,
+            analyzer=analyzer,
         )
     return tagged.map_batches(assemble_batch, batch_format="pyarrow")
 
@@ -311,18 +357,18 @@ def materialize_graph(
 
         # lineage counters ride the ONE shard pipeline as side
         # aggregates (VERDICT r1 item 7: no extra corpus passes) — the
-        # taps below report per-batch counts to a zero-cpu actor with
-        # idempotency keys, then the stream continues to scoring
+        # taps report per-batch counts to a zero-cpu actor with
+        # idempotency keys, FIRE-AND-FORGET (the hot path never blocks
+        # on an actor round trip; retried tasks overwrite their own
+        # keys, so totals stay exact), then the stream continues
         counters = _ShardCounters.remote()
 
         def tap_pages(b):
             import pyarrow.compute as _pc
 
             q = _pc.sum(_pc.not_equal(b.column("error"), "")).as_py() or 0
-            ray.get(
-                counters.record_pages.remote(
-                    _batch_fingerprint(b, "url"), b.num_rows - q, q
-                )
+            counters.record_pages.remote(
+                _batch_fingerprint(b, "url"), b.num_rows - q, q
             )
             return b
 
@@ -332,7 +378,7 @@ def materialize_graph(
                 b.column("chunk_id")[0].as_py() if b.num_rows else -1,
                 b.column("chunk_id")[-1].as_py() if b.num_rows else -1,
             )
-            ray.get(counters.record_chunks.remote(key, b.num_rows))
+            counters.record_chunks.remote(key, b.num_rows)
             return b
 
         pages = read_pages(shard_input, shard_filter=shard_filter)
@@ -356,7 +402,7 @@ def materialize_graph(
             os.unlink(stale)
         graph.write_parquet(shard_dir)
         n_triples = _count_parquet_rows(shard_dir)
-        totals = ray.get(counters.totals.remote())
+        totals = _settled_totals(counters)
         append_manifest(
             out_dir,
             {

@@ -643,7 +643,14 @@ def shipping_priority(sf_dir: str) -> ray.data.Dataset:
 
 def top_customers_per_segment(sf_dir: str) -> ray.data.Dataset:
     """Grouped top-k: 3 highest-balance customers per market segment
-    (groupby + per-group sort/slice; the window-function analogue)."""
+    (the window-function analogue).
+
+    Top-k is associative, so a block-local top-3-per-segment combiner
+    runs BEFORE the shuffle: at most 3 × n_segments rows leave each
+    block, and the per-group finish sorts ≤ 3 × n_blocks rows — no
+    group ever holds a corpus-fraction of the table, even though the
+    key has only ~5 values (the unbounded-hot-group shape this
+    replaces would pull 1/5 of all customers into one worker)."""
     ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
 
     def topk(group: pa.Table) -> pa.Table:
@@ -653,7 +660,18 @@ def top_customers_per_segment(sf_dir: str) -> ray.data.Dataset:
         )
         return group.take(idx[:3])
 
-    return ds.groupby("c_mktsegment").map_groups(topk, batch_format="pyarrow")
+    def local_topk(batch: pa.Table) -> pa.Table:
+        parts = []
+        for seg in pc.unique(batch.column("c_mktsegment")).to_pylist():
+            part = batch.filter(pc.equal(batch.column("c_mktsegment"), seg))
+            parts.append(topk(part))
+        return pa.concat_tables(parts) if parts else batch.slice(0, 0)
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(topk, batch_format="pyarrow")
+    )
 
 
 def events_json_extract(sf_dir: str) -> ray.data.Dataset:

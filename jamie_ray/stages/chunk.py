@@ -18,13 +18,18 @@ from typing import Iterable
 
 import pyarrow as pa
 
-from ..tokenization import analyze, subword_len, subword_tokenize, wakati
+from ..tokenization import (
+    analyze,
+    get_analyzer,
+    subword_len,
+    subword_tokenize,
+)
 
 SEP_JOIN = "　SEP　"
 DEFAULT_LEN_LIMIT = 512
 
 
-def split_long_line(line: str, budget: int) -> list[str]:
+def split_long_line(line: str, budget: int, analyzer: str = "mecab") -> list[str]:
     """Split one over-budget line at wakati token boundaries.
 
     Deterministic greedy accumulation of per-token subword lengths
@@ -45,7 +50,7 @@ def split_long_line(line: str, budget: int) -> list[str]:
     cur_chars = 0
     start = 0
     pos = 0
-    for tok in wakati(line):
+    for tok in get_analyzer(analyzer)(line):
         if subword_len([tok]) > budget:
             if cur_chars > 0:
                 pieces.append(line[start:pos])
@@ -71,7 +76,9 @@ def split_long_line(line: str, budget: int) -> list[str]:
 
 
 def chunk_pack(
-    lines: Iterable[str], len_limit: int = DEFAULT_LEN_LIMIT
+    lines: Iterable[str],
+    len_limit: int = DEFAULT_LEN_LIMIT,
+    analyzer: str = "mecab",
 ) -> tuple[list[str], list[int], list[list[int]]]:
     """Pack lines (normalized sentences) into trunk texts.
 
@@ -101,12 +108,12 @@ def chunk_pack(
         cur_lines, cur_ids, cur_len = [], [], 0
 
     for i, line in enumerate(lines):
-        line_len = subword_len(analyze(line))
+        line_len = subword_len(analyze(line, analyzer))
         if line_len >= budget:
             flush()
-            for piece in split_long_line(line, budget):
+            for piece in split_long_line(line, budget, analyzer):
                 trunk_texts.append(piece)
-                trunk_lens.append(subword_len(analyze(piece)))
+                trunk_lens.append(subword_len(analyze(piece, analyzer)))
                 assignment.append([i])
             continue
         # +1 for the [SEP] subword at the join boundary
@@ -121,7 +128,9 @@ def chunk_pack(
     return trunk_texts, trunk_lens, assignment
 
 
-def chunk_pages_batch(batch: pa.Table, len_limit: int = DEFAULT_LEN_LIMIT) -> pa.Table:
+def chunk_pages_batch(
+    batch: pa.Table, len_limit: int = DEFAULT_LEN_LIMIT, analyzer: str = "mecab"
+) -> pa.Table:
     """map_batches kernel: pages(url, text, ...) -> chunks rows.
 
     Explodes each page's text into ``(url, chunk_id, text, n_subwords)``
@@ -137,7 +146,7 @@ def chunk_pages_batch(batch: pa.Table, len_limit: int = DEFAULT_LEN_LIMIT) -> pa
     for url, text in zip(urls, texts):
         if not text:
             continue
-        trunks, lens, _ = chunk_pack(text.split("\n"), len_limit)
+        trunks, lens, _ = chunk_pack(text.split("\n"), len_limit, analyzer)
         for cid, (t, n) in enumerate(zip(trunks, lens)):
             out_url.append(url)
             out_cid.append(cid)

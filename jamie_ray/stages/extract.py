@@ -23,16 +23,24 @@ def format_extract_error(ex: Exception) -> str:
     return f"{type(ex).__name__}: {ex}"[:500]
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(batch: pa.Table, decode_errors: str = "strict") -> pa.Table:
     """map_batches kernel: (url, html, ...) -> (url, text, error).
 
     Poison-page quarantine (SURVEY.md §4): the reference prints and
     skips failing files (/root/reference/utils.py:868-880 — silent data
     loss); here a page that fails extraction keeps its row with empty
     text and a non-empty ``error`` column, so failures are counted,
-    inspectable and re-processable instead of vanishing. The decode is
-    STRICT utf-8: mojibake bytes quarantine the page rather than
-    silently corrupting the byte-pinned text invariant with U+FFFD.
+    inspectable and re-processable instead of vanishing.
+
+    ``decode_errors`` selects the utf-8 policy (compatibility note —
+    round 1 shipped ``replace``, round 2+ defaults to ``strict``):
+
+    - ``"strict"`` (default): mojibake bytes quarantine the page rather
+      than silently corrupting the byte-pinned text invariant with
+      U+FFFD — the conformance-oracle behavior;
+    - ``"replace"``: lossy-but-present extraction for operators with
+      dirty-but-valuable corpora where a stray byte should degrade one
+      character, not drop the whole page from the graph.
     """
     urls = batch.column("url")
     htmls = batch.column("html").to_pylist()
@@ -40,7 +48,9 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     errors: list[str] = []
     for h in htmls:
         try:
-            texts.append(extract_text(h.decode("utf-8")) if h else "")
+            texts.append(
+                extract_text(h.decode("utf-8", errors=decode_errors)) if h else ""
+            )
             errors.append("")
         except Exception as ex:  # total by design; belt-and-braces
             texts.append("")

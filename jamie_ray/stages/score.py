@@ -59,9 +59,10 @@ class MockJointModel:
     trained reference model would emit them.
     """
 
-    def __init__(self) -> None:
-        self.gazetteer = gazetteer_tokens()
-        self.max_len = max_gazetteer_len()
+    def __init__(self, analyzer: str = "mecab") -> None:
+        self.analyzer = analyzer
+        self.gazetteer = gazetteer_tokens(analyzer)
+        self.max_len = max_gazetteer_len(analyzer)
 
     # -- word-level tagging (the "forward pass") -------------------------
 
@@ -128,7 +129,7 @@ class MockJointModel:
         wrap-inclusive coordinates sorted row-major (s, p, o) like the
         dense ``nonzero`` of the reference (model.py:751).
         """
-        tokens = analyze(text)
+        tokens = analyze(text, self.analyzer)
         w_ner, w_mod, relations = self.tag_words(tokens)
 
         pieces = subword_tokenize(tokens)
@@ -198,6 +199,7 @@ class JointScorer:
         model="mock",
         model_cost_layers: int = 0,
         hf_kwargs: dict | None = None,
+        analyzer: str = "mecab",
     ) -> None:
         """``model`` selects the backend behind the predict() contract:
 
@@ -210,7 +212,7 @@ class JointScorer:
           (user-supplied backends, tests).
         """
         if model == "mock":
-            self.model = MockJointModel()
+            self.model = MockJointModel(analyzer=analyzer)
         elif isinstance(model, str) and model.startswith("hf:"):
             from .hf_model import HFJointModel
 
@@ -304,10 +306,12 @@ class JointScorer:
 # Task-based scorer path (per-worker singleton; SURVEY.md §7.2)
 # ---------------------------------------------------------------------------
 
-_TASK_SCORERS: dict[int, "JointScorer"] = {}
+_TASK_SCORERS: dict[tuple[int, str], "JointScorer"] = {}
 
 
-def score_chunks_task(batch: pa.Table, model_cost_layers: int = 0) -> pa.Table:
+def score_chunks_task(
+    batch: pa.Table, model_cost_layers: int = 0, analyzer: str = "mecab"
+) -> pa.Table:
     """Plain-task scorer kernel with a module-level per-worker singleton.
 
     For the cheap deterministic mock, long-lived Ray worker processes
@@ -315,8 +319,9 @@ def score_chunks_task(batch: pa.Table, model_cost_layers: int = 0) -> pa.Table:
     task function gives the same build-once state without it. A real
     transformer (heavy weights, GPUs) should use the actor-pool path.
     """
-    scorer = _TASK_SCORERS.get(model_cost_layers)
+    key = (model_cost_layers, analyzer)
+    scorer = _TASK_SCORERS.get(key)
     if scorer is None:
-        scorer = JointScorer(model_cost_layers=model_cost_layers)
-        _TASK_SCORERS[model_cost_layers] = scorer
+        scorer = JointScorer(model_cost_layers=model_cost_layers, analyzer=analyzer)
+        _TASK_SCORERS[key] = scorer
     return scorer(batch)

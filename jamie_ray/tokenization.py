@@ -68,13 +68,7 @@ def _char_class_uncached(ch: str) -> str:
     return "other"
 
 
-def wakati(text: str) -> list[str]:
-    """Deterministic word segmentation (MeCab ``-Owakati`` stand-in).
-
-    Splits on character-class boundaries; each space (incl. U+3000)
-    becomes its own token; punctuation chars are singleton tokens; long
-    kanji runs are chunked to ``_KANJI_RUN`` chars. Pure function.
-    """
+def _wakati_with(text: str, char_class) -> list[str]:
     toks: list[str] = []
     run: list[str] = []
     run_cls = ""
@@ -91,7 +85,7 @@ def wakati(text: str) -> list[str]:
         run = []
 
     for ch in text:
-        cls = _char_class(ch)
+        cls = char_class(ch)
         if cls in ("sp", "punct"):
             flush()
             run_cls = cls
@@ -106,11 +100,62 @@ def wakati(text: str) -> list[str]:
     return toks
 
 
-def analyze(text: str) -> list[str]:
+def wakati(text: str) -> list[str]:
+    """Deterministic word segmentation (MeCab ``-Owakati`` stand-in).
+
+    Splits on character-class boundaries; each space (incl. U+3000)
+    becomes its own token; punctuation chars are singleton tokens; long
+    kanji runs are chunked to ``_KANJI_RUN`` chars. Pure function.
+    """
+    return _wakati_with(text, _char_class)
+
+
+def _char_class_juman(ch: str) -> str:
+    cls = _char_class(ch)
+    if cls == "alnum" and ch.isdigit():
+        return "digit"
+    return cls
+
+
+def wakati_juman(text: str) -> list[str]:
+    """Second registered analyzer (the reference's ``juman`` branch,
+    utils.py:30-42): same contract as :func:`wakati` but digit runs
+    segment apart from letter runs (``MRI2023`` -> ``MRI``/``2023``),
+    the JUMAN-style finer morpheme boundary. Deterministic stand-in —
+    a real JUMAN/MeCab binding plugs in via
+    :func:`register_analyzer`."""
+    return _wakati_with(text, _char_class_juman)
+
+
+# analyzer registry (SURVEY.md §2.9 user-extension surface): the
+# reference hard-wires a juman|mecab flag (utils.py:30-42); here the
+# analyzer is a named pure function str -> tokens, selectable per
+# pipeline via PipelineConfig.analyzer and extensible by users.
+ANALYZERS: dict[str, object] = {"mecab": wakati, "juman": wakati_juman}
+DEFAULT_ANALYZER = "mecab"
+
+
+def register_analyzer(name: str, fn) -> None:
+    """Register a segmentation function (str -> list[str]) under a name."""
+    if name in ANALYZERS:
+        raise ValueError(f"analyzer {name!r} already registered")
+    ANALYZERS[name] = fn
+
+
+def get_analyzer(name: str):
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown analyzer {name!r}; registered: {sorted(ANALYZERS)}"
+        ) from None
+
+
+def analyze(text: str, analyzer: str = DEFAULT_ANALYZER) -> list[str]:
     """The full analyzer contract of utils.py:47-60 (mecab branch).
 
     1. ascii space -> ideographic space;
-    2. wakati;
+    2. wakati (the ``analyzer`` registry entry);
     3. join with spaces, fold ``　 SEP 　`` -> `` [SEP] ``,
        remaining ideographic spaces -> ``[JASP]`` sentinels;
     4. per token: keep ``[JASP]``, else ``han_to_zen`` then restore a
@@ -118,7 +163,7 @@ def analyze(text: str) -> list[str]:
     5. collapse consecutive ``[JASP]``.
     """
     text = text.replace(" ", "　")
-    joined = " ".join(wakati(text))
+    joined = " ".join(get_analyzer(analyzer)(text))
     joined = joined.replace("　 SEP 　", " [SEP] ").replace("　", "[JASP]")
     segments = joined.split()
     segments = [_fold_token(tok) for tok in segments]

@@ -110,3 +110,50 @@ def test_pipeline_config_registry(ray_session, tmp_path):
 
     with pytest.raises(KeyError):
         get_stage("missing-stage")
+
+
+def test_pipeline_config_analyzer_and_decode(ray_session, tmp_path):
+    """PipelineConfig's analyzer (juman|mecab) and decode_errors knobs
+    are real: the juman run produces the same triples on the (digit-free)
+    fixture corpus, and decode_errors='replace' extracts a lossy page
+    that strict mode quarantines."""
+    import pyarrow.parquet as pq
+
+    from jamie_ray import fixtures
+    from jamie_ray.config import PipelineConfig, build_graph_with_config
+    from jamie_ray.pipelines import kg
+
+    tables = fixtures.generate(30)
+    pq.write_table(tables["pages"], tmp_path / "pages.parquet")
+    path = str(tmp_path / "pages.parquet")
+
+    def surfaces(rows):
+        return sorted((r["subj"], r["pred"], r["obj"]) for r in rows)
+
+    base = build_graph_with_config(path, PipelineConfig()).take_all()
+    juman = build_graph_with_config(path, PipelineConfig(analyzer="juman")).take_all()
+    assert surfaces(base) == surfaces(juman) and base
+
+    # a page whose html has a stray invalid byte: strict -> quarantine,
+    # replace -> extracted with U+FFFD
+    import pyarrow as pa
+
+    from jamie_ray.stages.extract import extract_batch
+
+    page = pa.table(
+        {
+            "url": ["http://x/1"],
+            "html": [b"<html><body><p>ab\xffcd</p></body></html>"],
+        }
+    )
+    strict = extract_batch(page)
+    assert strict.column("error")[0].as_py() != ""
+    lossy = extract_batch(page, decode_errors="replace")
+    assert lossy.column("error")[0].as_py() == ""
+    assert "�" in lossy.column("text")[0].as_py()
+
+    lossy_cfg = PipelineConfig(decode_errors="replace")
+    assert lossy_cfg.decode_errors == "replace"
+    # threading smoke: the config-driven pipeline accepts the knob
+    got = build_graph_with_config(path, lossy_cfg).take_all()
+    assert surfaces(got) == surfaces(base)

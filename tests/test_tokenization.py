@@ -4,6 +4,8 @@ Contract parity target: /root/reference/utils.py:28-60 (analyzer) and
 the WordPiece call sites (utils.py:662,826).
 """
 
+import pytest
+
 from jamie_ray import tokenization as tk
 
 
@@ -58,3 +60,55 @@ def test_explore_unk():
     bpe = ["[CLS]", "ab", "[UNK]", "##cd", "x"]
     ori = ["[CLS]", "ab", "orig", "x"]
     assert tk.explore_unk(bpe, ori) == ["[CLS]", "ab", "orig", "##cd", "x"]
+
+
+# ---- analyzer registry (§2.9 juman|mecab choice point) --------------------
+
+def test_analyzer_registry_golden():
+    """Both registered analyzers pinned: mecab keeps alnum runs whole,
+    juman segments digit runs from letter runs (utils.py:30-42's choice
+    point, deterministic stand-ins)."""
+    from jamie_ray import tokenization as tok
+
+    assert tok.wakati("MRI2023") == ["MRI2023"]
+    assert tok.wakati_juman("MRI2023") == ["MRI", "2023"]
+    s = "本日MRI2023を実施"
+    assert tok.analyze(s) == ["本日", "ＭＲＩ２０２３", "を", "実施"]
+    assert tok.analyze(s, "juman") == ["本日", "ＭＲＩ", "２０２３", "を", "実施"]
+    # default analyzer unchanged (frozen invariant)
+    assert tok.analyze(s) == tok.analyze(s, "mecab")
+
+    with pytest.raises(KeyError, match="unknown analyzer"):
+        tok.get_analyzer("nope")
+    tok.register_analyzer("test_upper", lambda t: [t.upper()])
+    try:
+        with pytest.raises(ValueError, match="already registered"):
+            tok.register_analyzer("test_upper", lambda t: [t])
+        assert tok.get_analyzer("test_upper")("ab") == ["AB"]
+    finally:
+        del tok.ANALYZERS["test_upper"]
+
+
+def test_analyzer_choice_changes_recall():
+    """The analyzer choice is real end-to-end: under juman the scorer
+    recovers a gazetteer entity that mecab's coarser segmentation
+    glues to a digit run."""
+    from jamie_ray.stages.score import MockJointModel
+
+    s = "本日MRI2023を実施"
+    ner_mecab = MockJointModel().predict(s)[1]
+    ner_juman = MockJointModel(analyzer="juman").predict(s)[1]
+    assert "B-t-test" not in ner_mecab
+    assert "B-t-test" in ner_juman
+    assert "B-TIMEX3" in ner_mecab and "B-TIMEX3" in ner_juman
+
+
+def test_analyzers_agree_on_fixture_corpus():
+    """Fixture text has no digit-letter adjacency, so the two analyzers
+    segment it identically — the juman pipeline hits the same oracle."""
+    from jamie_ray import fixtures, tokenization as tok
+
+    for i in (0, 7, 23):
+        lines, _ = fixtures._compose_page(i)
+        for ln in lines:
+            assert tok.analyze(ln) == tok.analyze(ln, "juman")
