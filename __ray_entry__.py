@@ -353,8 +353,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_docs.minhash_clusters(docs, threshold=0.8)
 
     def docs_simhash(sf_dir: str):
+        """SimHash signatures, value-checked against the generator's
+        independent scalar implementation (fixtures._simhash_expected)."""
+        corpus = _kg_dir(sf_dir)
         docs = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            f"{corpus}/documents_nd.parquet", columns=["doc_id", "text"]
         )
         return docs.map_batches(
             lambda b: dedup_docs.simhash_batch(b).select(["doc_id", "simhash"]),
@@ -372,16 +375,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_docs.simhash_pairs(docs, max_hamming=8)
 
     def doc_winnow(sf_dir: str):
-        """Rolling-hash winnowing fingerprints per document."""
+        """Rolling-hash winnowing fingerprints per document, exploded
+        to (doc_id, pos, fingerprint) scalar rows and value-checked
+        against the generator's independent per-position implementation
+        (fixtures._winnow_expected)."""
+        import pyarrow as pa
+
         from jamie_ray.functions.text_analysis import winnow_batch
 
+        corpus = _kg_dir(sf_dir)
         docs = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            f"{corpus}/documents_nd.parquet", columns=["doc_id", "text"]
         )
-        return docs.map_batches(
-            lambda b: winnow_batch(b).select(["doc_id", "fingerprints"]),
-            batch_format="pyarrow",
-        )
+
+        def explode(b: pa.Table) -> pa.Table:
+            b = winnow_batch(b)
+            ids, poss, fps = [], [], []
+            for d, row in zip(
+                b.column("doc_id").to_pylist(), b.column("fingerprints").to_pylist()
+            ):
+                for p, fp in enumerate(row):
+                    ids.append(d)
+                    poss.append(p)
+                    fps.append(fp)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "pos": pa.array(poss, pa.int64()),
+                    "fingerprint": pa.array(fps, pa.int64()),
+                }
+            )
+
+        return docs.map_batches(explode, batch_format="pyarrow")
 
     def kg_pmhs_out(sf_dir: str):
         """JSONL (pmhs) debug view of the tagged chunks."""
@@ -487,8 +512,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ---- multimodal plumbing (deterministic fake decode) ----
 
+    # sizes shared with fixtures.generate_media_expected so the planted
+    # value oracles compare the exact same media set
+    from jamie_ray.fixtures import (
+        N_MEDIA_AUDIO,
+        N_MEDIA_IMAGE,
+        N_MEDIA_VIDEO,
+        RESIZE_TARGET,
+        VIDEO_STRIDE,
+    )
+
     def multimodal_features(sf_dir: str):
-        media = ray.data.from_arrow(multimodal.synthetic_media(200))
+        """Image path: fake-decode -> resize -> features, exploded to
+        scalar rows; value-checked against the generator's expected
+        table (fixtures.generate_media_expected)."""
+        media = ray.data.from_arrow(multimodal.synthetic_media(N_MEDIA_IMAGE))
         decoded = media.map_batches(
             multimodal.DecodeImage,
             fn_constructor_kwargs={"strict": False},
@@ -497,20 +535,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
         resized = decoded.map_batches(
-            lambda b: multimodal.resize_stub(b, 16), batch_format="pyarrow"
+            lambda b: multimodal.resize_stub(b, RESIZE_TARGET), batch_format="pyarrow"
         )
         return resized.map_batches(
             multimodal.ImageFeatures, concurrency=(1, 2), batch_size=32,
             batch_format="pyarrow",
-        )
+        ).map_batches(multimodal.explode_features, batch_format="pyarrow")
 
     def multimodal_video_frames(sf_dir: str):
         """Video path: frame sampling (every 4th frame) -> per-frame
-        image features; rows explode per sampled frame."""
-        media = ray.data.from_arrow(multimodal.synthetic_media(60, kind="video"))
+        image features, exploded to scalar rows; value-checked against
+        the generator's expected table."""
+        media = ray.data.from_arrow(
+            multimodal.synthetic_media(N_MEDIA_VIDEO, kind="video")
+        )
         frames = media.map_batches(
             multimodal.SampleFrames,
-            fn_constructor_kwargs={"stride": 4, "strict": False},
+            fn_constructor_kwargs={"stride": VIDEO_STRIDE, "strict": False},
             concurrency=(1, 2),
             batch_size=16,
             batch_format="pyarrow",
@@ -518,11 +559,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return frames.map_batches(
             multimodal.ImageFeatures, concurrency=(1, 2), batch_size=64,
             batch_format="pyarrow",
-        )
+        ).map_batches(multimodal.explode_features, batch_format="pyarrow")
 
     def multimodal_audio(sf_dir: str):
-        """Audio path: fake-decode waveform -> windowed RMS/ZCR features."""
-        media = ray.data.from_arrow(multimodal.synthetic_media(60, kind="audio"))
+        """Audio path: fake-decode waveform -> windowed RMS/ZCR
+        features, exploded to scalar rows; value-checked against the
+        generator's expected table."""
+        media = ray.data.from_arrow(
+            multimodal.synthetic_media(N_MEDIA_AUDIO, kind="audio")
+        )
         decoded = media.map_batches(
             multimodal.DecodeAudio,
             fn_constructor_kwargs={"strict": False},
@@ -533,7 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return decoded.map_batches(
             multimodal.AudioFeatures, concurrency=(1, 2), batch_size=32,
             batch_format="pyarrow",
-        )
+        ).map_batches(multimodal.explode_features, batch_format="pyarrow")
 
     return {
         # KG flagship stages
@@ -883,7 +928,18 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash_pairs": kg_sql(
             "expected_simhash_pairs", "id_a, id_b, hamming"
         ),
-        # kg_graph / docs_simhash / knn_lsh / multimodal_features are
-        # non-SQL-expressible (stateful decode, approximate, union-find)
-        # -> rows-only checks by design
+        "docs_simhash": kg_sql("expected_simhash_sigs", "doc_id, simhash"),
+        "doc_winnow": kg_sql("expected_winnow", "doc_id, pos, fingerprint"),
+        "multimodal_features": kg_sql(
+            "expected_media_features", "media_id, feat_idx, value"
+        ),
+        "multimodal_video_frames": kg_sql(
+            "expected_video_features", "media_id, frame_idx, feat_idx, value"
+        ),
+        "multimodal_audio": kg_sql(
+            "expected_audio_features", "media_id, feat_idx, value"
+        ),
+        # kg_graph (hash-id surface), knn_lsh (approximate by design),
+        # kg_xml_out / kg_brat_out / kg_pmhs_out (debug text surfaces)
+        # remain rows-only checks
     }

@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 5
+FIXTURE_VERSION = 6
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -462,10 +462,213 @@ def generate_docs_nd(n_docs: int) -> dict[str, pa.Table]:
             "hamming": pa.array([d_out[k] for k in order], pa.int64()),
         }
     )
+    # per-doc simhash signatures + winnowing fingerprints, computed by
+    # the independent scalar implementations (see _simhash_expected /
+    # _winnow_expected) — value oracles for docs_simhash / doc_winnow
+    sig_rows = [_simhash_expected(t) for t in texts]
+    win_rows: dict[str, list] = {"doc_id": [], "pos": [], "fingerprint": []}
+    for d, t in zip(ids, texts):
+        for p, fp in enumerate(_winnow_expected(t)):
+            win_rows["doc_id"].append(d)
+            win_rows["pos"].append(p)
+            win_rows["fingerprint"].append(fp)
+    expected_sigs = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "simhash": pa.array(sig_rows, pa.int64()),
+        }
+    )
+    expected_winnow = pa.table(
+        {
+            "doc_id": pa.array(win_rows["doc_id"], pa.int64()),
+            "pos": pa.array(win_rows["pos"], pa.int64()),
+            "fingerprint": pa.array(win_rows["fingerprint"], pa.int64()),
+        }
+    )
     return {
         "documents_nd": documents,
         "expected_minhash_clusters": expected_clusters,
         "expected_simhash_pairs": expected_simhash,
+        "expected_simhash_sigs": expected_sigs,
+        "expected_winnow": expected_winnow,
+    }
+
+
+# ---------------------------------------------------------------------------
+# expected tables for the formerly no-oracle deterministic family:
+# simhash signatures, winnowing fingerprints, multimodal fake-decode
+# features (VERDICT r2 item 4)
+# ---------------------------------------------------------------------------
+
+N_MEDIA_IMAGE = 200
+N_MEDIA_VIDEO = 60
+N_MEDIA_AUDIO = 60
+VIDEO_STRIDE = 4
+RESIZE_TARGET = 16
+
+
+def _simhash_expected(text: str) -> int:
+    """Independent scalar simhash: per-token bit-vote loops (the
+    engine's ``simhash64`` is vectorized numpy — shared token hash,
+    separate structure)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for t in toks:
+        h = stable_hash64("simh", t)
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def _winnow_expected(text: str, k: int = 8, window: int = 16) -> list[int]:
+    """Independent winnowing: explicit per-position Horner hash +
+    window-min scan (the engine's ``winnow_fingerprints`` uses
+    cumulative powers and stride tricks)."""
+    n = len(text)
+    if n < k:
+        return []
+    base, mask = 1_000_003, (1 << 64) - 1
+
+    def signed(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    grams = []
+    for i in range(n - k + 1):
+        h = 0
+        for ch in text[i : i + k]:
+            h = (h * base + ord(ch)) & mask
+        grams.append(h)
+    m = len(grams)
+    if m <= window:
+        return [signed(min(grams))]
+    out: list[int] = []
+    prev = None
+    for s in range(m - window + 1):
+        v = min(grams[s : s + window])
+        if prev is None or v != prev:
+            out.append(signed(v))
+            prev = v
+    return out
+
+
+def _image_features_expected(px: "object") -> list[float]:
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.float64)
+    hist, _ = np.histogram(a, bins=8, range=(0, 256))
+    return [float(a.mean()), float(a.std())] + (hist / max(len(a), 1)).tolist()
+
+
+def generate_media_expected() -> dict[str, pa.Table]:
+    """Expected outputs of the three multimodal conformance pipelines.
+
+    The fake decodes are pure hash functions of (payload, shape), so
+    every downstream feature is generator-computable; the compared
+    outputs are EXPLODED to scalar rows (media_id, [frame_idx,]
+    feat_idx, value) — no list columns in the oracle surface. Shared
+    per-item hash math, independently driven loops: what this oracle
+    actually checks is the Ray-side plumbing (actor stages, batch
+    boundaries, row alignment, explode order)."""
+    import numpy as np
+
+    from .functions.multimodal import synthetic_media
+    from .hashing import mix64
+
+    def payload_seed(payload: bytes, extra: int = 0) -> int:
+        return (int.from_bytes(payload[:8] or b"\0" * 8, "little") + extra) % (1 << 31)
+
+    def fake_pixels(payload: bytes, w: int, h: int, frame: int | None = None) -> np.ndarray:
+        extra = 0 if frame is None else frame * 1_000_003
+        u = mix64(np.arange(int(w) * int(h), dtype=np.uint64), seed=payload_seed(payload, extra))
+        return (u & np.uint64(0xFF)).astype(np.uint8)
+
+    def resize(px: np.ndarray, w: int, h: int, target: int) -> np.ndarray:
+        a = px.reshape(int(h), int(w))
+        ys = (np.arange(target) * h // target).astype(int)
+        xs = (np.arange(target) * w // target).astype(int)
+        return a[np.ix_(ys, xs)].flatten()
+
+    # ---- images: decode -> resize -> features ----
+    img = synthetic_media(N_MEDIA_IMAGE)
+    img_rows: dict[str, list] = {"media_id": [], "feat_idx": [], "value": []}
+    for mid, payload, w, h in zip(
+        img["media_id"].to_pylist(), img["payload"].to_pylist(),
+        img["width"].to_pylist(), img["height"].to_pylist(),
+    ):
+        feats = _image_features_expected(
+            resize(fake_pixels(payload, w, h), w, h, RESIZE_TARGET)
+        )
+        for fi, v in enumerate(feats):
+            img_rows["media_id"].append(mid)
+            img_rows["feat_idx"].append(fi)
+            img_rows["value"].append(v)
+
+    # ---- video: frame sampling -> per-frame features ----
+    vid = synthetic_media(N_MEDIA_VIDEO, kind="video")
+    vid_rows: dict[str, list] = {
+        "media_id": [], "frame_idx": [], "feat_idx": [], "value": []
+    }
+    for mid, payload, w, h, nf in zip(
+        vid["media_id"].to_pylist(), vid["payload"].to_pylist(),
+        vid["width"].to_pylist(), vid["height"].to_pylist(),
+        vid["n_frames"].to_pylist(),
+    ):
+        for frame in range(0, int(nf), VIDEO_STRIDE):
+            feats = _image_features_expected(fake_pixels(payload, w, h, frame))
+            for fi, v in enumerate(feats):
+                vid_rows["media_id"].append(mid)
+                vid_rows["frame_idx"].append(frame)
+                vid_rows["feat_idx"].append(fi)
+                vid_rows["value"].append(v)
+
+    # ---- audio: decode -> windowed RMS + zero-cross features ----
+    aud = synthetic_media(N_MEDIA_AUDIO, kind="audio")
+    aud_rows: dict[str, list] = {"media_id": [], "feat_idx": [], "value": []}
+    window = 1024
+    for mid, payload, sr in zip(
+        aud["media_id"].to_pylist(), aud["payload"].to_pylist(),
+        aud["sample_rate"].to_pylist(),
+    ):
+        n = max(int(sr), 1)
+        u = mix64(np.arange(n, dtype=np.uint64), seed=payload_seed(payload))
+        wave = ((u >> np.uint64(11)).astype(np.float32) / float(1 << 53)) * 2.0 - 1.0
+        a = wave.astype(np.float64)
+        n_win = max(len(a) // window, 1)
+        a = a[: n_win * window].reshape(n_win, -1)
+        rms = np.sqrt((a**2).mean(axis=1))
+        zcr = (np.abs(np.diff(np.sign(a), axis=1)) > 0).mean(axis=1)
+        for fi, v in enumerate(np.concatenate([rms, zcr]).tolist()):
+            aud_rows["media_id"].append(mid)
+            aud_rows["feat_idx"].append(fi)
+            aud_rows["value"].append(v)
+
+    def t(rows: dict[str, list], cols: dict[str, pa.DataType]) -> pa.Table:
+        return pa.table({c: pa.array(rows[c], ty) for c, ty in cols.items()})
+
+    return {
+        "expected_media_features": t(
+            img_rows,
+            {"media_id": pa.int64(), "feat_idx": pa.int64(), "value": pa.float64()},
+        ),
+        "expected_video_features": t(
+            vid_rows,
+            {
+                "media_id": pa.int64(),
+                "frame_idx": pa.int64(),
+                "feat_idx": pa.int64(),
+                "value": pa.float64(),
+            },
+        ),
+        "expected_audio_features": t(
+            aud_rows,
+            {"media_id": pa.int64(), "feat_idx": pa.int64(), "value": pa.float64()},
+        ),
     }
 
 
@@ -672,6 +875,7 @@ def generate(n_pages: int) -> dict[str, pa.Table]:
     }
     out.update(generate_embeddings(n_pages))
     out.update(generate_docs_nd(max(30, n_pages // 2)))
+    out.update(generate_media_expected())
     return out
 
 

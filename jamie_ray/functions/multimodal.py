@@ -135,12 +135,36 @@ class ImageFeatures:
             feats.append(
                 [float(a.mean()), float(a.std())] + (hist / max(len(a), 1)).tolist()
             )
-        return pa.table(
-            {
-                "media_id": batch.column("media_id"),
-                "features": pa.array(feats, pa.list_(pa.float64())),
-            }
-        )
+        cols = {"media_id": batch.column("media_id")}
+        if "frame_idx" in batch.column_names:  # video path: keep frame key
+            cols["frame_idx"] = batch.column("frame_idx")
+        cols["features"] = pa.array(feats, pa.list_(pa.float64()))
+        return pa.table(cols)
+
+
+def explode_features(batch: pa.Table) -> pa.Table:
+    """(media_id, [frame_idx,] features list) -> one scalar row per
+    feature component — the oracle-comparable surface (no list columns).
+    """
+    has_frame = "frame_idx" in batch.column_names
+    out: dict[str, list] = {"media_id": [], "feat_idx": [], "value": []}
+    if has_frame:
+        out["frame_idx"] = []
+    for i, feats in enumerate(batch.column("features").to_pylist()):
+        mid = batch.column("media_id")[i].as_py()
+        frame = batch.column("frame_idx")[i].as_py() if has_frame else None
+        for fi, v in enumerate(feats):
+            out["media_id"].append(mid)
+            out["feat_idx"].append(fi)
+            out["value"].append(v)
+            if has_frame:
+                out["frame_idx"].append(frame)
+    cols = {"media_id": pa.array(out["media_id"], pa.int64())}
+    if has_frame:
+        cols["frame_idx"] = pa.array(out["frame_idx"], pa.int64())
+    cols["feat_idx"] = pa.array(out["feat_idx"], pa.int64())
+    cols["value"] = pa.array(out["value"], pa.float64())
+    return pa.table(cols)
 
 
 class SampleFrames:

@@ -519,3 +519,49 @@ def test_knn_lsh_n_planes_settings(ray_session):
         out = similarity.knn_lsh(ds, vecs[ids.index(a)], k=5, n_planes=n_planes)
         got = out["vec_id"].to_pylist()
         assert a in got and b in got
+
+
+def test_media_and_signature_expected_tables(ray_session):
+    """The generator's independent implementations agree with the
+    engine kernels: simhash (scalar bit votes vs vectorized numpy),
+    winnowing (per-position loops vs stride tricks), audio features
+    (plumbing through the actor stages + explode)."""
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(60)
+
+    docs = tabs["documents_nd"]
+    got_sigs = dedup_docs.simhash_batch(docs).select(["doc_id", "simhash"])
+    exp_sigs = tabs["expected_simhash_sigs"]
+    assert got_sigs.to_pylist() == exp_sigs.to_pylist()
+
+    got_win = text_analysis.winnow_batch(docs)
+    exp_by_doc: dict[int, list[int]] = {}
+    for r in tabs["expected_winnow"].to_pylist():
+        exp_by_doc.setdefault(r["doc_id"], []).append(r["fingerprint"])
+    for d, fps in zip(
+        got_win.column("doc_id").to_pylist(),
+        got_win.column("fingerprints").to_pylist(),
+    ):
+        assert fps == exp_by_doc.get(d, [])
+
+    media = ray.data.from_arrow(
+        multimodal.synthetic_media(fixtures.N_MEDIA_AUDIO, kind="audio")
+    )
+    got_audio = (
+        media.map_batches(
+            multimodal.DecodeAudio, fn_constructor_kwargs={"strict": False},
+            concurrency=1, batch_size=16, batch_format="pyarrow",
+        )
+        .map_batches(
+            multimodal.AudioFeatures, concurrency=1, batch_size=32,
+            batch_format="pyarrow",
+        )
+        .map_batches(multimodal.explode_features, batch_format="pyarrow")
+        .take_all()
+    )
+    key = lambda r: (r["media_id"], r["feat_idx"])
+    exp_audio = sorted(tabs["expected_audio_features"].to_pylist(), key=key)
+    assert sorted(got_audio, key=key) == exp_audio
