@@ -84,3 +84,58 @@ def test_auto_tid_never_collides_with_explicit():
     assert row["rels"][i_kino] == ["on"]
     i_hatsu = row["tokens"].index("発熱")
     assert row["rels"][i_hatsu] == ["N"]
+
+
+# ---- ET-parser capabilities (r3: regex reader replaced) -------------------
+
+def _parse(xml):
+    from jamie_ray.stages.gold_xml import parse_gold_xml
+
+    return parse_gold_xml(xml)
+
+
+def test_gold_xml_attribute_order_and_escapes():
+    # rel attributes in non-canonical order parse (regex required
+    # rid/arg1/arg2/reltype order); &amp; in text unescapes via ET
+    xml = (
+        '<d tid="T1">熱</d>と<a tid="T2">肺</a>\n'
+        '<brel arg2="T2" reltype="on" rid="R1" arg1="T1" />\n'
+    )
+    r = _parse(xml)
+    assert r["anno_errors"] == 0
+    anchors = [i for i, rl in enumerate(r["rels"]) if rl != ["N"]]
+    assert len(anchors) == 1
+    assert r["rels"][anchors[0]] == ["on"]
+
+
+def test_gold_xml_nested_tags_and_parse_errors():
+    # nested inner tag: both entities' text tokens are labeled (the
+    # reference's iter() flattening); regex matched [^<]* and dropped
+    nested = '<EVENT tid="T1" DCT="before">手術<d tid="T2">痛</d></EVENT>です'
+    r = _parse(nested)
+    assert "B-EVENT" in r["ner"] and "B-d" in r["ner"]
+    assert r["anno_errors"] == 0
+    # EVENT DCT attribute is read as modality (previously unread)
+    ev_last = max(i for i, t in enumerate(r["ner"]) if t.endswith("EVENT"))
+    assert r["mod"][ev_last] == "before"
+
+    # malformed xml: counted, not crashed or silently dropped
+    bad = _parse('<d tid="T1">unclosed')
+    assert bad["anno_errors"] == 1 and bad["tokens"] == []
+
+    # dangling rel tid: relation skipped, counted
+    dangling = _parse('<d tid="T1">熱</d>\n<brel rid="R1" arg1="T1" arg2="T9" reltype="on" />\n')
+    assert dangling["anno_errors"] == 1
+
+
+def test_gold_xml_modality_precedence():
+    # reference utils.py:769-784: state OVERRIDES certainty when both
+    # present (sequential assignment, last writer wins)
+    both = _parse('<d tid="T1" certainty="positive" state="negated">熱</d>')
+    i = both["ner"].index("B-d")
+    last = max(j for j, t in enumerate(both["ner"]) if t.endswith("-d"))
+    assert both["mod"][last] == "negated"
+    # certainty on a non-d tag is ignored (reference conditions on tag)
+    other = _parse('<a tid="T1" certainty="positive">肺</a>')
+    last_a = max(j for j, t in enumerate(other["ner"]) if t.endswith("-a"))
+    assert other["mod"][last_a] == "_"

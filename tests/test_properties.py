@@ -154,7 +154,18 @@ def tagged_chunks(draw):
             ner[i] = f"B-{tag}"
             for j in range(i + 1, i + w):
                 ner[j] = f"I-{tag}"
-            m = draw(st.sampled_from(list(MOD_DICT) + ["_"]))
+            # modality classes are tag-conditioned like the reference
+            # reader (utils.py:769-784): certainty only on d, type only
+            # on TIMEX3, state on anything — other combos are outside
+            # the reference's data model and don't round-trip
+            legal = ["_"] + [
+                m
+                for m, cls in MOD_DICT.items()
+                if cls == "state"
+                or (cls == "certainty" and tag == "d")
+                or (cls == "type" and tag == "TIMEX3")
+            ]
+            m = draw(st.sampled_from(legal))
             mod[i + w - 1] = m
             spans.append((i, i + w))
             i += w + 1
