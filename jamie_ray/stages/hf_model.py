@@ -63,8 +63,24 @@ def decode_forward_outputs(
     sbw_ner = [ner_labels[i] for i in ner_ids.tolist()]
     sbw_mod = [mod_labels[i] for i in mod_ids.tolist()]
     hot = np.argwhere(sel > threshold)  # row-major (s, p, o) like nonzero
-    cells = [(int(s), rel_vocab[int(p)], int(o)) for s, p, o in hot]
+    # the reference vocab carries an explicit 'N' (no-relation) class;
+    # selection_decode skips it (model.py:745) — so do we
+    cells = [
+        (int(s), rel_vocab[int(p)], int(o))
+        for s, p, o in hot
+        if rel_vocab[int(p)] != "N"
+    ]
     return sbw_ner, sbw_mod, cells
+
+
+def _labels_from_json(path: str) -> list[str]:
+    """label->index json (the reference's *2ix.json) -> index-ordered
+    label list."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        vocab = json.load(f)
+    return [k for k, _ in sorted(vocab.items(), key=lambda kv: kv[1])]
 
 
 class HFJointModel:
@@ -81,8 +97,8 @@ class HFJointModel:
         self,
         model_dir: str,
         *,
-        ner_labels: list[str],
-        mod_labels: list[str],
+        ner_labels: list[str] | None = None,
+        mod_labels: list[str] | None = None,
         rel_vocab: list[str] | None = None,
         threshold: float = 0.5,
         device: str = "cpu",
@@ -97,6 +113,18 @@ class HFJointModel:
                 "remains fully functional with the deterministic mock "
                 "backend (model='mock')."
             ) from ex
+        # label vocabularies default to the checkpoint's own json files
+        # (the reference's ner2ix/mod2ix/rel2ix.json, copied verbatim by
+        # scripts/export_torchscript.py) — `hf:<dir>` needs no hf_kwargs
+        if ner_labels is None:
+            ner_labels = _labels_from_json(f"{model_dir}/ner2ix.json")
+        if mod_labels is None:
+            mod_labels = _labels_from_json(f"{model_dir}/mod2ix.json")
+        if rel_vocab is None:
+            import os
+
+            if os.path.exists(f"{model_dir}/rel2ix.json"):
+                rel_vocab = _labels_from_json(f"{model_dir}/rel2ix.json")
         self._torch = torch
         self.tokenizer = AutoTokenizer.from_pretrained(model_dir)
         self.model = torch.jit.load(f"{model_dir}/joint_model.pt", map_location=device)

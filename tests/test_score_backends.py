@@ -132,3 +132,56 @@ def test_config_carries_scorer_model():
 
     cfg = PipelineConfig(scorer_model="hf:/ckpt")
     assert cfg.scorer_model == "hf:/ckpt"
+
+
+def test_decode_half_against_saved_forward_fixture():
+    """tests/data/hf_forward.npz holds saved forward outputs in the
+    TorchScript export contract (ner ids, mod ids, sel probs with a
+    saturated 'N' channel, reference-style vocab with 'N' leading);
+    decode_forward_outputs must reproduce the known predict() outputs —
+    including skipping the 'N' predicate like selection_decode
+    (model.py:745)."""
+    import os
+
+    from jamie_ray.stages.score import _REL_INDEX
+
+    path = os.path.join(os.path.dirname(__file__), "data", "hf_forward.npz")
+    fx = np.load(path, allow_pickle=False)
+    ner_labels = [str(x) for x in fx["ner_labels"]]
+    mod_labels = [str(x) for x in fx["mod_labels"]]
+    rel_vocab = [str(x) for x in fx["rel_vocab"]]
+    assert rel_vocab[0] == "N"
+    m = MockJointModel()
+    for i, text in enumerate(str(x) for x in fx["texts"]):
+        want_toks, want_ner, want_mod, want_cells = m.predict(text)
+        got_ner, got_mod, got_cells = decode_forward_outputs(
+            fx[f"ner_{i}"], fx[f"mod_{i}"], fx[f"sel_{i}"],
+            ner_labels=ner_labels, mod_labels=mod_labels, rel_vocab=rel_vocab,
+        )
+        assert got_ner == want_ner
+        assert got_mod == want_mod
+        # decode order is row-major (s, p_index, o) over the REFERENCE
+        # vocab; re-sort the expectation the same way before comparing
+        want_sorted = sorted(want_cells, key=lambda c: (c[0], rel_vocab.index(c[1]), c[2]))
+        assert got_cells == want_sorted
+        assert all(p != "N" for _, p, _ in got_cells)
+
+
+def test_checkpoint_vocab_json_loader(tmp_path):
+    import json
+
+    from jamie_ray.stages.hf_model import _labels_from_json
+
+    (tmp_path / "ner2ix.json").write_text(json.dumps({"O": 0, "B-d": 1, "I-d": 2}))
+    assert _labels_from_json(str(tmp_path / "ner2ix.json")) == ["O", "B-d", "I-d"]
+
+
+def test_export_recipe_in_repo():
+    """The TorchScript export recipe ships with the repo and documents
+    the checkpoint layout it consumes (clinical_joint.py:446-486)."""
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "..", "scripts", "export_torchscript.py")
+    src = open(p, encoding="utf-8").read()
+    for needle in ("joint_model.pt", "ner2ix.json", "Viterbi", "torch.jit"):
+        assert needle in src
