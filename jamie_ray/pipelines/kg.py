@@ -381,6 +381,13 @@ def materialize_graph(
             counters.record_chunks.remote(key, b.num_rows)
             return b
 
+        # blocking-cap observability (no-silent-caps rule): hot-band
+        # truncations inside the linker are counted per shard and land
+        # in the lineage record below
+        from ..state.caps import cap_totals, new_cap_counters
+
+        caps = new_cap_counters()
+
         pages = read_pages(shard_input, shard_filter=shard_filter)
         extracted = extracted_pages(pages, lang).map_batches(
             tap_pages, batch_format="pyarrow"
@@ -390,7 +397,7 @@ def materialize_graph(
         )
         tagged = score_chunks(chunks, concurrency=concurrency, batch_size=batch_size)
         triples = tagged.map_batches(assemble_batch, batch_format="pyarrow")
-        linked = link_triples(triples)
+        linked = link_triples(triples, cap_counters=caps)
         graph = dedup_triples(linked)
         shard_dir = f"{out_dir}/shard={shard}"
         os.makedirs(shard_dir, exist_ok=True)
@@ -403,6 +410,7 @@ def materialize_graph(
         graph.write_parquet(shard_dir)
         n_triples = _count_parquet_rows(shard_dir)
         totals = _settled_totals(counters)
+        truncations = cap_totals(caps)
         append_manifest(
             out_dir,
             {
@@ -411,6 +419,11 @@ def materialize_graph(
                 "n_chunks": int(totals["n_chunks"]),
                 "n_triples": int(n_triples),
                 "n_quarantined_pages": int(totals["n_quarantined_pages"]),
+                # dropped-candidate counts from capped blocking kernels
+                # (0s mean no recall was lost to caps this shard)
+                "n_truncated_candidates": {
+                    k: int(v) for k, v in sorted(truncations.items())
+                },
                 "input_fingerprint": f"{pages_path}#{fingerprint}",
                 "wall_time_s": round(time.time() - t0, 3),
             },

@@ -117,6 +117,15 @@ def test_materialize_resumable(corpus, tmp_path):
     )
     assert s2["shards_run"] == 0 and s2["shards_skipped"] == 3
     assert s1["n_triples"] == s2["n_triples"] > 0
+    # lineage records carry the blocking-cap truncation counts (empty
+    # dict = no recall lost to caps on this corpus)
+    from jamie_ray.state.lineage import read_manifest
+
+    recs = read_manifest(str(out))
+    assert all("n_truncated_candidates" in r for r in recs.values())
+    assert all(
+        isinstance(r["n_truncated_candidates"], dict) for r in recs.values()
+    )
 
 
 def test_materialize_survives_kill(corpus, tmp_path, monkeypatch):
