@@ -76,6 +76,19 @@ def cmd_graph(args) -> None:
     print(json.dumps({"command": "graph", **summary}))
 
 
+def cmd_conlleval(args) -> None:
+    import sys
+
+    from .evalx import conlleval_report
+
+    if args.file == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args.file, encoding="utf-8") as f:
+            text = f.read()
+    print(conlleval_report(text))
+
+
 def cmd_eval(args) -> None:
     _ensure_ray()
     import ray.data
@@ -208,6 +221,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--pred", required=True)
     p.add_argument("--f1-mode", choices=("micro", "macro"), default="micro")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser(
+        "conlleval",
+        help="span P/R/FB1 report over a token<TAB>gold<TAB>pred file "
+        "(the reference's conlleval shell hook, in-repo)",
+    )
+    p.add_argument("--file", required=True, help="conll eval file; - for stdin")
+    p.set_defaults(fn=cmd_conlleval)
 
     p = sub.add_parser("convert", help="annotation-format converter")
     p.add_argument("--from", dest="from_fmt", required=True,

@@ -142,3 +142,102 @@ def evaluate_entities(gold, pred, f1_mode: str = "micro") -> dict:
     return evaluate_datasets(
         gold, pred, ["mention", "ner_tag"], rel_col=-1, f1_mode=f1_mode
     )
+
+
+# ---------------------------------------------------------------------------
+# conlleval (the reference's shell eval hook, in-repo)
+# ---------------------------------------------------------------------------
+
+def conlleval_lines(tokens, gold, pred) -> str:
+    """One sentence -> the ``token\\tgold\\tpred`` block the reference
+    writes for conlleval (clinical_ner_baseline.py:174-177), blank-line
+    terminated."""
+    return "".join(f"{t}\t{g}\t{p}\n" for t, g, p in zip(tokens, gold, pred)) + "\n"
+
+
+def _conll_chunks(labels: list[str]) -> set[tuple[int, int, str]]:
+    """Span extraction with conlleval's start-of-chunk rule: ``B-`` is
+    always a start; ``I-`` starts a chunk after ``O`` or after a
+    different type (the lenient IOB repair conlleval.pl applies)."""
+    chunks: set[tuple[int, int, str]] = set()
+    start = -1
+    cur = ""
+    for i, lab in enumerate(labels + ["O"]):
+        tag, typ = (lab[0], lab[2:]) if lab != "O" and len(lab) > 1 else ("O", "")
+        begins = tag == "B" or (tag == "I" and (cur == "" or typ != cur))
+        ends = cur != "" and (tag == "O" or begins)
+        if ends:
+            chunks.add((start, i, cur))
+            cur = ""
+        if tag != "O" and begins:
+            start = i
+            cur = typ
+    return chunks
+
+
+def conlleval_report(conll_text: str) -> str:
+    """conlleval over ``token\\tgold\\tpred`` blocks -> the classic
+    report (token accuracy + span-level precision/recall/FB1, overall
+    and per type). Faithful re-implementation of conlleval.pl's default
+    (exact-span) mode so the reference's eval step
+    (README "python conlleval.py < outputs/...") runs in-repo with no
+    perl/shell dependency."""
+    n_tok = n_correct_tok = 0
+    gold_chunks: set[tuple[int, int, int, str]] = set()
+    pred_chunks: set[tuple[int, int, int, str]] = set()
+    sent_gold: list[str] = []
+    sent_pred: list[str] = []
+    sid = 0
+
+    def flush():
+        nonlocal sid
+        if sent_gold:
+            for s, e, t in _conll_chunks(sent_gold):
+                gold_chunks.add((sid, s, e, t))
+            for s, e, t in _conll_chunks(sent_pred):
+                pred_chunks.add((sid, s, e, t))
+            sent_gold.clear()
+            sent_pred.clear()
+            sid += 1
+
+    for line in conll_text.split("\n"):
+        if not line.strip():
+            flush()
+            continue
+        parts = line.rsplit("\t", 2)
+        if len(parts) < 3:
+            parts = line.rsplit(None, 2)
+        _, g, p = parts[0], parts[1], parts[2]
+        sent_gold.append(g)
+        sent_pred.append(p)
+        n_tok += 1
+        n_correct_tok += int(g == p)
+    flush()
+
+    correct = gold_chunks & pred_chunks
+    types = sorted({t for *_, t in gold_chunks | pred_chunks})
+
+    def prf(tp: int, n_pred: int, n_gold: int) -> tuple[float, float, float]:
+        p = 100.0 * tp / n_pred if n_pred else 0.0
+        r = 100.0 * tp / n_gold if n_gold else 0.0
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        return p, r, f
+
+    p, r, f = prf(len(correct), len(pred_chunks), len(gold_chunks))
+    acc = 100.0 * n_correct_tok / n_tok if n_tok else 0.0
+    out = [
+        f"processed {n_tok} tokens with {len(gold_chunks)} phrases; "
+        f"found: {len(pred_chunks)} phrases; correct: {len(correct)}.",
+        f"accuracy: {acc:6.2f}%; precision: {p:6.2f}%; "
+        f"recall: {r:6.2f}%; FB1: {f:6.2f}",
+    ]
+    for t in types:
+        tp = sum(1 for c in correct if c[3] == t)
+        np_ = sum(1 for c in pred_chunks if c[3] == t)
+        ng = sum(1 for c in gold_chunks if c[3] == t)
+        tp_p, tp_r, tp_f = prf(tp, np_, ng)
+        out.append(
+            f"{t:>17}: precision: {tp_p:6.2f}%; recall: {tp_r:6.2f}%; "
+            f"FB1: {tp_f:6.2f}  {np_}"
+        )
+    return "\n".join(out)

@@ -62,38 +62,37 @@ def ngram_jaccard(a: str, b: str, w: int = SHINGLE_W) -> float:
 # -- exact dedup ------------------------------------------------------------
 
 def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
-    """documents -> (text_hash, doc_id=min, n_dups) one row per distinct text."""
+    """documents -> (text_hash, doc_id=min, n_dups) one row per distinct text.
+
+    Pure-Arrow combiner: each block pre-reduces with ``group_by`` (min
+    id + count per hash) so the one shuffle carries (block × distinct)
+    rows; the per-group merge re-reduces the partials the same way.
+    """
     from .text_analysis import fingerprint_batch
+
+    def reduce_partials(batch: pa.Table) -> pa.Table:
+        gb = batch.group_by(["text_hash"]).aggregate(
+            [(id_col, "min"), ("n_dups", "sum")]
+        )
+        # pyarrow group_by output: key columns first, then aggregates
+        # named <col>_<agg> in listed order
+        return gb.rename_columns(["text_hash", id_col, "n_dups"])
 
     def local(batch: pa.Table) -> pa.Table:
         batch = fingerprint_batch(batch, text_col)
-        ids = batch.column(id_col).to_pylist()
-        hs = batch.column("text_hash").to_pylist()
-        acc: dict[str, tuple[int, int]] = {}
-        for i, h in zip(ids, hs):
-            cur = acc.get(h)
-            acc[h] = (min(i, cur[0]), cur[1] + 1) if cur else (i, 1)
-        return pa.table(
+        ones = pa.table(
             {
-                "text_hash": pa.array(list(acc), pa.string()),
-                id_col: pa.array([v[0] for v in acc.values()], pa.int64()),
-                "n_dups": pa.array([v[1] for v in acc.values()], pa.int64()),
+                "text_hash": batch.column("text_hash"),
+                id_col: batch.column(id_col),
+                "n_dups": pa.array([1] * batch.num_rows, pa.int64()),
             }
         )
-
-    def merge(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        ns = group.column("n_dups").to_pylist()
-        return pa.table(
-            {
-                "text_hash": pa.array([group.column("text_hash")[0].as_py()], pa.string()),
-                id_col: pa.array([min(ids)], pa.int64()),
-                "n_dups": pa.array([sum(ns)], pa.int64()),
-            }
-        )
+        return reduce_partials(ones)
 
     combined = docs.map_batches(local, batch_format="pyarrow")
-    return combined.groupby("text_hash").map_groups(merge, batch_format="pyarrow")
+    return combined.groupby("text_hash").map_groups(
+        reduce_partials, batch_format="pyarrow"
+    )
 
 
 # -- minhash-LSH near-dup ---------------------------------------------------

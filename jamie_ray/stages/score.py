@@ -208,6 +208,10 @@ class JointScorer:
           (``stages/hf_model.py``) — optional torch/transformers
           import, weights load HERE (once per actor); ``hf_kwargs``
           passes label vocabularies etc.;
+        - ``"w2v"`` / ``"w2v:<artifact_dir>"``: the non-BERT
+          w2v+BiLSTM NER encoder (``stages/w2v_lstm.py``, the
+          reference's ``--non_bert`` path) — pure numpy, embeddings
+          load once per actor from the artifact dir;
         - any object with a ``predict(text)`` method: direct injection
           (user-supplied backends, tests).
         """
@@ -217,6 +221,13 @@ class JointScorer:
             from .hf_model import HFJointModel
 
             self.model = HFJointModel(model[3:], **(hf_kwargs or {}))
+        elif isinstance(model, str) and (model == "w2v" or model.startswith("w2v:")):
+            from .w2v_lstm import W2VLSTMModel
+
+            self.model = W2VLSTMModel(
+                model[4:] or None if model.startswith("w2v:") else None,
+                **(hf_kwargs or {}),
+            )
         elif hasattr(model, "predict"):
             self.model = model
         else:

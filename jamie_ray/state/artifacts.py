@@ -76,3 +76,27 @@ def load_artifacts(model_dir: str) -> dict[str, dict[str, int]]:
         with open(os.path.join(model_dir, fname), "r", encoding="utf-8") as f:
             out[name] = json.load(f)
     return out
+
+
+def save_w2v(model_dir: str, vocab: dict[str, int], matrix) -> str:
+    """Persist a word-embedding artifact (the reference's pre-trained
+    w2v input, clinical_pipeline_ner.py:82-89): ``w2v_vocab.json``
+    (token -> row) + ``embeddings.npz`` (float array [V, D])."""
+    import numpy as np
+
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "w2v_vocab.json"), "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+    np.savez(os.path.join(model_dir, "embeddings.npz"), matrix=np.asarray(matrix))
+    return model_dir
+
+
+def load_w2v(model_dir: str):
+    """Load the w2v artifact pair -> (token->row dict, [V, D] matrix).
+    Loaded once per scorer actor in ``__init__`` (S12 pattern)."""
+    import numpy as np
+
+    with open(os.path.join(model_dir, "w2v_vocab.json"), "r", encoding="utf-8") as f:
+        vocab = json.load(f)
+    matrix = np.load(os.path.join(model_dir, "embeddings.npz"))["matrix"]
+    return vocab, matrix

@@ -72,3 +72,61 @@ def test_self_evaluation_is_perfect(ray_session):
     ds2 = ray.data.from_items(list(reversed(rows)))
     res = evalx.evaluate_triples(ds1, ds2)
     assert res["micro"] == (1.0, 1.0, 1.0)
+
+
+# ---- conlleval (reference shell hook, in-repo) ----------------------------
+
+def test_conlleval_report_exact_counts():
+    from jamie_ray.evalx import conlleval_lines, conlleval_report
+
+    # sentence 1: one d span matched, one d span missed by pred
+    s1 = conlleval_lines(
+        ["発", "熱", "x", "肺", "炎"],
+        ["B-d", "I-d", "O", "B-d", "I-d"],
+        ["B-d", "I-d", "O", "O", "O"],
+    )
+    # sentence 2: pred invents an 'a' span; I-after-O starts a chunk
+    # (conlleval's lenient repair) on the gold side
+    s2 = conlleval_lines(
+        ["左", "肺"],
+        ["O", "I-a"],
+        ["B-a", "I-a"],
+    )
+    report = conlleval_report(s1 + s2)
+    lines = report.split("\n")
+    assert lines[0] == (
+        "processed 7 tokens with 3 phrases; found: 2 phrases; correct: 1."
+    )
+    # token accuracy: 4/7 correct (B-d, I-d, O, then O vs I-a, B-a miss)
+    assert "accuracy:  57.14%" in lines[1]
+    assert "precision:  50.00%" in lines[1]
+    assert "recall:  33.33%" in lines[1]
+    # per-type rows exist for both types
+    assert any(l.strip().startswith("a:") for l in lines[2:])
+    assert any(l.strip().startswith("d:") for l in lines[2:])
+
+
+def test_conlleval_perfect_prediction():
+    from jamie_ray.evalx import conlleval_lines, conlleval_report
+
+    block = conlleval_lines(["a", "b", "c"], ["B-d", "I-d", "O"], ["B-d", "I-d", "O"])
+    rep = conlleval_report(block)
+    assert "accuracy: 100.00%" in rep and "FB1: 100.00" in rep
+
+
+def test_conlleval_cli(tmp_path):
+    import subprocess
+    import sys
+
+    from jamie_ray.evalx import conlleval_lines
+
+    f = tmp_path / "pred.conll"
+    f.write_text(
+        conlleval_lines(["a", "b"], ["B-d", "O"], ["B-d", "O"]), encoding="utf-8"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "jamie_ray", "conlleval", "--file", str(f)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    assert "FB1: 100.00" in out.stdout

@@ -185,3 +185,51 @@ def test_export_recipe_in_repo():
     src = open(p, encoding="utf-8").read()
     for needle in ("joint_model.pt", "ner2ix.json", "Viterbi", "torch.jit"):
         assert needle in src
+
+
+# ---- non-BERT (w2v + BiLSTM) encoder path ---------------------------------
+
+def test_w2v_lstm_contract_and_determinism():
+    """The non-BERT path (reference --non_bert) fulfills the predict()
+    contract: wrap-inclusive aligned outputs, VALID BIO transitions
+    (constrained decode), deterministic across instances."""
+    from jamie_ray.stages.w2v_lstm import W2VLSTMModel
+
+    m1, m2 = W2VLSTMModel(), W2VLSTMModel()
+    for text in ["発熱あり。", "左肺に陰影、手術は翌週。", ""]:
+        toks, ner, mod, cells = m1.predict(text)
+        assert toks[0] == "[CLS]" and toks[-1] == "[SEP]"
+        assert len(toks) == len(ner) == len(mod)
+        assert cells == [] and all(x == "_" for x in mod)
+        prev = "O"
+        for lab in ner:
+            if lab.startswith("I-"):
+                assert prev[2:] == lab[2:], f"invalid BIO: {prev} -> {lab}"
+            prev = lab
+        assert m2.predict(text) == (toks, ner, mod, cells)
+
+
+def test_w2v_artifact_roundtrip_and_scorer_wiring(tmp_path):
+    """Embeddings persist via the artifact contract, load once in
+    __init__, and change the forward (artifact rows vs hash vectors);
+    JointScorer routes model='w2v:<dir>' through the backend."""
+    import numpy as np
+
+    from jamie_ray.state.artifacts import load_w2v, save_w2v
+    from jamie_ray.stages.w2v_lstm import DEFAULT_DIM, W2VLSTMModel
+
+    vocab = {"発熱": 0, "あり": 1}
+    matrix = np.arange(2 * DEFAULT_DIM, dtype=np.float64).reshape(2, -1) / 100.0
+    save_w2v(str(tmp_path), vocab, matrix)
+    v2, m2 = load_w2v(str(tmp_path))
+    assert v2 == vocab and np.array_equal(m2, matrix)
+
+    with_art = W2VLSTMModel(str(tmp_path))
+    assert np.array_equal(with_art._embed(["発熱"])[0], matrix[0])
+    no_art = W2VLSTMModel()
+    assert not np.array_equal(no_art._embed(["発熱"])[0], matrix[0])
+
+    scorer = JointScorer(model=f"w2v:{tmp_path}")
+    out = scorer(_chunk_batch())
+    assert out.num_rows == 2
+    assert out.column("score_error").to_pylist() == ["", ""]
