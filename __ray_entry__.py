@@ -928,6 +928,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash_pairs": kg_sql(
             "expected_simhash_pairs", "id_a, id_b, hamming"
         ),
+        # fixture linking is surface-identity, so the generator derives
+        # the full graph INCLUDING canonical ids (entity_id per surface
+        # + the dedup min-representative rule) — the hash-id surface is
+        # value-checked, not rows-only
+        "kg_graph": kg_sql(
+            "expected_graph",
+            "subj_id, pred, obj_id, subj, obj, subj_type, obj_type, "
+            "subj_mod, n_sources, url, chunk_id",
+        ),
         "docs_simhash": kg_sql("expected_simhash_sigs", "doc_id, simhash"),
         "doc_winnow": kg_sql("expected_winnow", "doc_id, pos, fingerprint"),
         "multimodal_features": kg_sql(
@@ -939,7 +948,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio": kg_sql(
             "expected_audio_features", "media_id, feat_idx, value"
         ),
-        # kg_graph (hash-id surface), knn_lsh (approximate by design),
-        # kg_xml_out / kg_brat_out / kg_pmhs_out (debug text surfaces)
-        # remain rows-only checks
+        # knn_lsh (approximate by design) and kg_xml_out / kg_brat_out /
+        # kg_pmhs_out (debug text surfaces) remain rows-only checks
     }

@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 6
+FIXTURE_VERSION = 7
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -865,6 +865,60 @@ def generate(n_pages: int) -> dict[str, pa.Table]:
             "error": pa.array(qua_rows["error"], pa.string()),
         }
     )
+
+    # expected deduplicated graph WITH canonical ids: fixture linking is
+    # surface-identity (pinned by test_fixture_linking_is_identity), so
+    # ids are entity_id(surface) and the dedup partition by id equals
+    # the partition by surface; representative = lexicographic min over
+    # (url, chunk_id, subj_mod, subj_type, obj_type) — stages/dedup.py's
+    # rule, replayed here with plain sorting
+    from .stages.link import entity_id
+
+    graph_groups: dict[tuple[str, str, str], list[tuple]] = {}
+    for k in range(len(tri_rows["subj"])):
+        key = (tri_rows["subj"][k], tri_rows["pred"][k], tri_rows["obj"][k])
+        graph_groups.setdefault(key, []).append(
+            (
+                tri_rows["url"][k], tri_rows["chunk_id"][k],
+                tri_rows["subj_mod"][k], tri_rows["subj_type"][k],
+                tri_rows["obj_type"][k],
+            )
+        )
+    gr_rows: dict[str, list] = {
+        k: []
+        for k in (
+            "subj_id", "pred", "obj_id", "subj", "obj", "subj_type",
+            "obj_type", "subj_mod", "n_sources", "url", "chunk_id",
+        )
+    }
+    for (subj, pred, obj), occs in graph_groups.items():
+        url_r, cid_r, mod_r, st_r, ot_r = min(occs)
+        gr_rows["subj_id"].append(entity_id(subj))
+        gr_rows["pred"].append(pred)
+        gr_rows["obj_id"].append(entity_id(obj))
+        gr_rows["subj"].append(subj)
+        gr_rows["obj"].append(obj)
+        gr_rows["subj_type"].append(st_r)
+        gr_rows["obj_type"].append(ot_r)
+        gr_rows["subj_mod"].append(mod_r)
+        gr_rows["n_sources"].append(len(occs))
+        gr_rows["url"].append(url_r)
+        gr_rows["chunk_id"].append(cid_r)
+    expected_graph = pa.table(
+        {
+            "subj_id": pa.array(gr_rows["subj_id"], pa.int64()),
+            "pred": pa.array(gr_rows["pred"], pa.string()),
+            "obj_id": pa.array(gr_rows["obj_id"], pa.int64()),
+            "subj": pa.array(gr_rows["subj"], pa.string()),
+            "obj": pa.array(gr_rows["obj"], pa.string()),
+            "subj_type": pa.array(gr_rows["subj_type"], pa.string()),
+            "obj_type": pa.array(gr_rows["obj_type"], pa.string()),
+            "subj_mod": pa.array(gr_rows["subj_mod"], pa.string()),
+            "n_sources": pa.array(gr_rows["n_sources"], pa.int64()),
+            "url": pa.array(gr_rows["url"], pa.string()),
+            "chunk_id": pa.array(gr_rows["chunk_id"], pa.int32()),
+        }
+    )
     out = {
         "pages": pages,
         "expected_text": expected_text,
@@ -872,6 +926,7 @@ def generate(n_pages: int) -> dict[str, pa.Table]:
         "expected_entities": expected_entities,
         "expected_triples": expected_triples,
         "expected_quarantine": expected_quarantine,
+        "expected_graph": expected_graph,
     }
     out.update(generate_embeddings(n_pages))
     out.update(generate_docs_nd(max(30, n_pages // 2)))
