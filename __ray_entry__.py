@@ -180,6 +180,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         back = xml.map_batches(gold_xml_to_tagged_batch, batch_format="pyarrow")
         return back.map_batches(assemble_batch, batch_format="pyarrow")
 
+    def kg_brat_roundtrip(sf_dir: str):
+        """tagged -> brat writer (.txt/.ann standoff) -> BRAT READER ->
+        assemble; must equal the triple oracle (S9 input-direction
+        conformance: real brat-annotated corpora load through
+        stages/brat.py)."""
+        from jamie_ray.stages.assemble import assemble_batch
+        from jamie_ray.stages.brat import brat_to_tagged_batch
+        from jamie_ray.stages.format_out import tagged_to_brat_batch
+
+        corpus = _kg_dir(sf_dir)
+        chunks = kg.chunk_pages(
+            kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
+        )
+        brat = kg.score_chunks(chunks).map_batches(
+            tagged_to_brat_batch, batch_format="pyarrow"
+        )
+        back = brat.map_batches(brat_to_tagged_batch, batch_format="pyarrow")
+        return back.map_batches(assemble_batch, batch_format="pyarrow")
+
     _I2B2_DOCS = {"sf0.001": 20, "sf0.01": 80, "sf0.1": 800}
 
     def i2b2_triples(sf_dir: str):
@@ -590,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_pipeline_mode": kg_triples_pipeline_mode,
         "kg_conll_roundtrip": kg_conll_roundtrip,
         "kg_gold_xml_roundtrip": kg_gold_xml_roundtrip,
+        "kg_brat_roundtrip": kg_brat_roundtrip,
         "i2b2_triples": i2b2_triples,
         "kg_xml_out": kg_xml_out,
         "kg_brat_out": kg_brat_out,
@@ -681,6 +701,10 @@ def oracle_sql() -> dict[str, str]:
             "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",
         ),
         "kg_gold_xml_roundtrip": kg_sql(
+            "expected_triples",
+            "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",
+        ),
+        "kg_brat_roundtrip": kg_sql(
             "expected_triples",
             "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",
         ),

@@ -143,6 +143,12 @@ def cmd_convert(args) -> None:
         tagged = ray.data.read_parquet(args.inp).map_batches(
             conll_text_to_tagged_batch, batch_format="pyarrow"
         )
+    elif args.from_fmt == "brat":
+        from .stages.brat import brat_to_tagged_batch
+
+        tagged = ray.data.read_parquet(args.inp).map_batches(
+            brat_to_tagged_batch, batch_format="pyarrow"
+        )
     else:  # tagged parquet
         tagged = ray.data.read_parquet(args.inp)
 
@@ -232,7 +238,7 @@ def main(argv: list[str] | None = None) -> None:
 
     p = sub.add_parser("convert", help="annotation-format converter")
     p.add_argument("--from", dest="from_fmt", required=True,
-                   choices=("tagged", "goldxml", "conll", "i2b2"))
+                   choices=("tagged", "goldxml", "conll", "i2b2", "brat"))
     p.add_argument("--to", dest="to_fmt", required=True,
                    choices=("tagged", "conll", "xml", "brat", "pmhs", "triples"))
     p.add_argument("--in", dest="inp", required=True,

@@ -104,3 +104,39 @@ def test_winnow_fingerprints():
     assert f1 & f2
     # short text
     assert winnow_fingerprints("ab") == []
+
+
+# ---- brat reader (S9 input direction, r3) ---------------------------------
+
+def test_brat_reader_error_counting():
+    from jamie_ray.stages.brat import parse_brat
+
+    txt = "発熱あり\n"
+    # dangling tid in R line + off-boundary T offset + surface mismatch
+    ann = (
+        "T1\td 0 2\t発熱\n"
+        "A1\tpositive T1 positive\n"
+        "R1\ton Arg1:T1 Arg2:T9\n"
+        "T2\ta 1 3\t熱あ\n"      # begin=1 is inside token '発熱'
+        "T3\ta 2 4\tXX\n"       # boundary ok, surface mismatch
+    )
+    r = parse_brat(txt, ann)
+    assert r["ner"][0] == "B-d"
+    assert r["mod"][r["ner"].index("B-d") + 1] == "positive" or "positive" in r["mod"]
+    assert r["anno_errors"] == 3
+
+
+def test_brat_reader_dct_and_relations():
+    from jamie_ray.stages.brat import parse_brat
+    from jamie_ray.stages.format_out import chunk_to_brat
+
+    tokens = ["発熱", "昨日", "手術"]
+    ner = ["B-d", "B-TIMEX3", "B-r"]
+    mod = ["positive", "DATE", "_"]
+    rels = [["on"], ["N"], ["before"]]
+    heads = [[0], [1], [1]]  # self-rel on token 0 (DCT), 2->1 relation
+    txt, ann = chunk_to_brat(tokens, ner, mod, rels, heads)
+    r = parse_brat(txt, ann)
+    assert r["anno_errors"] == 0
+    assert r["tokens"] == tokens and r["ner"] == ner and r["mod"] == mod
+    assert r["rels"] == rels and r["heads"] == heads

@@ -236,3 +236,110 @@ def test_gold_xml_roundtrip_property(chunk):
         zip(*[t.column(c).to_pylist() for c in sorted(t.column_names)])
     ) if t.num_rows else []
     assert key(direct) == key(via)
+
+
+@st.composite
+def analyzer_tagged_chunks(draw):
+    """Tagged chunks over ANALYZER-CONSISTENT token sequences: brat's
+    .txt carries no in-band token boundaries (unlike gold-XML, where
+    entity tags split the text into separately-tokenized segments), so
+    the reader re-derives tokens by re-analysis — the representable
+    domain is exactly token sequences the analyzer itself produces
+    (which pipeline tokens always are)."""
+    from hypothesis import assume
+
+    from jamie_ray.stages.format_out import MOD_DICT
+
+    text = draw(
+        st.text(
+            alphabet=st.sampled_from(list("あいう漢字熱痛ナカABC")),
+            min_size=2,
+            max_size=24,
+        )
+    )
+    tokens = tk.analyze(text)
+    assume(len(tokens) >= 2)
+    n = len(tokens)
+    ner = ["O"] * n
+    mod = ["_"] * n
+    spans = []
+    i = 0
+    while i < n:
+        if draw(st.booleans()):
+            w = min(draw(st.integers(1, 2)), n - i)
+            tag = draw(st.sampled_from(["d", "a", "TIMEX3"]))
+            ner[i] = f"B-{tag}"
+            for j in range(i + 1, i + w):
+                ner[j] = f"I-{tag}"
+            legal = ["_"] + [
+                m
+                for m, cls in MOD_DICT.items()
+                if cls == "state"
+                or (cls == "certainty" and tag == "d")
+                or (cls == "type" and tag == "TIMEX3")
+            ]
+            mod[i + w - 1] = draw(st.sampled_from(legal))
+            spans.append((i, i + w))
+            i += w + 1
+        else:
+            i += 1
+    rels = [["N"] for _ in range(n)]
+    heads = [[k] for k in range(n)]
+    anchors = [e - 1 for _, e in spans]
+    pairs = draw(
+        st.lists(
+            st.tuples(st.sampled_from(anchors or [0]), st.sampled_from(anchors or [0])),
+            max_size=4,
+            unique=True,
+        )
+    ) if anchors else []
+    for t, h in pairs:
+        r = draw(st.sampled_from(["on", "before", "TrAP"]))
+        if rels[t] == ["N"] and heads[t] == [t]:
+            rels[t] = [r]
+            heads[t] = [h]
+        else:
+            rels[t].append(r)
+            heads[t].append(h)
+    return tokens, ner, mod, rels, heads
+
+
+@given(analyzer_tagged_chunks())
+@settings(max_examples=60, deadline=None)
+def test_brat_roundtrip_property(chunk):
+    """brat writer -> brat reader -> assemble equals direct assemble
+    for any analyzer-consistent tagged chunk (char offsets land on
+    token boundaries because the writer emits them from the same token
+    fusion the reader re-derives)."""
+    import pyarrow as pa
+
+    from jamie_ray.stages.assemble import assemble_batch
+    from jamie_ray.stages.brat import parse_brat
+    from jamie_ray.stages.format_out import chunk_to_brat
+
+    tokens, ner, mod, rels, heads = chunk
+
+    def tagged_table(t, nr, md, rl, hd):
+        return pa.table(
+            {
+                "url": pa.array(["u"], "string"),
+                "chunk_id": pa.array([0], pa.int32()),
+                "tokens": pa.array([t], pa.list_(pa.string())),
+                "ner": pa.array([nr], pa.list_(pa.string())),
+                "mod": pa.array([md], pa.list_(pa.string())),
+                "rels": pa.array([rl], pa.list_(pa.list_(pa.string()))),
+                "heads": pa.array([hd], pa.list_(pa.list_(pa.int32()))),
+            }
+        )
+
+    direct = assemble_batch(tagged_table(tokens, ner, mod, rels, heads))
+    txt, ann = chunk_to_brat(tokens, ner, mod, rels, heads)
+    r = parse_brat(txt, ann)
+    assert r["anno_errors"] == 0
+    via = assemble_batch(
+        tagged_table(r["tokens"], r["ner"], r["mod"], r["rels"], r["heads"])
+    )
+    key = lambda t: sorted(
+        zip(*[t.column(c).to_pylist() for c in sorted(t.column_names)])
+    ) if t.num_rows else []
+    assert key(direct) == key(via)
