@@ -199,6 +199,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         back = brat.map_batches(brat_to_tagged_batch, batch_format="pyarrow")
         return back.map_batches(assemble_batch, batch_format="pyarrow")
 
+    def kg_pmhs_roundtrip(sf_dir: str):
+        """tagged -> pmhs JSONL sink -> PMHS READER -> assemble; equals
+        the triple oracle on the mod-free projection (the reference's
+        pmhs schema carries no modality, utils.py:2635-2665)."""
+        from jamie_ray.stages.assemble import assemble_batch
+        from jamie_ray.stages.pmhs import pmhs_to_tagged_batch, tagged_to_pmhs_batch
+
+        corpus = _kg_dir(sf_dir)
+        chunks = kg.chunk_pages(
+            kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
+        )
+        pmhs = kg.score_chunks(chunks).map_batches(
+            tagged_to_pmhs_batch, batch_format="pyarrow"
+        )
+        back = pmhs.map_batches(pmhs_to_tagged_batch, batch_format="pyarrow")
+        return back.map_batches(assemble_batch, batch_format="pyarrow").map_batches(
+            lambda b: b.drop_columns(["subj_mod"]), batch_format="pyarrow"
+        )
+
     _I2B2_DOCS = {"sf0.001": 20, "sf0.01": 80, "sf0.1": 800}
 
     def i2b2_triples(sf_dir: str):
@@ -610,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conll_roundtrip": kg_conll_roundtrip,
         "kg_gold_xml_roundtrip": kg_gold_xml_roundtrip,
         "kg_brat_roundtrip": kg_brat_roundtrip,
+        "kg_pmhs_roundtrip": kg_pmhs_roundtrip,
         "i2b2_triples": i2b2_triples,
         "kg_xml_out": kg_xml_out,
         "kg_brat_out": kg_brat_out,
@@ -707,6 +727,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_brat_roundtrip": kg_sql(
             "expected_triples",
             "subj, pred, obj, subj_type, obj_type, subj_mod, url, chunk_id",
+        ),
+        "kg_pmhs_roundtrip": kg_sql(
+            "expected_triples",
+            "subj, pred, obj, subj_type, obj_type, url, chunk_id",
         ),
         "i2b2_triples": (lambda root: (
             __import__("jamie_ray.fixtures", fromlist=["write_i2b2_corpus"])

@@ -43,7 +43,9 @@ def cmd_extract(args) -> None:
     _ensure_ray()
     from .pipelines import kg
 
-    ds = kg.extracted_pages(kg.read_pages(args.pages), lang=args.lang)
+    ds = kg.extracted_pages(
+        kg.read_pages(args.pages), lang=args.lang, decode_errors=args.decode_errors
+    )
     ds.write_parquet(args.out)
     print(json.dumps({"command": "extract", "out": args.out}))
 
@@ -52,7 +54,12 @@ def cmd_chunks(args) -> None:
     _ensure_ray()
     from .pipelines import kg
 
-    ds = kg.chunk_pages(kg.extracted_pages(kg.read_pages(args.pages), lang=args.lang))
+    ds = kg.chunk_pages(
+        kg.extracted_pages(
+            kg.read_pages(args.pages), lang=args.lang, decode_errors=args.decode_errors
+        ),
+        analyzer=args.analyzer,
+    )
     ds.write_parquet(args.out)
     print(json.dumps({"command": "chunks", "out": args.out}))
 
@@ -61,7 +68,13 @@ def cmd_triples(args) -> None:
     _ensure_ray()
     from .pipelines import kg
 
-    ds = kg.build_triples(args.pages, lang=args.lang, mode=args.mode)
+    ds = kg.build_triples(
+        args.pages,
+        lang=args.lang,
+        mode=args.mode,
+        analyzer=args.analyzer,
+        decode_errors=args.decode_errors,
+    )
     ds.write_parquet(args.out)
     print(json.dumps({"command": "triples", "mode": args.mode, "out": args.out}))
 
@@ -71,7 +84,12 @@ def cmd_graph(args) -> None:
     from .pipelines import kg
 
     summary = kg.materialize_graph(
-        args.pages, args.out, lang=args.lang, n_shards=args.shards
+        args.pages,
+        args.out,
+        lang=args.lang,
+        n_shards=args.shards,
+        analyzer=args.analyzer,
+        decode_errors=args.decode_errors,
     )
     print(json.dumps({"command": "graph", **summary}))
 
@@ -149,6 +167,12 @@ def cmd_convert(args) -> None:
         tagged = ray.data.read_parquet(args.inp).map_batches(
             brat_to_tagged_batch, batch_format="pyarrow"
         )
+    elif args.from_fmt == "pmhs":
+        from .stages.pmhs import pmhs_to_tagged_batch
+
+        tagged = ray.data.read_parquet(args.inp).map_batches(
+            pmhs_to_tagged_batch, batch_format="pyarrow"
+        )
     else:  # tagged parquet
         tagged = ray.data.read_parquet(args.inp)
 
@@ -203,6 +227,16 @@ def main(argv: list[str] | None = None) -> None:
         p.add_argument("--pages", required=True, help="pages parquet path/dir")
         p.add_argument("--out", required=True)
         p.add_argument("--lang", default="ja")
+        p.add_argument(
+            "--analyzer", default="mecab",
+            help="registered morphological analyzer (juman|mecab|...)",
+        )
+        p.add_argument(
+            "--decode-errors", dest="decode_errors", default="strict",
+            choices=("strict", "replace"),
+            help="utf-8 policy: strict quarantines mojibake pages, "
+            "replace degrades them to U+FFFD",
+        )
 
     p = sub.add_parser("extract", help="pages -> normalized text")
     common(p)
@@ -238,7 +272,7 @@ def main(argv: list[str] | None = None) -> None:
 
     p = sub.add_parser("convert", help="annotation-format converter")
     p.add_argument("--from", dest="from_fmt", required=True,
-                   choices=("tagged", "goldxml", "conll", "i2b2", "brat"))
+                   choices=("tagged", "goldxml", "conll", "i2b2", "brat", "pmhs"))
     p.add_argument("--to", dest="to_fmt", required=True,
                    choices=("tagged", "conll", "xml", "brat", "pmhs", "triples"))
     p.add_argument("--in", dest="inp", required=True,

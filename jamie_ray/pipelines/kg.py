@@ -297,6 +297,8 @@ def materialize_graph(
     n_shards: int = 8,
     concurrency: int | None = None,
     batch_size: int = DEFAULT_SCORER_BATCH,
+    analyzer: str = "mecab",
+    decode_errors: str = "strict",
 ) -> dict:
     """Resumable sorted graph materialize (north rule's final write).
 
@@ -389,13 +391,18 @@ def materialize_graph(
         caps = new_cap_counters()
 
         pages = read_pages(shard_input, shard_filter=shard_filter)
-        extracted = extracted_pages(pages, lang).map_batches(
-            tap_pages, batch_format="pyarrow"
-        )
-        chunks = chunk_pages(extracted).map_batches(
+        extracted = extracted_pages(
+            pages, lang, decode_errors=decode_errors
+        ).map_batches(tap_pages, batch_format="pyarrow")
+        chunks = chunk_pages(extracted, analyzer=analyzer).map_batches(
             tap_chunks, batch_format="pyarrow"
         )
-        tagged = score_chunks(chunks, concurrency=concurrency, batch_size=batch_size)
+        tagged = score_chunks(
+            chunks,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            analyzer=analyzer,
+        )
         triples = tagged.map_batches(assemble_batch, batch_format="pyarrow")
         linked = link_triples(triples, cap_counters=caps)
         graph = dedup_triples(linked)

@@ -51,6 +51,68 @@ def chunk_to_pmhs(tokens, ner, rels, heads) -> str:
     )
 
 
+def parse_pmhs(pmhs_json: str) -> dict:
+    """One pmhs JSON object -> tagged-chunk dict (S10 input direction).
+
+    The sink drops modality (the reference's pmhs schema has none,
+    utils.py:2635-2665), so ``mod`` comes back all ``_`` — compare
+    roundtrips on the mod-free projection. Tokens are recovered by
+    re-analysis of the fused text (valid for analyzer-produced token
+    sequences, i.e. all pipeline tokens — same domain argument as the
+    brat reader); ``selection`` cells anchor rels/heads directly at
+    token ids, so relations survive exactly.
+    """
+    from ..tokenization import analyze
+    from .chunk import SEP_JOIN
+
+    obj = json.loads(pmhs_json)
+    text = obj.get("text", "")
+    tokens = analyze(text.replace("\n", SEP_JOIN)) if text else []
+    ner = list(obj.get("bio", []))
+    n = len(tokens)
+    anno_errors = 0
+    if len(ner) != n:
+        # token recovery disagrees with the stored bio length: the
+        # chunk was not analyzer-consistent — counted, not dropped
+        anno_errors += 1
+        ner = (ner + ["O"] * n)[:n]
+    rels: list[list[str]] = [["N"] for _ in range(n)]
+    heads: list[list[int]] = [[i] for i in range(n)]
+    for cell in obj.get("selection", []):
+        t, h, r = cell.get("subject"), cell.get("object"), cell.get("predicate")
+        if not (isinstance(t, int) and isinstance(h, int) and 0 <= t < n and 0 <= h < n):
+            anno_errors += 1
+            continue
+        if rels[t] == ["N"] and heads[t] == [t]:
+            rels[t] = [r]
+            heads[t] = [h]
+        else:
+            rels[t].append(r)
+            heads[t].append(h)
+    return {
+        "tokens": tokens, "ner": ner, "mod": ["_"] * n,
+        "rels": rels, "heads": heads, "anno_errors": anno_errors,
+    }
+
+
+def pmhs_to_tagged_batch(batch: pa.Table, pmhs_col: str = "pmhs") -> pa.Table:
+    """map_batches kernel: (url, chunk_id, pmhs) -> tagged_chunks rows
+    (+ ``anno_errors``; ``mod`` is all ``_`` — see :func:`parse_pmhs`)."""
+    rows = [parse_pmhs(x) for x in batch.column(pmhs_col).to_pylist()]
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "chunk_id": batch.column("chunk_id"),
+            "tokens": pa.array([r["tokens"] for r in rows], pa.list_(pa.string())),
+            "ner": pa.array([r["ner"] for r in rows], pa.list_(pa.string())),
+            "mod": pa.array([r["mod"] for r in rows], pa.list_(pa.string())),
+            "rels": pa.array([r["rels"] for r in rows], pa.list_(pa.list_(pa.string()))),
+            "heads": pa.array([r["heads"] for r in rows], pa.list_(pa.list_(pa.int32()))),
+            "anno_errors": pa.array([r["anno_errors"] for r in rows], pa.int32()),
+        }
+    )
+
+
 def tagged_to_pmhs_batch(batch: pa.Table) -> pa.Table:
     """map_batches kernel: tagged_chunks -> (url, chunk_id, pmhs json)."""
     out = [

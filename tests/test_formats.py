@@ -140,3 +140,27 @@ def test_brat_reader_dct_and_relations():
     assert r["anno_errors"] == 0
     assert r["tokens"] == tokens and r["ner"] == ner and r["mod"] == mod
     assert r["rels"] == rels and r["heads"] == heads
+
+
+def test_pmhs_reader_roundtrip_and_errors():
+    from jamie_ray.stages.pmhs import chunk_to_pmhs, parse_pmhs
+
+    tokens = ["発熱", "昨日", "手術"]
+    ner = ["B-d", "B-TIMEX3", "B-r"]
+    rels = [["on"], ["N"], ["before", "on"]]
+    heads = [[1], [1], [0, 1]]
+    j = chunk_to_pmhs(tokens, ner, rels, heads)
+    r = parse_pmhs(j)
+    assert r["anno_errors"] == 0
+    assert r["tokens"] == tokens and r["ner"] == ner
+    assert r["rels"] == rels and r["heads"] == heads
+    assert r["mod"] == ["_", "_", "_"]  # pmhs carries no modality
+
+    import json as _json
+
+    bad = _json.dumps(
+        {"text": "発熱", "bio": ["B-d", "I-d", "I-d"],  # wrong bio length
+         "spo_list": [], "selection": [{"subject": 9, "predicate": "on", "object": 0}]}
+    )
+    rb = parse_pmhs(bad)
+    assert rb["anno_errors"] == 2  # length mismatch + out-of-range cell
