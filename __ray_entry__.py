@@ -311,10 +311,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return similarity.knn_bruteforce(ds, _query_vec(sf_dir), k=10)
 
     def knn_lsh(sf_dir: str):
-        ds = ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
-        return similarity.knn_lsh(ds, _query_vec(sf_dir), k=10)
+        """LSH-bucketed approximate kNN over the planted-fixture
+        embeddings. The LSH result set is DETERMINISTIC (the
+        bucket-restricted exact top-k), so on this corpus even the
+        approximate operator is value-checked against the generator's
+        expected table; on arbitrary corpora recall < 1 by design."""
+        corpus = _kg_dir(sf_dir)
+        path = f"{corpus}/embeddings_nd.parquet"
+        tab = pq.read_table(path, columns=["vec_id", "embedding"])
+        q = tab["embedding"].to_pylist()[tab["vec_id"].to_pylist().index(0)]
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        return similarity.knn_lsh(ds, q, k=10)
 
     def embedding_near_dup(sf_dir: str):
         """Cosine near-dup pairs over the fixture embeddings, which
@@ -970,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         # the planted sets) — see fixtures.generate_embeddings /
         # generate_docs_nd for the exactness arguments
         "embedding_near_dup": kg_sql("expected_near_dup", "id_a, id_b, cosine"),
+        "knn_lsh": kg_sql("expected_knn_lsh", "vec_id, score"),
         "docs_minhash_clusters": kg_sql(
             "expected_minhash_clusters", "doc_id, cluster_id"
         ),

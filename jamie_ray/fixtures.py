@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 7
+FIXTURE_VERSION = 8
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -336,7 +336,36 @@ def generate_embeddings(n_vec: int) -> dict[str, pa.Table]:
             "cosine": pa.array(pair_rows["cosine"], pa.float64()),
         }
     )
-    return {"embeddings_nd": embeddings, "expected_near_dup": expected}
+
+    # expected knn_lsh result for query = vec_id 0 (single probe,
+    # default planes, k=10): the LSH result is DETERMINISTIC — the
+    # bucket-restricted exact top-k — so even the approximate operator
+    # gets a value oracle on this corpus. Score math mirrors the
+    # engine's _cosine exactly: unit query, dot, divide by row norm,
+    # round(6); ties by id ascending.
+    q = all_vecs[0]
+    qn = q / (np.linalg.norm(q) or 1.0)
+    q_bucket = lsh_bucket(q, planes)
+    in_bucket = [
+        j for j in range(n_all) if lsh_bucket(all_vecs[j], planes) == q_bucket
+    ]
+    scores = []
+    for j in in_bucket:
+        nj = np.linalg.norm(all_vecs[j]) or 1.0
+        scores.append((round(float((all_vecs[j] @ qn) / nj), 6), j))
+    scores.sort(key=lambda t: (-t[0], t[1]))
+    top = scores[:10]  # row index == vec_id by construction
+    expected_knn = pa.table(
+        {
+            "vec_id": pa.array([j for _, j in top], pa.int64()),
+            "score": pa.array([s for s, _ in top], pa.float64()),
+        }
+    )
+    return {
+        "embeddings_nd": embeddings,
+        "expected_near_dup": expected,
+        "expected_knn_lsh": expected_knn,
+    }
 
 
 # ---------------------------------------------------------------------------
