@@ -555,6 +555,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return sessionize(events, gap_minutes=30)
 
+    # ---- mergeable sketches ----
+
+    def events_distinct_users_kmv(sf_dir: str):
+        """KMV distinct-count sketch per event type. At conformance
+        scale every group's distinct count is below k, so the sketch
+        holds the whole hash set and the answer is EXACT — the oracle
+        is a plain COUNT(DISTINCT)."""
+        from jamie_ray.functions.sketch import kmv_distinct
+
+        events = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        return kmv_distinct(events, "event_type", "user_id", k=8192)
+
+    def events_heavy_hitters(sf_dir: str):
+        """Exact frequent users via two-pass Misra-Gries (block MG
+        summaries -> provable candidate superset -> exact second-pass
+        counts): users with >= 0.2% of all events."""
+        from jamie_ray.functions.sketch import heavy_hitters
+
+        events = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id"]
+        )
+        return heavy_hitters(events, "user_id", phi=0.002, k=1024)
+
     # ---- multimodal plumbing (deterministic fake decode) ----
 
     # sizes shared with fixtures.generate_media_expected so the planted
@@ -657,6 +682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_orders": events_range_orders,
         "events_sessionize": events_sessionize,
         "events_hopping_window": events_hopping_window,
+        "events_distinct_users_kmv": events_distinct_users_kmv,
+        "events_heavy_hitters": events_heavy_hitters,
         "top_orders": rel.top_orders,
         "filter_docs": rel.filter_docs,
         "union_docs": rel.union_docs,
@@ -848,6 +875,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start, event_type, count(*) AS n,
                    CAST(sum(val_s) AS BIGINT)::DOUBLE / 1000000.0 AS sum_value
             FROM ex GROUP BY 1, 2
+        """,
+        "events_distinct_users_kmv": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type
+        """,
+        "events_heavy_hitters": """
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            HAVING count(*) >= CAST(ceil(0.002 * (SELECT count(*) FROM events)) AS BIGINT)
         """,
         "top_users_by_events": """
             SELECT user_id, count(*) AS n_events,

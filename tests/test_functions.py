@@ -565,3 +565,69 @@ def test_media_and_signature_expected_tables(ray_session):
     key = lambda r: (r["media_id"], r["feat_idx"])
     exp_audio = sorted(tabs["expected_audio_features"].to_pylist(), key=key)
     assert sorted(got_audio, key=key) == exp_audio
+
+
+# ---- mergeable sketches ---------------------------------------------------
+
+def test_kmv_distinct_exact_and_estimate(ray_session):
+    import ray.data
+
+    from jamie_ray.functions import sketch
+
+    rows = [
+        {"g": "a", "v": i % 7} for i in range(100)
+    ] + [{"g": "b", "v": i} for i in range(50)]
+    out = {
+        r["g"]: r["n_distinct"]
+        for r in sketch.kmv_distinct(
+            ray.data.from_items(rows), "g", "v", k=64
+        ).take_all()
+    }
+    # below k the sketch holds the whole set: exact
+    assert out == {"a": 7, "b": 50}
+
+    # beyond k: the KMV estimate lands within ~2/sqrt(k) of the truth
+    big = [{"g": "x", "v": i} for i in range(20000)]
+    est = sketch.kmv_distinct(ray.data.from_items(big), "g", "v", k=1024).take_all()
+    n = est[0]["n_distinct"]
+    assert abs(n - 20000) / 20000 < 0.1
+
+
+def test_heavy_hitters_exact_and_guarded(ray_session):
+    import pytest
+    import ray.data
+
+    from jamie_ray.functions import sketch
+
+    # 3 heavy users among a long tail; two-pass MG must return the
+    # exact heavy set with exact counts
+    rows = (
+        [{"u": "heavy1"}] * 300
+        + [{"u": "heavy2"}] * 200
+        + [{"u": "heavy3"}] * 120
+        + [{"u": f"tail{i}"} for i in range(400)]
+    )
+    ds = ray.data.from_items(rows)
+    out = {
+        r["u"]: r["n"]
+        for r in sketch.heavy_hitters(ds, "u", min_count=100, k=64).take_all()
+    }
+    assert out == {"heavy1": 300, "heavy2": 200, "heavy3": 120}
+
+    # recall bound violated -> loud failure, not silent loss
+    with pytest.raises(ValueError, match="recall bound"):
+        sketch.heavy_hitters(ds, "u", min_count=2, k=16)
+    with pytest.raises(ValueError, match="exactly one"):
+        sketch.heavy_hitters(ds, "u")
+
+
+def test_misra_gries_update_semantics():
+    from jamie_ray.functions.sketch import _mg_update
+
+    c: dict = {}
+    for v in ["a", "a", "b", "c"]:  # k=3: c finds counters full
+        _mg_update(c, v, 3)
+    # c triggers decrement-all instead of inserting: a:2->1, b evicted
+    assert c == {"a": 1}
+    _mg_update(c, "d", 3)  # the freed slot admits the next new item
+    assert c == {"a": 1, "d": 1}
