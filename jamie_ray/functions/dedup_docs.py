@@ -127,6 +127,14 @@ def _doc_bands(text: str) -> list[int]:
     return _bands_from_hashes(_doc_shingle_hashes(text))
 
 
+# below this many candidate pairs, pair verification happens on the
+# driver over the (capped) collected candidate hash sets — one less
+# all-to-all stage, and the driver bytes are bounded by the same
+# EdgeCap machinery that already guards the edge list. Beyond it, the
+# bucketed verify shuffle runs (the 100-TB path).
+DRIVER_VERIFY_PAIRS = 100_000
+
+
 def minhash_clusters(
     docs,
     text_col: str = "text",
@@ -135,6 +143,7 @@ def minhash_clusters(
     max_group: int = 128,
     edge_cap: int | None = None,
     cap_counters=None,
+    driver_verify_pairs: int = DRIVER_VERIFY_PAIRS,
 ):
     """documents -> (doc_id, cluster_id) for every doc; cluster_id = min
     doc_id of its near-duplicate cluster (singletons map to themselves).
@@ -149,14 +158,17 @@ def minhash_clusters(
     3. candidate pairs are collected (capped — tiny: bounded by true
        duplicate mass + LSH false-positive mass) and broadcast;
     4. a second pass over the input computes shingle-hash sets ONLY for
-       candidate docs and verifies exact Jaccard from the hash sets
+       candidate docs and verifies exact Jaccard from the hash sets —
+       at the driver when the pair set is small
+       (``driver_verify_pairs``: driver bytes stay bounded by the
+       capped collection, and one all-to-all stage disappears), else
        inside one ``groupby(pair_bucket)`` shuffle over candidate rows;
     5. verified edges -> driver union-find -> broadcast assign (as
        before).
 
-    ``edge_cap`` bounds both driver-side collections (candidate pairs
-    and verified edges); ``cap_counters`` (see ``state/caps.py``) makes
-    per-band truncation observable.
+    ``edge_cap`` bounds every driver-side collection (candidate pairs,
+    candidate signatures, verified edges); ``cap_counters`` (see
+    ``state/caps.py``) makes per-band truncation observable.
 
     The input Dataset is consumed three times (bands, candidate-doc
     signatures, cluster assign); each pass streams from the source —
@@ -229,7 +241,51 @@ def minhash_clusters(
     pairs = sorted(pair_set)
 
     uf = UnionFind()
-    if pairs:
+    if pairs and len(pairs) <= driver_verify_pairs:
+        # small candidate set: collect the candidate docs' hash sets
+        # (capped) and verify at the driver — no verify shuffle
+        cand_ids = {i for p in pairs for i in p}
+        ids_ref = ray.put(cand_ids)
+
+        def sigs_once(batch: pa.Table) -> pa.Table:
+            from ..state.worker_cache import cached_get
+
+            wanted = cached_get(ids_ref, "minhash_cand_ids")
+            out_id, out_hashes = [], []
+            for i, t in zip(
+                batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+            ):
+                if i in wanted:
+                    out_id.append(i)
+                    out_hashes.append(
+                        _doc_shingle_hashes(t or "").astype(np.int64).tolist()
+                    )
+            return pa.table(
+                {
+                    id_col: pa.array(out_id, pa.int64()),
+                    "hashes": pa.array(out_hashes, pa.list_(pa.int64())),
+                }
+            )
+
+        sets: dict[int, set[int]] = {}
+        for b in iter_capped_batches(
+            docs.map_batches(sigs_once, batch_format="pyarrow"),
+            cap=cap,
+            context="minhash candidate signatures",
+        ):
+            for i, hs in zip(
+                b.column(id_col).to_pylist(), b.column("hashes").to_pylist()
+            ):
+                sets[i] = set(hs)
+        for a, b_ in pairs:
+            ha, hb = sets.get(a), sets.get(b_)
+            if ha is None or hb is None:
+                continue
+            inter = len(ha & hb)
+            j = inter / (len(ha) + len(hb) - inter) if inter else 0.0
+            if j >= threshold:
+                uf.union(a, b_)
+    elif pairs:
         # doc_id -> [pair index] lookup, broadcast once; the signature
         # pass touches ONLY candidate docs (everything else streams past)
         pair_map: dict[int, list[int]] = {}

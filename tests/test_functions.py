@@ -631,3 +631,28 @@ def test_misra_gries_update_semantics():
     assert c == {"a": 1}
     _mg_update(c, "d", 3)  # the freed slot admits the next new item
     assert c == {"a": 1, "d": 1}
+
+
+def test_minhash_both_verify_paths_identical(ray_session):
+    """The adaptive verify cutover is semantics-free: driver-side
+    verification (small candidate sets) and the bucketed verify
+    shuffle (the 100-TB path, forced via driver_verify_pairs=0...1)
+    produce identical clusters on the planted fixture."""
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(200)
+    docs = ray.data.from_arrow(tabs["documents_nd"])
+    key = lambda rows: sorted((r["doc_id"], r["cluster_id"]) for r in rows)
+    via_driver = key(
+        dedup_docs.minhash_clusters(docs, threshold=0.8).take_all()
+    )
+    via_shuffle = key(
+        dedup_docs.minhash_clusters(
+            docs, threshold=0.8, driver_verify_pairs=1
+        ).take_all()
+    )
+    assert via_driver == via_shuffle
+    exp = key(tabs["expected_minhash_clusters"].to_pylist())
+    assert via_driver == exp
