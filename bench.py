@@ -107,6 +107,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "segment_revenue",
         "events_hourly",
         "events_hopping_window",
+        "events_distinct_users_kmv",
+        "events_heavy_hitters",
         "i2b2_triples",
         "top_orders",
         "doc_token_stats",
