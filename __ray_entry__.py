@@ -1039,6 +1039,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio": kg_sql(
             "expected_audio_features", "media_id, feat_idx, value"
         ),
-        # knn_lsh (approximate by design) and kg_xml_out / kg_brat_out /
-        # kg_pmhs_out (debug text surfaces) remain rows-only checks
+        # kg_xml_out / kg_brat_out / kg_pmhs_out (raw debug text
+        # surfaces) remain rows-only — their READER roundtrips above
+        # are the value checks; every other query carries an exact
+        # oracle (knn_lsh included: deterministic on the planted corpus)
     }

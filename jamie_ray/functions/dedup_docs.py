@@ -74,9 +74,16 @@ def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
         gb = batch.group_by(["text_hash"]).aggregate(
             [(id_col, "min"), ("n_dups", "sum")]
         )
-        # pyarrow group_by output: key columns first, then aggregates
-        # named <col>_<agg> in listed order
-        return gb.rename_columns(["text_hash", id_col, "n_dups"])
+        # select aggregates BY NAME (<col>_<agg>) — both are int64, so a
+        # positional rename would silently swap them if pyarrow ever
+        # reorders its group_by output (CLAUDE.md rule)
+        return pa.table(
+            {
+                "text_hash": gb.column("text_hash"),
+                id_col: gb.column(f"{id_col}_min"),
+                "n_dups": gb.column("n_dups_sum"),
+            }
+        )
 
     def local(batch: pa.Table) -> pa.Table:
         batch = fingerprint_batch(batch, text_col)
@@ -128,11 +135,13 @@ def _doc_bands(text: str) -> list[int]:
 
 
 # below this many candidate pairs, pair verification happens on the
-# driver over the (capped) collected candidate hash sets — one less
-# all-to-all stage, and the driver bytes are bounded by the same
-# EdgeCap machinery that already guards the edge list. Beyond it, the
-# bucketed verify shuffle runs (the 100-TB path).
+# driver over the collected candidate hash sets — one less all-to-all
+# stage. The collection is guarded twice: the row cap (EdgeCap) and a
+# HASH budget (signature rows carry whole shingle-hash sets, so bytes,
+# not rows, are the real bound); crossing either falls back to the
+# bucketed verify shuffle (the 100-TB path).
 DRIVER_VERIFY_PAIRS = 100_000
+DRIVER_VERIFY_HASH_BUDGET = 20_000_000  # ~160 MB of raw hash payload
 
 
 def minhash_clusters(
@@ -241,9 +250,17 @@ def minhash_clusters(
     pairs = sorted(pair_set)
 
     uf = UnionFind()
-    if pairs and len(pairs) <= driver_verify_pairs:
+
+    def verify_at_driver() -> None:
         # small candidate set: collect the candidate docs' hash sets
-        # (capped) and verify at the driver — no verify shuffle
+        # and verify at the driver — no verify shuffle. The collection
+        # is bounded in BYTES, not just rows: each row carries a whole
+        # shingle-hash set, so a separate hash budget raises
+        # EdgeCapExceeded (caught by the caller, which falls back to
+        # the distributed verify) before the driver holds corpus-scale
+        # signature data.
+        from ..state.collect import EdgeCapExceeded
+
         cand_ids = {i for p in pairs for i in p}
         ids_ref = ray.put(cand_ids)
 
@@ -268,6 +285,7 @@ def minhash_clusters(
             )
 
         sets: dict[int, set[int]] = {}
+        n_hashes = 0
         for b in iter_capped_batches(
             docs.map_batches(sigs_once, batch_format="pyarrow"),
             cap=cap,
@@ -276,6 +294,14 @@ def minhash_clusters(
             for i, hs in zip(
                 b.column(id_col).to_pylist(), b.column("hashes").to_pylist()
             ):
+                n_hashes += len(hs)
+                if n_hashes > DRIVER_VERIFY_HASH_BUDGET:
+                    raise EdgeCapExceeded(
+                        "minhash driver verify: candidate signature mass "
+                        f"({n_hashes} hashes) exceeds the driver budget "
+                        f"({DRIVER_VERIFY_HASH_BUDGET}) — falling back to "
+                        "the distributed verify shuffle"
+                    )
                 sets[i] = set(hs)
         for a, b_ in pairs:
             ha, hb = sets.get(a), sets.get(b_)
@@ -285,7 +311,8 @@ def minhash_clusters(
             j = inter / (len(ha) + len(hb) - inter) if inter else 0.0
             if j >= threshold:
                 uf.union(a, b_)
-    elif pairs:
+
+    def verify_distributed() -> None:
         # doc_id -> [pair index] lookup, broadcast once; the signature
         # pass touches ONLY candidate docs (everything else streams past)
         pair_map: dict[int, list[int]] = {}
@@ -363,6 +390,18 @@ def minhash_clusters(
                 b.column("id_a").to_pylist(), b.column("id_b").to_pylist()
             ):
                 uf.union(a, bb)
+
+    if pairs:
+        if len(pairs) <= driver_verify_pairs:
+            from ..state.collect import EdgeCapExceeded
+
+            try:
+                verify_at_driver()
+            except EdgeCapExceeded:
+                uf = UnionFind()  # discard any partial unions
+                verify_distributed()
+        else:
+            verify_distributed()
     comp = uf.components()
     ref = ray.put(comp)
 

@@ -53,14 +53,17 @@ def kmv_distinct(ds, group_col: str, value_col: str, k: int = DEFAULT_K):
     """
 
     def local(batch: pa.Table) -> pa.Table:
+        g_type = batch.column(group_col).type
         out_g, out_h = [], []
         for g in pc.unique(batch.column(group_col)).to_pylist():
             part = batch.filter(pc.equal(batch.column(group_col), g))
             out_g.append(g)
             out_h.append(_min_hashes(part.column(value_col).to_pylist(), k))
+        # key column typed from the INPUT (an empty block would
+        # otherwise infer null type and break block schema unification)
         return pa.table(
             {
-                group_col: pa.array(out_g),
+                group_col: pa.array(out_g, g_type),
                 "kmv": pa.array(out_h, pa.list_(pa.uint64())),
             }
         )
@@ -135,7 +138,7 @@ def heavy_hitters(
         items = sorted(counters)
         return pa.table(
             {
-                col: pa.array(items),
+                col: pa.array(items, batch.column(col).type),
                 "mg_count": pa.array([counters[i] for i in items], pa.int64()),
             }
         )
@@ -152,9 +155,12 @@ def heavy_hitters(
     n_total = ds.count()
     if min_count is None:
         min_count = max(1, math.ceil(phi * n_total))
-    if k < n_total / max(min_count, 1):
+    # STRICT bound: MG's guarantee is undercount <= n/k, so an item
+    # with true count exactly n/k can merge to zero — equality at the
+    # bound loses recall, hence <= not <
+    if k <= n_total / max(min_count, 1):
         raise ValueError(
-            f"heavy_hitters recall bound violated: k={k} < n_total/min_count "
+            f"heavy_hitters recall bound violated: k={k} <= n_total/min_count "
             f"= {n_total}/{min_count} — raise k or min_count/phi"
         )
     # final MG reduction to k-1 candidates (sum can exceed k-1 items)
@@ -174,7 +180,7 @@ def heavy_hitters(
         items = sorted(acc)
         return pa.table(
             {
-                col: pa.array(items),
+                col: pa.array(items, batch.column(col).type),
                 "n": pa.array([acc[i] for i in items], pa.int64()),
             }
         )

@@ -64,23 +64,9 @@ class _ShardCounters:
         }
 
 
-def _settled_totals(counters, settle_s: float = 0.05, timeout_s: float = 5.0) -> dict:
-    """Read counter totals after the pipeline has fully executed.
-
-    The taps report fire-and-forget (no per-batch round trip blocking
-    the hot path); by the time the terminal write has returned, every
-    record message is queued at the actor — this poll only covers the
-    last in-flight tail, settling once the record count is stable
-    across two reads."""
-    deadline = time.time() + timeout_s
-    n_prev, totals = ray.get(counters.snapshot.remote())
-    while time.time() < deadline:
-        time.sleep(settle_s)
-        n, totals = ray.get(counters.snapshot.remote())
-        if n == n_prev:
-            break
-        n_prev = n
-    return totals
+# settled reads of _ShardCounters reuse state/caps.cap_totals — the
+# snapshot() contract (n_records, totals) is shared by design, so the
+# settle-poll logic lives in exactly one place
 
 
 def _batch_fingerprint(batch, col: str) -> int:
@@ -416,7 +402,7 @@ def materialize_graph(
             os.unlink(stale)
         graph.write_parquet(shard_dir)
         n_triples = _count_parquet_rows(shard_dir)
-        totals = _settled_totals(counters)
+        totals = cap_totals(counters)  # settled read (see state/caps.py)
         truncations = cap_totals(caps)
         append_manifest(
             out_dir,

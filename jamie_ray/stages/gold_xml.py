@@ -16,9 +16,11 @@ nested tags, attribute order, and XML escapes all parse):
 - the reference's pre-parse escape repairs (utils.py:736-738):
   ``>>``/``<<`` splits, double-escaped and plain ``&gt;``/``&lt;`` to
   full-width, BEFORE ElementTree sees the line;
-- ``item.text`` labeled with the item's tag, ``item.tail`` labeled
-  ``O`` — including the reference's flattening quirk for nested tags
-  (an inner entity's tail is ``O`` even inside an outer entity);
+- element text labeled with the element's tag, element tail labeled
+  ``O`` (an inner entity's tail is ``O`` even inside an outer entity,
+  the reference's flattening), walked in DOCUMENT order — see the
+  ``walk`` note for why recursion, not ``iter()``, is the faithful
+  shape on non-root containers;
 - modality via the reference's sequential assignment order
   (utils.py:769-784): ``certainty`` only on ``d/D``, ``type`` only on
   ``TIMEX3/Timex3``, then ``state`` (any tag) OVERRIDES, then EVENT
@@ -144,42 +146,53 @@ def parse_gold_xml(xml: str) -> dict:
             mod.append("_")
 
     auto_tid = 0
-    # depth-first pre-order with text-then-tail per item — the exact
-    # shape of the reference's ``for item in st.iter()`` loop,
-    # flattening quirks included
-    for item in root.iter():
+
+    # DOCUMENT-ORDER recursion: element text, then children, then tail.
+    # The reference's flat per-sentence loop (``for item in st.iter()``
+    # with text-then-tail per item) produces the same order on every
+    # input the reference actually receives (containers only as the
+    # parse root, whose tail is empty); on non-root containers iter()'s
+    # shape would emit the container's tail — including a sentence's
+    # trailing [SEP] — BEFORE its entity children, scrambling token
+    # order, so recursion is the faithful generalization, not a
+    # divergence.
+    def walk(item) -> None:
+        nonlocal auto_tid
         tag = item.tag
         if tag in _CONTAINER_TAGS:
             emit_o(item.text)
-            if tag != "doc":
-                emit_o(item.tail)
-            continue
-        if "rel" in tag:  # brel / trel relation elements
+            for child in item:
+                walk(child)
+        elif "rel" in tag:  # brel / trel relation elements
             a = item.attrib
             if "arg1" in a and "arg2" in a:
                 rels_raw.append((a["arg1"], a["arg2"], a.get("reltype", "")))
             else:
                 anno_errors += 1
+        else:
+            attrs = item.attrib
+            inner_toks = _tokenize_segment(item.text or "")
+            if inner_toks:
+                start = len(tokens)
+                for k, t in enumerate(inner_toks):
+                    tokens.append(t)
+                    ner.append(("B-" if k == 0 else "I-") + tag)
+                    mod.append("_")
+                mod[-1] = _modality(tag, attrs)
+                end = len(tokens)
+                auto_tid += 1
+                # auto ids are namespaced so an entity WITHOUT a tid can
+                # never collide with (and be overwritten by) a later
+                # explicit tid="T1" from the file
+                tid_span[attrs.get("tid", f"__auto{auto_tid}")] = (start, end)
+                if "DCT-Rel" in attrs:
+                    self_rels.append((end - 1, attrs["DCT-Rel"]))
+            for child in item:  # nested entities, in document order
+                walk(child)
+        if tag != "doc":
             emit_o(item.tail)
-            continue
-        attrs = item.attrib
-        inner_toks = _tokenize_segment(item.text or "")
-        if inner_toks:
-            start = len(tokens)
-            for k, t in enumerate(inner_toks):
-                tokens.append(t)
-                ner.append(("B-" if k == 0 else "I-") + tag)
-                mod.append("_")
-            mod[-1] = _modality(tag, attrs)
-            end = len(tokens)
-            auto_tid += 1
-            # auto ids are namespaced so an entity WITHOUT a tid can
-            # never collide with (and be overwritten by) a later
-            # explicit tid="T1" from the file
-            tid_span[attrs.get("tid", f"__auto{auto_tid}")] = (start, end)
-            if "DCT-Rel" in attrs:
-                self_rels.append((end - 1, attrs["DCT-Rel"]))
-        emit_o(item.tail)
+
+    walk(root)
 
     n = len(tokens)
     rels: list[list[str]] = [["N"] for _ in range(n)]

@@ -226,6 +226,7 @@ class JointScorer:
 
             self.model = W2VLSTMModel(
                 model[4:] or None if model.startswith("w2v:") else None,
+                analyzer=analyzer,  # chunking and scoring must agree
                 **(hf_kwargs or {}),
             )
         elif hasattr(model, "predict"):

@@ -87,8 +87,10 @@ class W2VLSTMModel:
         dim: int = DEFAULT_DIM,
         hidden: int = DEFAULT_HIDDEN,
         ner_labels: list[str] | None = None,
+        analyzer: str = "mecab",
     ) -> None:
         # stateful setup once per actor/worker: artifact load + weights
+        self.analyzer = analyzer
         self.dim = dim
         self.hidden = hidden
         self.vocab: dict[str, int] = {}
@@ -140,7 +142,7 @@ class W2VLSTMModel:
     def predict(
         self, text: str
     ) -> tuple[list[str], list[str], list[str], list[tuple[int, str, int]]]:
-        words = analyze(text)
+        words = analyze(text, self.analyzer)
         if not words:
             return ["[CLS]", "[SEP]"], ["O", "O"], ["_", "_"], []
         x = self._embed(words)

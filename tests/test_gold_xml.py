@@ -139,3 +139,23 @@ def test_gold_xml_modality_precedence():
     other = _parse('<a tid="T1" certainty="positive">肺</a>')
     last_a = max(j for j, t in enumerate(other["ner"]) if t.endswith("-a"))
     assert other["mod"][last_a] == "_"
+
+
+def test_gold_xml_container_children_document_order():
+    """Sentence/p containers with entity children keep DOCUMENT order:
+    the container's tail (e.g. the newline that becomes the next
+    sentence's [SEP] boundary) must come AFTER its children, not
+    before (r3 code-review finding)."""
+    xml = (
+        '<sentence>あ<d tid="T1" certainty="positive">痛</d>い</sentence>\n'
+        "<sentence>ナカ</sentence>"
+    )
+    r = _parse(xml)
+    assert r["anno_errors"] == 0
+    d_ix = r["ner"].index("B-d")
+    sep_ix = r["tokens"].index("[SEP]")
+    assert d_ix < sep_ix, (r["tokens"], r["ner"])
+    # tokens read in document order: あ 痛 い [SEP] ナカ
+    assert r["tokens"] == ["あ", "痛", "い", "[SEP]", "ナカ"]
+    assert r["ner"] == ["O", "B-d", "O", "O", "O"]
+    assert r["mod"][d_ix] == "positive"
