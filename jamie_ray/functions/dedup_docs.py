@@ -181,7 +181,10 @@ def minhash_clusters(
 
     The input Dataset is consumed three times (bands, candidate-doc
     signatures, cluster assign); each pass streams from the source —
-    nothing materializes the corpus.
+    nothing materializes the corpus. Pass a source-backed Dataset
+    (``read_parquet``): a derived pipeline would re-execute per pass —
+    pre-write it to parquet first (the ``link_triples(spill_dir=...)``
+    pattern) if its upstream compute is expensive.
     """
     n_buckets = 1024
 

@@ -656,3 +656,27 @@ def test_minhash_both_verify_paths_identical(ray_session):
     assert via_driver == via_shuffle
     exp = key(tabs["expected_minhash_clusters"].to_pylist())
     assert via_driver == exp
+
+
+def test_minhash_hash_budget_fallback(ray_session, monkeypatch):
+    """Crossing the driver-verify hash budget falls back to the
+    distributed verify shuffle with identical results (the byte-bound
+    guard from the r3 review)."""
+    import ray.data
+
+    from jamie_ray.functions import dedup_docs as dd
+
+    near = "the quick brown fox jumps over the lazy dog and keeps running fast"
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": near},
+            {"doc_id": 2, "text": near + " today"},
+            {"doc_id": 3, "text": "an entirely different document entirely"},
+        ]
+    )
+    monkeypatch.setattr(dd, "DRIVER_VERIFY_HASH_BUDGET", 3)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.minhash_clusters(docs, threshold=0.5).take_all()
+    }
+    assert got[1] == got[2] == 1 and got[3] == 3
