@@ -580,6 +580,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return heavy_hitters(events, "user_id", phi=0.002, k=1024)
 
+    def events_value_quantiles(sf_dir: str):
+        """Exact distributed quantiles of the event value column
+        (sample -> exact-rank count -> bounded window select; no
+        global sort)."""
+        from jamie_ray.functions.sketch import quantiles_exact
+
+        events = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["value"]
+        )
+        return quantiles_exact(events, "value", [0.5, 0.9, 0.99])
+
     # ---- multimodal plumbing (deterministic fake decode) ----
 
     # sizes shared with fixtures.generate_media_expected so the planted
@@ -684,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": events_hopping_window,
         "events_distinct_users_kmv": events_distinct_users_kmv,
         "events_heavy_hitters": events_heavy_hitters,
+        "events_value_quantiles": events_value_quantiles,
         "top_orders": rel.top_orders,
         "filter_docs": rel.filter_docs,
         "union_docs": rel.union_docs,
@@ -883,6 +895,16 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": """
             SELECT user_id, count(*) AS n FROM events GROUP BY user_id
             HAVING count(*) >= CAST(ceil(0.002 * (SELECT count(*) FROM events)) AS BIGINT)
+        """,
+        "events_value_quantiles": """
+            WITH ranked AS (
+              SELECT value, row_number() OVER (ORDER BY value) - 1 AS rk,
+                     count(*) OVER () AS n
+              FROM events
+            )
+            SELECT q, value FROM ranked,
+                   (VALUES (0.5), (0.9), (0.99)) t(q)
+            WHERE rk = CAST(floor(q * (n - 1)) AS BIGINT)
         """,
         "top_users_by_events": """
             SELECT user_id, count(*) AS n_events,

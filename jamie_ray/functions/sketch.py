@@ -2,7 +2,7 @@
 "a novel sketch" from the brief; no reference analogue — the reference
 never aggregates beyond label vocabularies).
 
-Two operators, both DESIGNED to give exact, oracle-checkable answers
+Three operators, all DESIGNED to give exact, oracle-checkable answers
 while keeping the sketch's distributed shape:
 
 - :func:`kmv_distinct` — K-Minimum-Values distinct count per group.
@@ -21,9 +21,15 @@ while keeping the sketch's distributed shape:
   counts of items above the threshold, while the full-key groupby a
   naive implementation would need never happens.
 
-Scale notes: both shuffles carry O(groups × k) rows, independent of
-input size; the MG candidate set is <= k items broadcast via the
-closure (ids only).
+- :func:`quantiles_exact` — exact distributed quantiles by
+  sample/count/select: per-batch sorted samples, one vectorized
+  counting pass for exact sample ranks, then a bounded window fetch
+  for ranks landing between samples. No global sort, no randomness.
+
+Scale notes: the sketch shuffles carry O(groups × k) rows, independent
+of input size; the MG candidate set is <= k items broadcast via the
+closure (ids only); the quantile driver state is the sample set plus
+one capped window.
 """
 
 from __future__ import annotations
@@ -31,6 +37,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+import ray
 
 from ..hashing import stable_hash64
 
@@ -200,4 +208,157 @@ def heavy_hitters(
         ds.map_batches(count_candidates, batch_format="pyarrow")
         .groupby(col)
         .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def quantiles_exact(
+    ds,
+    col: str,
+    qs: list[float],
+    sample_stride: int = 1024,
+    window_cap: int = 2_000_000,
+):
+    """EXACT distributed quantiles without a global sort.
+
+    Returns a pyarrow Table (q, value) where value is the element at
+    0-based rank ``floor(q * (n-1))`` of the sorted column — the
+    classic sample/count/select shape:
+
+    1. **sample pass**: each batch emits every ``sample_stride``-th
+       element of its sorted values (plus endpoints) — between two
+       adjacent merged samples fewer than batches × stride elements
+       can hide;
+    2. **count pass**: one vectorized ``searchsorted`` per batch
+       against the broadcast sorted samples yields each sample's EXACT
+       global rank (count below + count equal);
+    3. **select**: a target rank landing inside a sample's duplicate
+       run is answered directly; otherwise the strictly-between window
+       (provably < batches × stride values) is fetched (capped — loud
+       failure, never an OOM), sorted, and indexed.
+
+    Three streaming passes, driver memory bounded by the sample set +
+    one window. No randomness anywhere — bit-deterministic.
+    """
+    from ..state.collect import EdgeCapExceeded
+
+    n = ds.count()
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    ranks = [int(np.floor(q * (n - 1))) for q in qs]
+
+    def sample(batch: pa.Table) -> pa.Table:
+        vals = np.sort(
+            np.asarray(batch.column(col).to_pylist(), dtype=np.float64)
+        )
+        if not len(vals):
+            return pa.table({"v": pa.array([], pa.float64())})
+        idx = np.unique(
+            np.concatenate(
+                [np.arange(0, len(vals), sample_stride), [len(vals) - 1]]
+            )
+        )
+        return pa.table({"v": pa.array(vals[idx], pa.float64())})
+
+    samples = np.unique(
+        np.concatenate(
+            [
+                np.asarray(b.column("v").to_pylist(), dtype=np.float64)
+                for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+            or [np.array([], dtype=np.float64)]
+        )
+    )
+    sref = ray.put(samples)
+
+    def count_vs_samples(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import cached_get
+
+        s = cached_get(sref, "quantile_samples")
+        vals = np.sort(np.asarray(batch.column(col).to_pylist(), dtype=np.float64))
+        below = np.searchsorted(vals, s, side="left")
+        upto = np.searchsorted(vals, s, side="right")
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(s)), pa.int64()),
+                "below": pa.array(below, pa.int64()),
+                "eq": pa.array(upto - below, pa.int64()),
+            }
+        )
+
+    below = np.zeros(len(samples), dtype=np.int64)
+    eq = np.zeros(len(samples), dtype=np.int64)
+    for b in ds.map_batches(count_vs_samples, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        # iter_batches can concatenate several tasks' outputs into one
+        # batch, so sample indices REPEAT — np.add.at accumulates at
+        # duplicate indices where fancy-indexed += would apply only once
+        ix = np.asarray(b.column("i").to_pylist())
+        np.add.at(below, ix, np.asarray(b.column("below").to_pylist()))
+        np.add.at(eq, ix, np.asarray(b.column("eq").to_pylist()))
+
+    out_q: list[float] = []
+    out_v: list[float] = []
+    pending: list[tuple[float, int, float, float, int]] = []  # (q, r, lo, hi, base)
+    for q, r in zip(qs, ranks):
+        # last sample whose below-count <= r
+        j = int(np.searchsorted(below, r, side="right")) - 1
+        j = max(j, 0)
+        if below[j] <= r < below[j] + eq[j]:
+            out_q.append(q)
+            out_v.append(float(samples[j]))
+        else:
+            lo = float(samples[j])
+            hi = float(samples[j + 1]) if j + 1 < len(samples) else np.inf
+            pending.append((q, r, lo, hi, int(below[j] + eq[j])))
+
+    if pending:
+        bounds = [(lo, hi) for _, _, lo, hi, _ in pending]
+        bref = ray.put(bounds)
+
+        def fetch_windows(batch: pa.Table) -> pa.Table:
+            from ..state.worker_cache import cached_get
+
+            bs = cached_get(bref, "quantile_windows")
+            vals = np.asarray(batch.column(col).to_pylist(), dtype=np.float64)
+            out_w, out_val = [], []
+            for w, (lo, hi) in enumerate(bs):
+                hit = vals[(vals > lo) & (vals < hi)]
+                out_w.extend([w] * len(hit))
+                out_val.extend(hit.tolist())
+            return pa.table(
+                {
+                    "w": pa.array(out_w, pa.int64()),
+                    "v": pa.array(out_val, pa.float64()),
+                }
+            )
+
+        windows: dict[int, list[float]] = {i: [] for i in range(len(pending))}
+        n_rows = 0
+        for b in ds.map_batches(fetch_windows, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            n_rows += b.num_rows
+            if n_rows > window_cap:
+                raise EdgeCapExceeded(
+                    f"quantile window fetch exceeded {window_cap} rows — "
+                    "raise sample_stride's inverse (denser samples) or "
+                    "window_cap"
+                )
+            for w, v in zip(b.column("w").to_pylist(), b.column("v").to_pylist()):
+                windows[w].append(v)
+        for (q, r, _, _, base), w in zip(pending, range(len(pending))):
+            inside = sorted(windows[w])
+            out_q.append(q)
+            out_v.append(float(inside[r - base]))
+
+    order = np.argsort(out_q, kind="stable")
+    return pa.table(
+        {
+            "q": pa.array([out_q[i] for i in order], pa.float64()),
+            "value": pa.array([out_v[i] for i in order], pa.float64()),
+        }
     )

@@ -680,3 +680,38 @@ def test_minhash_hash_budget_fallback(ray_session, monkeypatch):
         for r in dd.minhash_clusters(docs, threshold=0.5).take_all()
     }
     assert got[1] == got[2] == 1 and got[3] == 3
+
+
+def test_quantiles_exact_matches_numpy(ray_session):
+    """Exact distributed quantiles equal the single-machine rank
+    select, across both answer paths (duplicate-run direct hit and
+    between-samples window fetch)."""
+    import ray.data
+
+    from jamie_ray.functions import sketch
+
+    vals = ([7.0] * 500          # heavy duplicate run
+            + [float(i) / 10 for i in range(1500)]
+            + [-3.5] * 20)
+    ds = ray.data.from_items([{"value": v} for v in vals])
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    out = sketch.quantiles_exact(ds, "value", qs, sample_stride=64)
+    sv = sorted(vals)
+    n = len(sv)
+    expected = {q: sv[int(q * (n - 1))] for q in qs}
+    got = dict(zip(out.column("q").to_pylist(), out.column("value").to_pylist()))
+    assert got == expected
+
+    import pytest
+
+    from jamie_ray.state.collect import EdgeCapExceeded
+
+    # one block + huge stride -> only the endpoints are sampled, so the
+    # median's window is nearly the whole column and must trip the cap
+    one_block = ray.data.from_arrow(
+        pa.table({"value": pa.array(vals, pa.float64())})
+    )
+    with pytest.raises(EdgeCapExceeded, match="quantile window"):
+        sketch.quantiles_exact(
+            one_block, "value", [0.5], sample_stride=100_000, window_cap=10
+        )
