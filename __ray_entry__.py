@@ -323,6 +323,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
         return similarity.knn_lsh(ds, q, k=10)
 
+    def knn_ivf(sf_dir: str):
+        """IVF approximate kNN over the planted-fixture embeddings:
+        deterministic distributed k-means (integer-scaled partial sums
+        make centroids bit-identical to the generator's single-machine
+        replay), so the probe-restricted top-k is value-checked."""
+        corpus = _kg_dir(sf_dir)
+        path = f"{corpus}/embeddings_nd.parquet"
+        tab = pq.read_table(path, columns=["vec_id", "embedding"])
+        q = tab["embedding"].to_pylist()[tab["vec_id"].to_pylist().index(0)]
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        return similarity.knn_ivf(ds, q, k=10, n_centroids=16, n_probe=2)
+
     def embedding_near_dup(sf_dir: str):
         """Cosine near-dup pairs over the fixture embeddings, which
         plant deterministic same-LSH-bucket twins (fixtures.py
@@ -719,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,
+        "knn_ivf": knn_ivf,
         "embedding_near_dup": embedding_near_dup,
         # multimodal
         "multimodal_features": multimodal_features,
@@ -1035,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         # generate_docs_nd for the exactness arguments
         "embedding_near_dup": kg_sql("expected_near_dup", "id_a, id_b, cosine"),
         "knn_lsh": kg_sql("expected_knn_lsh", "vec_id, score"),
+        "knn_ivf": kg_sql("expected_knn_ivf", "vec_id, score"),
         "docs_minhash_clusters": kg_sql(
             "expected_minhash_clusters", "doc_id, cluster_id"
         ),

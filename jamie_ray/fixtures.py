@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 8
+FIXTURE_VERSION = 9
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -361,10 +361,47 @@ def generate_embeddings(n_vec: int) -> dict[str, pa.Table]:
             "score": pa.array([s for s, _ in top], pa.float64()),
         }
     )
+
+    # expected knn_ivf for the same query (n_centroids=16, n_probe=2,
+    # n_iter=3): the engine's distributed k-means accumulates
+    # INTEGER-SCALED partial sums, so its centroids are bit-identical
+    # to this single-machine replay (same seeds from id hashes, same
+    # assignment expression, same scaled-integer sums) — the IVF result
+    # is deterministic, hence value-checkable.
+    n_cent, n_probe, n_iter = 16, 2, 3
+    seed_order = sorted(range(n_all), key=lambda j: (stable_hash64("ivf", j), j))
+    cents = all_vecs[seed_order[:n_cent]].copy()
+    scale = 1_000_000.0
+    for _ in range(n_iter):
+        d2 = ((all_vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        scaled = np.floor(all_vecs * scale + 0.5).astype(np.int64)
+        for c in range(n_cent):
+            sel = scaled[assign == c]
+            if sel.shape[0]:
+                cents[c] = sel.sum(axis=0) / (scale * sel.shape[0])
+    qd2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe_set = set(int(p) for p in np.argsort(qd2, kind="stable")[:n_probe])
+    d2 = ((all_vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    ivf_scores = []
+    for j in range(n_all):
+        if int(assign[j]) in probe_set:
+            nj = np.linalg.norm(all_vecs[j]) or 1.0
+            ivf_scores.append((round(float((all_vecs[j] @ qn) / nj), 6), j))
+    ivf_scores.sort(key=lambda t: (-t[0], t[1]))
+    ivf_top = ivf_scores[:10]
+    expected_ivf = pa.table(
+        {
+            "vec_id": pa.array([j for _, j in ivf_top], pa.int64()),
+            "score": pa.array([s for s, _ in ivf_top], pa.float64()),
+        }
+    )
     return {
         "embeddings_nd": embeddings,
         "expected_near_dup": expected,
         "expected_knn_lsh": expected_knn,
+        "expected_knn_ivf": expected_ivf,
     }
 
 

@@ -248,3 +248,180 @@ def embedding_near_dup(
         .groupby("bucket")
         .map_groups(verify, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path beside LSH
+# ---------------------------------------------------------------------------
+
+_IVF_SCALE = 1_000_000.0  # integer-scaling factor for exact partial sums
+
+
+def _ivf_assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment (squared euclidean; ties -> lowest
+    centroid index, numpy argmin's rule). Vectorized per batch."""
+    d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)
+
+
+def ivf_centroids(
+    embeddings,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed k-means coarse quantizer.
+
+    Two properties make the result BIT-DETERMINISTIC regardless of
+    block layout (so IVF search is oracle-checkable, not just
+    approximately right):
+
+    - seeds are the ``n_centroids`` vectors with the smallest
+      ``stable_hash64("ivf", vec_id)`` — a pure function of ids, found
+      with block-local partial mins + a driver merge;
+    - each Lloyd iteration accumulates per-centroid sums as
+      INTEGER-SCALED int64 partials (``floor(v * 1e6 + 0.5)``), so the
+      distributed sum is exact and order-independent — the float
+      centroid is one division at the end, not a float reduction tree.
+
+    An empty centroid keeps its previous position.
+    """
+    from ..hashing import stable_hash64
+
+    # seed selection: block-local n smallest (hash, id), driver merge
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = [stable_hash64("ivf", i) for i in ids]
+        order = np.lexsort((np.asarray(ids), np.asarray(hs, dtype=np.uint64)))
+        keep = order[:n_centroids]
+        mat = _as_matrix(batch.column(vec_col))
+        return pa.table(
+            {
+                "h": pa.array([hs[i] - (1 << 63) for i in keep], pa.int64()),
+                id_col: pa.array([ids[i] for i in keep], pa.int64()),
+                vec_col: pa.array([mat[i].tolist() for i in keep], pa.list_(pa.float64())),
+            }
+        )
+
+    rows = embeddings.map_batches(seed_partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["h"], r[id_col]))
+    centroids = np.asarray([r[vec_col] for r in rows[:n_centroids]], dtype=np.float64)
+
+    for _ in range(n_iter):
+        cref = ray.put(centroids)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            from ..state.worker_cache import cached_get
+
+            cents = cached_get(cref, "ivf_centroids")
+            mat = _as_matrix(batch.column(vec_col))
+            if not mat.size:
+                return pa.table(
+                    {
+                        "c": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            assign = _ivf_assign(mat, cents)
+            scaled = np.floor(mat * _IVF_SCALE + 0.5).astype(np.int64)
+            out_c, out_n, out_s = [], [], []
+            for c in np.unique(assign):
+                sel = scaled[assign == c]
+                out_c.append(int(c))
+                out_n.append(int(sel.shape[0]))
+                out_s.append(sel.sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "c": pa.array(out_c, pa.int64()),
+                    "n": pa.array(out_n, pa.int64()),
+                    "s": pa.array(out_s, pa.list_(pa.int64())),
+                }
+            )
+
+        sums = np.zeros((n_centroids, centroids.shape[1]), dtype=np.int64)
+        counts = np.zeros(n_centroids, dtype=np.int64)
+        for b in embeddings.map_batches(
+            partial_sums, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for c, n, s in zip(
+                b.column("c").to_pylist(),
+                b.column("n").to_pylist(),
+                b.column("s").to_pylist(),
+            ):
+                counts[c] += n
+                sums[c] += np.asarray(s, dtype=np.int64)
+        new = centroids.copy()
+        live = counts > 0
+        new[live] = sums[live] / (_IVF_SCALE * counts[live, None])
+        centroids = new
+    return centroids
+
+
+def knn_ivf(
+    embeddings,
+    query: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_iter: int = 3,
+    centroids: np.ndarray | None = None,
+):
+    """IVF approximate cosine top-k: score only the vectors whose
+    nearest centroid is among the query's ``n_probe`` nearest
+    centroids. Same output schema as :func:`knn_bruteforce`.
+
+    Deterministic end to end (see :func:`ivf_centroids`), so on a
+    fixed corpus the result set is exactly reproducible — the planted
+    fixture value-checks it. Scale dials: ``n_centroids`` ~
+    sqrt(corpus) is the classic IVF sizing; ``n_probe`` trades recall
+    for scan fraction.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, n_centroids, n_iter, id_col=id_col, vec_col=vec_col
+        )
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = np.argsort(d2, kind="stable")[:n_probe]
+    probe_set = set(int(p) for p in probes)
+    cref = ray.put(centroids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import cached_get
+
+        cents = cached_get(cref, "ivf_centroids")
+        mat = _as_matrix(batch.column(vec_col))
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        assign = _ivf_assign(mat, cents)
+        mask = np.isin(assign, list(probe_set))
+        mat, ids = mat[mask], ids[mask]
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        scores = np.round(_cosine(mat, q), round_to)
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "score": pa.array(scores[order], pa.float64()),
+            }
+        )
+
+    rows = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
+    top = heapq.nsmallest(k, rows, key=lambda r: (-r["score"], r[id_col]))
+    return pa.table(
+        {
+            id_col: pa.array([r[id_col] for r in top], pa.int64()),
+            "score": pa.array([r["score"] for r in top], pa.float64()),
+        }
+    )

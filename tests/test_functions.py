@@ -715,3 +715,39 @@ def test_quantiles_exact_matches_numpy(ray_session):
         sketch.quantiles_exact(
             one_block, "value", [0.5], sample_stride=100_000, window_cap=10
         )
+
+
+def test_ivf_centroids_block_layout_invariant(ray_session):
+    """The IVF k-means centroids are BIT-identical across block
+    layouts: integer-scaled partial sums make the distributed
+    accumulation exact, so summation order cannot perturb them."""
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(300)
+    emb = tabs["embeddings_nd"]
+    a = similarity.ivf_centroids(ray.data.from_arrow(emb), n_centroids=8, n_iter=2)
+    b = similarity.ivf_centroids(
+        ray.data.from_arrow(emb).repartition(7), n_centroids=8, n_iter=2
+    )
+    assert np.array_equal(a, b)
+
+
+def test_knn_ivf_finds_planted_twin(ray_session):
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(300)
+    emb = tabs["embeddings_nd"]
+    pairs = tabs["expected_near_dup"]
+    ids = emb["vec_id"].to_pylist()
+    vecs = emb["embedding"].to_pylist()
+    ds = ray.data.from_arrow(emb)
+    a, b = pairs["id_a"][0].as_py(), pairs["id_b"][0].as_py()
+    out = similarity.knn_ivf(ds, vecs[ids.index(a)], k=5, n_centroids=8, n_probe=2)
+    got = out["vec_id"].to_pylist()
+    # the twin is ~cos 0.93+ of the base: same or adjacent centroid,
+    # and n_probe=2 covers both
+    assert a in got and b in got
