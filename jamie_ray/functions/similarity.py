@@ -54,6 +54,20 @@ def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
     return (mat @ qn) / norms
 
 
+def _topk_merge(rows: list[dict], k: int, id_col: str) -> pa.Table:
+    """Driver merge of block-local top-k partials. The tie contract —
+    ROUNDED score descending, id ascending — lives HERE, once, for
+    every kNN entry point (bruteforce / LSH / IVF share it with their
+    per-block cuts and the SQL oracles' ORDER BY)."""
+    top = heapq.nsmallest(k, rows, key=lambda r: (-r["score"], r[id_col]))
+    return pa.table(
+        {
+            id_col: pa.array([r[id_col] for r in top], pa.int64()),
+            "score": pa.array([r["score"] for r in top], pa.float64()),
+        }
+    )
+
+
 def knn_bruteforce(
     embeddings,
     query: list[float],
@@ -87,13 +101,7 @@ def knn_bruteforce(
         )
 
     rows = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
-    top = heapq.nsmallest(k, rows, key=lambda r: (-r["score"], r[id_col]))
-    return pa.table(
-        {
-            id_col: pa.array([r[id_col] for r in top], pa.int64()),
-            "score": pa.array([r["score"] for r in top], pa.float64()),
-        }
-    )
+    return _topk_merge(rows, k, id_col)
 
 
 def _planes(dim: int, seed: int = 7, n_planes: int = N_PLANES) -> np.ndarray:
@@ -163,13 +171,7 @@ def knn_lsh(
         )
 
     rows = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
-    top = heapq.nsmallest(k, rows, key=lambda r: (-r["score"], r[id_col]))
-    return pa.table(
-        {
-            id_col: pa.array([r[id_col] for r in top], pa.int64()),
-            "score": pa.array([r["score"] for r in top], pa.float64()),
-        }
-    )
+    return _topk_merge(rows, k, id_col)
 
 
 def embedding_near_dup(
@@ -286,7 +288,13 @@ def ivf_centroids(
       distributed sum is exact and order-independent — the float
       centroid is one division at the end, not a float reduction tree.
 
-    An empty centroid keeps its previous position.
+    An empty centroid keeps its previous position; fewer vectors than
+    ``n_centroids`` degrade to one centroid per vector.
+
+    The input Dataset is scanned once for seeds and once per Lloyd
+    iteration — like ``minhash_clusters``, pass a source-backed
+    Dataset (a derived pipeline would re-execute upstream compute per
+    scan; pre-write it to parquet first).
     """
     from ..hashing import stable_hash64
 
@@ -307,6 +315,11 @@ def ivf_centroids(
 
     rows = embeddings.map_batches(seed_partial, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: (r["h"], r[id_col]))
+    if not rows:
+        raise ValueError("ivf_centroids: empty embeddings dataset")
+    # fewer rows than requested centroids: every vector seeds its own
+    # centroid (the quantizer degrades to exact, not to a crash)
+    n_centroids = min(n_centroids, len(rows))
     centroids = np.asarray([r[vec_col] for r in rows[:n_centroids]], dtype=np.float64)
 
     for _ in range(n_iter):
@@ -341,8 +354,8 @@ def ivf_centroids(
                 }
             )
 
-        sums = np.zeros((n_centroids, centroids.shape[1]), dtype=np.int64)
-        counts = np.zeros(n_centroids, dtype=np.int64)
+        sums = np.zeros(centroids.shape, dtype=np.int64)
+        counts = np.zeros(centroids.shape[0], dtype=np.int64)
         for b in embeddings.map_batches(
             partial_sums, batch_format="pyarrow"
         ).iter_batches(batch_format="pyarrow"):
@@ -418,10 +431,4 @@ def knn_ivf(
         )
 
     rows = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
-    top = heapq.nsmallest(k, rows, key=lambda r: (-r["score"], r[id_col]))
-    return pa.table(
-        {
-            id_col: pa.array([r[id_col] for r in top], pa.int64()),
-            "score": pa.array([r["score"] for r in top], pa.float64()),
-        }
-    )
+    return _topk_merge(rows, k, id_col)

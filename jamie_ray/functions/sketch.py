@@ -236,21 +236,23 @@ def quantiles_exact(
        (provably < batches × stride values) is fetched (capped — loud
        failure, never an OOM), sorted, and indexed.
 
-    Three streaming passes, driver memory bounded by the sample set +
-    one window. No randomness anywhere — bit-deterministic.
+    Three streaming passes (the total row count falls out of the count
+    pass — the global max is always sampled, so n = below[-1] + eq[-1]
+    — no separate counting scan), driver memory bounded by the sample
+    set + one window. No randomness anywhere — bit-deterministic.
+    Like ``minhash_clusters``, pass a source-backed Dataset: a derived
+    pipeline would re-execute its upstream compute once per pass.
     """
     from ..state.collect import EdgeCapExceeded
 
-    n = ds.count()
-    if n == 0:
-        return pa.table({"q": pa.array([], pa.float64()),
-                         "value": pa.array([], pa.float64())})
-    ranks = [int(np.floor(q * (n - 1))) for q in qs]
+    def _col_f64(batch: pa.Table) -> np.ndarray:
+        # zero-copy-where-possible Arrow -> numpy (no per-row boxing)
+        return batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
 
     def sample(batch: pa.Table) -> pa.Table:
-        vals = np.sort(
-            np.asarray(batch.column(col).to_pylist(), dtype=np.float64)
-        )
+        vals = np.sort(_col_f64(batch))
         if not len(vals):
             return pa.table({"v": pa.array([], pa.float64())})
         idx = np.unique(
@@ -271,13 +273,16 @@ def quantiles_exact(
             or [np.array([], dtype=np.float64)]
         )
     )
+    if not len(samples):  # empty dataset
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
     sref = ray.put(samples)
 
     def count_vs_samples(batch: pa.Table) -> pa.Table:
         from ..state.worker_cache import cached_get
 
         s = cached_get(sref, "quantile_samples")
-        vals = np.sort(np.asarray(batch.column(col).to_pylist(), dtype=np.float64))
+        vals = np.sort(_col_f64(batch))
         below = np.searchsorted(vals, s, side="left")
         upto = np.searchsorted(vals, s, side="right")
         return pa.table(
@@ -299,6 +304,11 @@ def quantiles_exact(
         ix = np.asarray(b.column("i").to_pylist())
         np.add.at(below, ix, np.asarray(b.column("below").to_pylist()))
         np.add.at(eq, ix, np.asarray(b.column("eq").to_pylist()))
+
+    # n falls out of the count pass: the global max is always sampled,
+    # so everything is <= samples[-1]
+    n = int(below[-1] + eq[-1])
+    ranks = [int(np.floor(q * (n - 1))) for q in qs]
 
     out_q: list[float] = []
     out_v: list[float] = []
@@ -323,7 +333,7 @@ def quantiles_exact(
             from ..state.worker_cache import cached_get
 
             bs = cached_get(bref, "quantile_windows")
-            vals = np.asarray(batch.column(col).to_pylist(), dtype=np.float64)
+            vals = _col_f64(batch)
             out_w, out_val = [], []
             for w, (lo, hi) in enumerate(bs):
                 hit = vals[(vals > lo) & (vals < hi)]
