@@ -135,3 +135,64 @@ def test_cli_convert_conll_roundtrip(ray_session, tmp_path):
         zip(*[t.column(c).to_pylist() for c in sorted(t.column_names)])
     ) if t.num_rows else []
     assert key(got) == key(direct)
+
+
+def test_cli_convert_brat_and_pmhs_roundtrips(ray_session, tmp_path):
+    """The r3 reader formats drive through the convert front door:
+    tagged -> brat -> triples and tagged -> pmhs -> triples both equal
+    the direct assembly (pmhs on the mod-free projection).
+
+    Input is the KG corpus (analyzer-produced tokens): brat/pmhs carry
+    no in-band token boundaries, so only analyzer-consistent token
+    streams round-trip — i2b2's space-separated Latin tokens fuse
+    without separators and are out of these formats' read domain."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jamie_ray import fixtures
+    from jamie_ray.__main__ import main
+    from jamie_ray.pipelines import kg
+    from jamie_ray.stages.assemble import assemble_batch
+
+    corpus = str(tmp_path / "kgcorpus3")
+    fixtures.write_corpus(corpus, 40)
+    chunks = kg.chunk_pages(
+        kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
+    )
+    tagged_ds = kg.score_chunks(chunks)
+    tagged_dir = str(tmp_path / "tagged3")
+    tagged_ds.write_parquet(tagged_dir)
+    direct = pa.Table.from_pylist(
+        kg.score_chunks(
+            kg.chunk_pages(
+                kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
+            )
+        )
+        .map_batches(assemble_batch, batch_format="pyarrow")
+        .take_all()
+    )
+    key = lambda t: sorted(
+        zip(*[t.column(c).to_pylist() for c in sorted(t.column_names)])
+    ) if t.num_rows else []
+
+    brat_dir = str(tmp_path / "brat3")
+    main(["convert", "--from", "tagged", "--to", "brat",
+          "--in", tagged_dir, "--out", brat_dir])
+    back_brat = str(tmp_path / "brat_back3")
+    main(["convert", "--from", "brat", "--to", "triples",
+          "--in", brat_dir, "--out", back_brat])
+    got_brat = pq.read_table(sorted(glob.glob(f"{back_brat}/*.parquet")))
+    assert key(got_brat) == key(direct)
+
+    pmhs_dir = str(tmp_path / "pmhs3")
+    main(["convert", "--from", "tagged", "--to", "pmhs",
+          "--in", tagged_dir, "--out", pmhs_dir])
+    back_pmhs = str(tmp_path / "pmhs_back3")
+    main(["convert", "--from", "pmhs", "--to", "triples",
+          "--in", pmhs_dir, "--out", back_pmhs])
+    got_pmhs = pq.read_table(sorted(glob.glob(f"{back_pmhs}/*.parquet")))
+    assert key(got_pmhs.drop_columns(["subj_mod"])) == key(
+        direct.drop_columns(["subj_mod"])
+    )
