@@ -343,3 +343,32 @@ def test_brat_roundtrip_property(chunk):
         zip(*[t.column(c).to_pylist() for c in sorted(t.column_names)])
     ) if t.num_rows else []
     assert key(direct) == key(via)
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(1, 64),
+)
+@settings(max_examples=15, deadline=None)
+def test_quantiles_exact_property(vals, stride):
+    """quantiles_exact equals single-machine rank select for arbitrary
+    finite float lists and sample strides (duplicates, negatives,
+    tiny/degenerate inputs included)."""
+    import ray.data
+
+    from jamie_ray.functions.sketch import quantiles_exact
+
+    ds = ray.data.from_items([{"value": float(v)} for v in vals])
+    qs = [0.0, 0.3, 0.5, 0.77, 1.0]
+    out = quantiles_exact(ds, "value", qs, sample_stride=stride)
+    sv = sorted(float(v) for v in vals)
+    n = len(sv)
+    got = dict(zip(out.column("q").to_pylist(), out.column("value").to_pylist()))
+    import math
+
+    expected = {q: sv[int(math.floor(q * (n - 1)))] for q in qs}
+    assert got == expected
