@@ -115,6 +115,20 @@ def _mg_update(counters: dict, value, k: int) -> None:
             del counters[key]
 
 
+def _mg_reduce(merged: dict, k: int) -> dict:
+    """The STANDARD Misra-Gries merge reduction (Agarwal et al.,
+    mergeable summaries): when the summed summary exceeds k-1 items,
+    subtract the k-th largest count from every item and drop
+    non-positives. This keeps the total undercount <= n_total/k — a
+    plain truncate-top-(k-1) would NOT: a heavy item whose mass is
+    spread thin across blocks merges to a small count and can be
+    out-ranked by concentrated tail items, silently losing recall."""
+    if len(merged) >= k:
+        kth = sorted(merged.values(), reverse=True)[k - 1]
+        merged = {v: c - kth for v, c in merged.items() if c - kth > 0}
+    return merged
+
+
 def heavy_hitters(
     ds,
     col: str,
@@ -171,10 +185,7 @@ def heavy_hitters(
             f"heavy_hitters recall bound violated: k={k} <= n_total/min_count "
             f"= {n_total}/{min_count} — raise k or min_count/phi"
         )
-    # final MG reduction to k-1 candidates (sum can exceed k-1 items)
-    if len(merged) >= k:
-        items = sorted(merged.items(), key=lambda kv: (-kv[1], repr(kv[0])))
-        merged = dict(items[: k - 1])
+    merged = _mg_reduce(merged, k)
     candidates = set(merged)
 
     # pass 2: exact counts of the candidates only (broadcast filter ->

@@ -751,3 +751,20 @@ def test_knn_ivf_finds_planted_twin(ray_session):
     # the twin is ~cos 0.93+ of the base: same or adjacent centroid,
     # and n_probe=2 covers both
     assert a in got and b in got
+
+
+def test_mg_reduce_is_subtractive_not_truncating():
+    """The merge reduction must subtract the k-th largest count, not
+    keep the top k-1 by rank: every survivor's count drops by exactly
+    kth, at most k-1 items survive, and the per-item undercount added
+    by the reduction is bounded by kth (the mergeable-summaries
+    guarantee a rank truncation would break)."""
+    from jamie_ray.functions.sketch import _mg_reduce
+
+    merged = {"a": 10, "b": 7, "c": 5, "d": 5, "e": 2, "f": 1}
+    out = _mg_reduce(dict(merged), k=4)  # kth largest (4th) = 5
+    assert out == {"a": 5, "b": 2}
+    assert len(out) <= 3
+    # under k-1 items: untouched
+    small = {"a": 3, "b": 1}
+    assert _mg_reduce(dict(small), k=4) == small
