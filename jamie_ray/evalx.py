@@ -182,7 +182,7 @@ def conlleval_report(conll_text: str) -> str:
     (exact-span) mode so the reference's eval step
     (README "python conlleval.py < outputs/...") runs in-repo with no
     perl/shell dependency."""
-    n_tok = n_correct_tok = 0
+    n_tok = n_correct_tok = n_malformed = 0
     gold_chunks: set[tuple[int, int, int, str]] = set()
     pred_chunks: set[tuple[int, int, int, str]] = set()
     sent_gold: list[str] = []
@@ -207,6 +207,12 @@ def conlleval_report(conll_text: str) -> str:
         parts = line.rsplit("\t", 2)
         if len(parts) < 3:
             parts = line.rsplit(None, 2)
+        if len(parts) < 3:
+            # fewer than 3 fields (e.g. "token O"): skip the line —
+            # conlleval.pl aborts here, but one malformed line must
+            # not kill a whole distributed report
+            n_malformed += 1
+            continue
         _, g, p = parts[0], parts[1], parts[2]
         sent_gold.append(g)
         sent_pred.append(p)
@@ -231,6 +237,8 @@ def conlleval_report(conll_text: str) -> str:
         f"accuracy: {acc:6.2f}%; precision: {p:6.2f}%; "
         f"recall: {r:6.2f}%; FB1: {f:6.2f}",
     ]
+    if n_malformed:
+        out.append(f"skipped {n_malformed} malformed lines (fewer than 3 fields).")
     for t in types:
         tp = sum(1 for c in correct if c[3] == t)
         np_ = sum(1 for c in pred_chunks if c[3] == t)

@@ -165,15 +165,18 @@ def heavy_hitters(
             }
         )
 
-    # merge all block summaries on the driver: <= k rows per block of
-    # (value, count) — tiny. Summing MG summaries preserves the
-    # per-item undercount bound (sum of per-block bounds <= n_total/k
-    # after a final MG reduction with the same k).
+    # merge block summaries on the driver INCREMENTALLY: MG merge
+    # (sum counts, then the subtractive reduction) is associative and
+    # preserves the total undercount bound <= n_total/k (Agarwal et
+    # al., mergeable summaries), so reducing after every absorbed
+    # batch keeps driver state bounded at k-1 entries plus one
+    # in-flight batch — never the unbounded n_blocks x (k-1) union.
     merged: dict = {}
     summaries = ds.map_batches(local, batch_format="pyarrow")
     for b in summaries.iter_batches(batch_format="pyarrow"):
         for v, c in zip(b.column(col).to_pylist(), b.column("mg_count").to_pylist()):
             merged[v] = merged.get(v, 0) + c
+        merged = _mg_reduce(merged, k)
     n_total = ds.count()
     if min_count is None:
         min_count = max(1, math.ceil(phi * n_total))
@@ -266,6 +269,14 @@ def quantiles_exact(
         vals = np.sort(_col_f64(batch))
         if not len(vals):
             return pa.table({"v": pa.array([], pa.float64())})
+        # finite-only precondition, checked loudly: np.sort places NaN
+        # last and every searchsorted comparison against NaN is false,
+        # so a NaN would silently shift every rank instead of failing
+        if np.isnan(vals[-1]):  # sorted => any NaN is at the tail
+            raise ValueError(
+                f"quantiles_exact: column {col!r} contains NaN — "
+                "drop/impute NaNs upstream (finite values only)"
+            )
         idx = np.unique(
             np.concatenate(
                 [np.arange(0, len(vals), sample_stride), [len(vals) - 1]]

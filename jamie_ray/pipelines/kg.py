@@ -413,7 +413,9 @@ def materialize_graph(
                 "n_triples": int(n_triples),
                 "n_quarantined_pages": int(totals["n_quarantined_pages"]),
                 # dropped-candidate counts from capped blocking kernels
-                # (0s mean no recall was lost to caps this shard)
+                # (0s mean no recall was lost to caps this shard);
+                # best-effort observability — see state/caps.py: a
+                # worker dying post-task pre-flush can undercount
                 "n_truncated_candidates": {
                     k: int(v) for k, v in sorted(truncations.items())
                 },

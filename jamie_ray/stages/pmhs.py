@@ -80,7 +80,14 @@ def parse_pmhs(pmhs_json: str) -> dict:
     heads: list[list[int]] = [[i] for i in range(n)]
     for cell in obj.get("selection", []):
         t, h, r = cell.get("subject"), cell.get("object"), cell.get("predicate")
-        if not (isinstance(t, int) and isinstance(h, int) and 0 <= t < n and 0 <= h < n):
+        if not (
+            isinstance(t, int)
+            and isinstance(h, int)
+            and 0 <= t < n
+            and 0 <= h < n
+            and isinstance(r, str)  # missing/non-string predicate would
+            # otherwise append None into the rels list column
+        ):
             anno_errors += 1
             continue
         if rels[t] == ["N"] and heads[t] == [t]:

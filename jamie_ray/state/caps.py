@@ -12,9 +12,16 @@ Reports are **fire-and-forget** actor calls keyed by (counter, group
 key): a retried task re-sends the same key and overwrites rather than
 double-counts, so totals stay exact under Ray's task retry semantics.
 Because the sends are async, :func:`cap_totals` settles — it polls the
-actor until the record count is stable across two reads (messages from
-finished tasks are already queued at the actor; the settle only covers
-the last in-flight tail).
+actor until the record count is stable across two reads. The totals are
+therefore **best-effort observability, not accounting**: a stable poll
+cannot prove delivery of every send (a message can still be in flight
+from a task that just finished, and a worker that dies *after* its task
+succeeded but *before* flushing its queued actor call loses that
+record). Nothing correctness-bearing may read these counters — they
+exist to make recall-losing truncation visible, and an undercount of a
+few blocks in a manifest is acceptable where a silent cap is not.
+Callers that need exact delivery must make the send synchronous
+(``ray.get`` the record inside the kernel) and pay the per-block RTT.
 """
 
 from __future__ import annotations

@@ -106,6 +106,17 @@ def test_conlleval_report_exact_counts():
     assert any(l.strip().startswith("d:") for l in lines[2:])
 
 
+def test_conlleval_malformed_line_skipped_not_fatal():
+    """A line with fewer than 3 fields is skipped and counted — one
+    malformed line must not kill the whole report (r3 advice)."""
+    from jamie_ray.evalx import conlleval_lines, conlleval_report
+
+    good = conlleval_lines(["a", "b"], ["B-d", "O"], ["B-d", "O"])
+    rep = conlleval_report(good + "\ntoken O\n")
+    assert "processed 2 tokens" in rep
+    assert "skipped 1 malformed" in rep
+
+
 def test_conlleval_perfect_prediction():
     from jamie_ray.evalx import conlleval_lines, conlleval_report
 

@@ -164,3 +164,15 @@ def test_pmhs_reader_roundtrip_and_errors():
     )
     rb = parse_pmhs(bad)
     assert rb["anno_errors"] == 2  # length mismatch + out-of-range cell
+
+    # a missing / non-string predicate is counted, never appended as None
+    bad_pred = _json.dumps(
+        {"text": "発熱", "bio": ["B-d"], "spo_list": [],
+         "selection": [
+             {"subject": 0, "object": 0},               # predicate missing
+             {"subject": 0, "object": 0, "predicate": 7},  # non-string
+         ]}
+    )
+    rp = parse_pmhs(bad_pred)
+    assert rp["anno_errors"] == 2
+    assert rp["rels"] == [["N"]] and rp["heads"] == [[0]]

@@ -717,6 +717,43 @@ def test_quantiles_exact_matches_numpy(ray_session):
         )
 
 
+def test_quantiles_nan_raises_loudly(ray_session):
+    """A NaN in the column must fail loudly in the sample pass — a
+    NaN would silently shift every searchsorted rank otherwise."""
+    import pytest
+    import ray.data
+
+    from jamie_ray.functions import sketch
+
+    ds = ray.data.from_items(
+        [{"value": 1.0}, {"value": float("nan")}, {"value": 2.0}]
+    )
+    with pytest.raises((ValueError, Exception), match="NaN"):
+        sketch.quantiles_exact(ds, "value", [0.5])
+
+
+def test_heavy_hitters_many_blocks_bounded_merge(ray_session):
+    """Exactness is layout-invariant: the incremental driver-side MG
+    merge (state <= k-1 entries between batches) returns the same
+    exact heavy set when the input is split across many small blocks,
+    each contributing its own (k-1)-entry summary."""
+    import ray.data
+
+    from jamie_ray.functions import sketch
+
+    rows = (
+        [{"u": "heavy1"}] * 300
+        + [{"u": "heavy2"}] * 200
+        + [{"u": f"tail{i}"} for i in range(500)]
+    )
+    ds = ray.data.from_items(rows).repartition(40)
+    out = {
+        r["u"]: r["n"]
+        for r in sketch.heavy_hitters(ds, "u", min_count=100, k=64).take_all()
+    }
+    assert out == {"heavy1": 300, "heavy2": 200}
+
+
 def test_ivf_centroids_block_layout_invariant(ray_session):
     """The IVF k-means centroids are BIT-identical across block
     layouts: integer-scaled partial sums make the distributed
