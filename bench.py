@@ -107,12 +107,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "segment_revenue",
         "events_hourly",
         "events_hopping_window",
-        "events_distinct_users_kmv",
-        "events_heavy_hitters",
+        "events_sketches",
         "i2b2_triples",
         "top_orders",
-        "doc_token_stats",
-        "doc_quality",
+        "doc_analysis",
         "dedup_docs_exact",
         "docs_minhash_clusters",
         "docs_simhash_pairs",

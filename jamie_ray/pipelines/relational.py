@@ -448,6 +448,29 @@ def nation_revenue(sf_dir: str) -> ray.data.Dataset:
 # text-analysis queries over documents
 # ---------------------------------------------------------------------------
 
+def doc_analysis(sf_dir: str) -> ray.data.Dataset:
+    """ONE pass over documents computing the whole scalar text-analysis
+    family — token counts, language ID, quality score, fingerprint —
+    as chained Arrow kernels in a single ``map_batches``.
+
+    This is the registered driver surface for §2.7: the four
+    single-facet queries below remain the public per-facet API, but
+    registering them separately would spend four driver-check slots
+    (and four reads of ``documents``) on one family. One wide row per
+    doc also mirrors how a real corpus-QA pipeline runs these: every
+    facet in one scan.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def all_facets(b: pa.Table) -> pa.Table:
+        b = fingerprint_batch(quality_score_batch(lang_id_batch(token_count_batch(b))))
+        return b.select(
+            ["doc_id", "n_tokens", "n_bpe", "lang_pred", "quality_micro", "text_hash"]
+        )
+
+    return ds.map_batches(all_facets, batch_format="pyarrow")
+
+
 def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(

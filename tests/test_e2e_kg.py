@@ -104,6 +104,20 @@ def test_graph_dedup_invariants(corpus):
     assert len(keys) <= len(surf_keys)
 
 
+def test_graph_ids_match_oracle(corpus):
+    """Full value check of the deduplicated graph INCLUDING canonical
+    entity ids vs the generator's independently-derived expected_graph
+    (keeps the id-level check the driver lost when kg_graph was folded
+    into kg_graph_surface — the surface query drops subj_id/obj_id)."""
+    pages_dir, tables = corpus
+    graph = kg.build_graph(str(pages_dir / "pages.parquet"))
+    cols = [
+        "subj_id", "pred", "obj_id", "subj", "obj", "subj_type",
+        "obj_type", "subj_mod", "n_sources", "url", "chunk_id",
+    ]
+    assert _rows(graph, cols) == _rows(tables["expected_graph"], cols)
+
+
 def test_materialize_resumable(corpus, tmp_path):
     pages_dir, _ = corpus
     out = tmp_path / "graph_out"

@@ -32,6 +32,14 @@ def test_every_oracle_has_a_query():
     assert not missing, f"oracles without queries: {missing}"
 
 
+def test_registration_fits_driver_window():
+    """The graft driver checks only the FIRST 50 queries() entries, so
+    the registry must never exceed 50 — overflowed entries would run
+    with no correctness row (the r3 regression)."""
+    qs = entrymod.queries()
+    assert len(qs) <= 50, f"{len(qs)} registered queries; driver checks 50"
+
+
 def test_all_oracle_sql_parses():
     con = duckdb.connect()
     for t in TABLES:

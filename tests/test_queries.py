@@ -81,7 +81,6 @@ def test_rows_only_queries_run(name, ray_session):
     got = _to_table(QUERIES[name](SF_DIR))
     assert got.num_rows >= 0
     if name in (
-        "kg_graph",
         "kg_xml_out",
         "kg_brat_out",
         "kg_pmhs_out",
@@ -89,6 +88,6 @@ def test_rows_only_queries_run(name, ray_session):
         "docs_simhash",
         "docs_simhash_pairs",
         "doc_winnow",
-        "multimodal_features",
+        "multimodal_suite",
     ):
         assert got.num_rows > 0, f"{name}: expected non-empty result"
