@@ -327,6 +327,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
         return similarity.knn_ivf(ds, q, k=10, n_centroids=16, n_probe=2)
 
+    def knn_ivf_indexed(sf_dir: str):
+        """The 100-TB repeated-query shape: probe a MATERIALIZED IVF
+        index (corpus written once as centroid-partitioned parquet via
+        ``build_ann_index``; ``knn_indexed`` reads ONLY the probed
+        partition dirs — I/O pruning, not just compute pruning). Same
+        deterministic quantizer as ``knn_ivf``, so the result — and
+        the oracle — are identical; the index build is cached next to
+        the fixture corpus and reused across calls."""
+        from jamie_ray.fixtures import FIXTURE_VERSION
+
+        corpus = _kg_dir(sf_dir)
+        path = f"{corpus}/embeddings_nd.parquet"
+        idx = os.path.join(corpus, f"ann_ivf_v{FIXTURE_VERSION}")
+        if not os.path.exists(os.path.join(idx, "_ann_meta.json")):
+            ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+            similarity.build_ann_index(ds, idx, kind="ivf", n_centroids=16, n_iter=3)
+        tab = pq.read_table(path, columns=["vec_id", "embedding"])
+        q = tab["embedding"].to_pylist()[tab["vec_id"].to_pylist().index(0)]
+        return similarity.knn_indexed(idx, q, k=10, n_probe=2)
+
     def embedding_near_dup(sf_dir: str):
         """Cosine near-dup pairs over the fixture embeddings, which
         plant deterministic same-LSH-bucket twins (fixtures.py
@@ -752,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": knn_bruteforce,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
+        "knn_ivf_indexed": knn_ivf_indexed,
         "embedding_near_dup": embedding_near_dup,
         "multimodal_suite": multimodal_suite,
         # dedup family
@@ -1099,6 +1120,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": kg_sql("expected_near_dup", "id_a, id_b, cosine"),
         "knn_lsh": kg_sql("expected_knn_lsh", "vec_id, score"),
         "knn_ivf": kg_sql("expected_knn_ivf", "vec_id, score"),
+        # identical result contract: the indexed probe reads only the
+        # probed partitions but scores the same candidate set
+        "knn_ivf_indexed": kg_sql("expected_knn_ivf", "vec_id, score"),
         "docs_minhash_clusters": kg_sql(
             "expected_minhash_clusters", "doc_id, cluster_id"
         ),

@@ -17,6 +17,9 @@ query *matrices* should go through ``ray.put`` — see ``knn_bruteforce``'s
 from __future__ import annotations
 
 import heapq
+import json
+import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -431,4 +434,233 @@ def knn_ivf(
         )
 
     rows = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
+    return _topk_merge(rows, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Materialized ANN index — the 100-TB repeated-query shape
+# ---------------------------------------------------------------------------
+#
+# The scan-shaped operators above (`knn_lsh`, `knn_ivf`) restrict
+# *compute* to the probed buckets/centroids but still READ every block
+# of the corpus per query. For one-off queries that is the right
+# trade; for repeated queries the scale-safe shape is to pay one
+# partitioning pass up front and make every probe read only its own
+# partitions:
+#
+#   build_ann_index(ds, out_dir, kind="ivf")   # one write, hive-partitioned
+#   knn_indexed(out_dir, q, k=10, n_probe=2)   # read_parquet on probed dirs only
+#
+# The index is plain hive-partitioned parquet (`ann_part=<p>/...`) plus
+# a `_ann_meta.json` carrying the quantizer (IVF centroids or the LSH
+# plane seed), written LAST as the completion marker — a crashed build
+# leaves no meta and is wiped and redone on the next build call.
+
+_ANN_META = "_ann_meta.json"
+
+
+def _score_partial(q: np.ndarray, id_col: str, vec_col: str, k: int, round_to: int):
+    """The shared per-block scoring kernel: exact cosine vs ``q``,
+    block-local top-k cut by the ROUNDED score (the same key
+    :func:`_topk_merge` and the SQL oracles order by)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch.column(vec_col))
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        if not len(ids):
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        scores = np.round(_cosine(mat, q), round_to)
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "score": pa.array(scores[order], pa.float64()),
+            }
+        )
+
+    return partial
+
+
+def build_ann_index(
+    embeddings,
+    out_dir: str,
+    *,
+    kind: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    n_planes: int = N_PLANES,
+    seed: int = 7,
+) -> dict:
+    """Materialize a partition-pruned ANN index: the corpus written as
+    hive-partitioned parquet keyed by coarse cell (IVF centroid id or
+    LSH bucket), so probe-time reads touch ONLY the probed partitions.
+
+    - ``kind="ivf"``: one extra pass trains the deterministic k-means
+      quantizer (:func:`ivf_centroids`), then one streaming pass
+      assigns + writes. Centroids ride the meta file, so probes never
+      recompute them.
+    - ``kind="lsh"``: one streaming pass buckets by sign-random
+      projection (:func:`_planes` is pure in (dim, seed, n_planes) —
+      only those ride the meta).
+
+    The build is all-or-nothing: an existing ``out_dir`` without a
+    completion meta (a crashed build) is removed and rebuilt; one WITH
+    a meta raises (delete it explicitly to rebuild — at 100 TB an
+    accidental rebuild is hours, so overwriting must be deliberate).
+
+    Returns the meta dict. Scale notes: partition count is
+    ``n_centroids`` (IVF, size ~ sqrt(corpus)) or occupied LSH buckets
+    (<= 2^n_planes); each partition is written by the streaming
+    executor as row groups arrive, so no single node ever holds a full
+    partition. The embeddings Dataset is consumed twice for IVF
+    (quantizer + write) — pass a source-backed Dataset.
+    """
+    if kind not in ("ivf", "lsh"):
+        raise ValueError(f"build_ann_index: unknown kind {kind!r}")
+    meta_path = os.path.join(out_dir, _ANN_META)
+    if os.path.exists(meta_path):
+        raise FileExistsError(
+            f"build_ann_index: {out_dir} already holds a completed index; "
+            "remove it explicitly to rebuild"
+        )
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)  # crashed partial build — wipe and redo
+
+    meta: dict = {
+        "format_version": 1,
+        "kind": kind,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    if kind == "ivf":
+        centroids = ivf_centroids(
+            embeddings, n_centroids, n_iter, id_col=id_col, vec_col=vec_col
+        )
+        cref = ray.put(centroids)
+
+        def assign_part(batch: pa.Table) -> pa.Table:
+            from ..state.worker_cache import cached_get
+
+            cents = cached_get(cref, "ann_index_centroids")
+            mat = _as_matrix(batch.column(vec_col))
+            parts = (
+                _ivf_assign(mat, cents) if mat.size else np.zeros(0, dtype=np.int64)
+            )
+            return batch.append_column(
+                "ann_part", pa.array(parts.astype(np.int64), pa.int64())
+            )
+
+        meta.update(centroids=centroids.tolist(), n_centroids=int(centroids.shape[0]))
+        parted = embeddings.map_batches(assign_part, batch_format="pyarrow")
+    else:
+        state: dict = {}
+
+        def assign_part(batch: pa.Table) -> pa.Table:
+            mat = _as_matrix(batch.column(vec_col))
+            if "planes" not in state and mat.size:
+                state["planes"] = _planes(mat.shape[1], seed=seed, n_planes=n_planes)
+            if not mat.size:
+                parts = np.zeros(0, dtype=np.int64)
+            else:
+                parts = ((mat @ state["planes"].T) > 0) @ (1 << np.arange(n_planes))
+            return batch.append_column(
+                "ann_part", pa.array(parts.astype(np.int64), pa.int64())
+            )
+
+        # dim is part of the plane contract; probe-time needs it before
+        # seeing any vector, so record it from the first row
+        first = embeddings.take(1)
+        if not first:
+            raise ValueError("build_ann_index: empty embeddings dataset")
+        meta.update(dim=len(first[0][vec_col]), n_planes=int(n_planes), seed=int(seed))
+        parted = embeddings.map_batches(assign_part, batch_format="pyarrow")
+
+    parted.write_parquet(out_dir, partition_cols=["ann_part"])
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _ann_meta(index_dir: str) -> dict:
+    meta_path = os.path.join(index_dir, _ANN_META)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{index_dir} is not a completed ANN index (no {_ANN_META}); "
+            "build one with build_ann_index()"
+        )
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def ann_probe_partitions(index_dir: str, query: list[float], *, n_probe: int = 2,
+                         multiprobe: int = 0) -> list[str]:
+    """The partition directories a query would read — the probe plan,
+    exposed so tests (and capacity planning) can assert the pruned
+    read touches nothing else. Vacant cells (no directory written) are
+    dropped."""
+    meta = _ann_meta(index_dir)
+    q = np.asarray(query, dtype=np.float64)
+    if meta["kind"] == "ivf":
+        centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+        parts = [int(p) for p in np.argsort(d2, kind="stable")[:n_probe]]
+    else:
+        planes = _planes(meta["dim"], seed=meta["seed"], n_planes=meta["n_planes"])
+        bucket = lsh_bucket(q, planes)
+        probe_buckets = {bucket}
+        if multiprobe > 0:
+            margins = np.abs(planes @ q) / np.linalg.norm(planes, axis=1)
+            for p in np.argsort(margins)[: int(multiprobe)]:
+                probe_buckets.add(bucket ^ (1 << int(p)))
+        parts = sorted(probe_buckets)
+    dirs = [os.path.join(index_dir, f"ann_part={p}") for p in parts]
+    return [d for d in dirs if os.path.isdir(d)]
+
+
+def knn_indexed(
+    index_dir: str,
+    query: list[float],
+    k: int = 10,
+    *,
+    n_probe: int = 2,
+    multiprobe: int = 0,
+    round_to: int = 6,
+) -> pa.Table:
+    """Partition-pruned approximate cosine top-k against a
+    :func:`build_ann_index` directory: ``read_parquet`` of ONLY the
+    probed partition dirs (I/O pruning, not just compute pruning),
+    block-local top-k, driver merge. Same output schema and tie
+    contract as :func:`knn_bruteforce`; on a fixed corpus the result
+    is identical to the scan-shaped :func:`knn_ivf` / :func:`knn_lsh`
+    with the same quantizer and probe count.
+
+    ``n_probe`` applies to IVF indexes, ``multiprobe`` to LSH ones.
+    """
+    meta = _ann_meta(index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    q = np.asarray(query, dtype=np.float64)
+    paths = ann_probe_partitions(
+        index_dir, query, n_probe=n_probe, multiprobe=multiprobe
+    )
+    # expand probed dirs to explicit file lists (read_parquet on a
+    # mixed list of directories trips pyarrow's file-open path)
+    import glob
+
+    files = [
+        f
+        for d in paths
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+    ]
+    if not files:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+    ds = ray.data.read_parquet(files, columns=[id_col, vec_col])
+    rows = ds.map_batches(
+        _score_partial(q, id_col, vec_col, k, round_to), batch_format="pyarrow"
+    ).take_all()
     return _topk_merge(rows, k, id_col)

@@ -805,3 +805,90 @@ def test_mg_reduce_is_subtractive_not_truncating():
     # under k-1 items: untouched
     small = {"a": 3, "b": 1}
     assert _mg_reduce(dict(small), k=4) == small
+
+
+def test_ann_index_ivf_prunes_read_and_matches_scan(ray_session, tmp_path):
+    """The materialized IVF index: (a) the probe plan touches ONLY the
+    probed partition dirs — strictly fewer files than the whole index;
+    (b) the pruned-read result is IDENTICAL to the scan-shaped knn_ivf
+    with the same (deterministic) quantizer and probe count."""
+    import glob
+
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(300)
+    emb = tabs["embeddings_nd"]
+    ids = emb["vec_id"].to_pylist()
+    vecs = emb["embedding"].to_pylist()
+    q = vecs[ids.index(0)]
+    ds = ray.data.from_arrow(emb)
+
+    idx = str(tmp_path / "ivf_idx")
+    meta = similarity.build_ann_index(
+        ds, idx, kind="ivf", n_centroids=8, n_iter=2
+    )
+    assert meta["kind"] == "ivf" and meta["n_centroids"] == 8
+
+    all_parts = sorted(glob.glob(f"{idx}/ann_part=*"))
+    all_files = glob.glob(f"{idx}/ann_part=*/*.parquet")
+    probed = similarity.ann_probe_partitions(idx, q, n_probe=2)
+    probed_files = [f for d in probed for f in glob.glob(f"{d}/*.parquet")]
+    # file-count assertion: the probe reads a strict subset of the index
+    assert len(probed) == 2 < len(all_parts)
+    assert 0 < len(probed_files) < len(all_files)
+    assert all(any(f.startswith(d) for d in probed) for f in probed_files)
+
+    got = similarity.knn_indexed(idx, q, k=5, n_probe=2)
+    want = similarity.knn_ivf(ds, q, k=5, n_centroids=8, n_iter=2, n_probe=2)
+    assert got.to_pylist() == want.to_pylist()
+
+    # a completed index refuses silent overwrite
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        similarity.build_ann_index(ds, idx, kind="ivf")
+
+
+def test_ann_index_lsh_matches_scan(ray_session, tmp_path):
+    """The LSH-partitioned index returns exactly what the scan-shaped
+    knn_lsh computes for the same (dim, seed, n_planes) contract,
+    including the multiprobe expansion."""
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(300)
+    emb = tabs["embeddings_nd"]
+    ids = emb["vec_id"].to_pylist()
+    vecs = emb["embedding"].to_pylist()
+    q = vecs[ids.index(0)]
+    ds = ray.data.from_arrow(emb)
+
+    idx = str(tmp_path / "lsh_idx")
+    similarity.build_ann_index(ds, idx, kind="lsh", n_planes=6)
+    for mp in (0, 2):
+        got = similarity.knn_indexed(idx, q, k=5, multiprobe=mp)
+        want = similarity.knn_lsh(ds, q, k=5, n_planes=6, multiprobe=mp)
+        assert got.to_pylist() == want.to_pylist(), f"multiprobe={mp}"
+
+
+def test_ann_index_partial_build_is_wiped(ray_session, tmp_path):
+    """A crashed build (partitions on disk, no completion meta) must be
+    wiped and rebuilt, not appended to."""
+    import glob
+    import os
+
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(300)
+    ds = ray.data.from_arrow(tabs["embeddings_nd"])
+    idx = str(tmp_path / "crashed_idx")
+    similarity.build_ann_index(ds, idx, kind="ivf", n_centroids=4, n_iter=1)
+    n_files = len(glob.glob(f"{idx}/ann_part=*/*.parquet"))
+    os.remove(os.path.join(idx, "_ann_meta.json"))  # simulate crash
+    similarity.build_ann_index(ds, idx, kind="ivf", n_centroids=4, n_iter=1)
+    assert len(glob.glob(f"{idx}/ann_part=*/*.parquet")) == n_files
