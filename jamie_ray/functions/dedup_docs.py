@@ -153,6 +153,7 @@ def minhash_clusters(
     edge_cap: int | None = None,
     cap_counters=None,
     driver_verify_pairs: int = DRIVER_VERIFY_PAIRS,
+    spill_dir: str | None = None,
 ):
     """documents -> (doc_id, cluster_id) for every doc; cluster_id = min
     doc_id of its near-duplicate cluster (singletons map to themselves).
@@ -182,10 +183,27 @@ def minhash_clusters(
     The input Dataset is consumed three times (bands, candidate-doc
     signatures, cluster assign); each pass streams from the source —
     nothing materializes the corpus. Pass a source-backed Dataset
-    (``read_parquet``): a derived pipeline would re-execute per pass —
-    pre-write it to parquet first (the ``link_triples(spill_dir=...)``
-    pattern) if its upstream compute is expensive.
+    (``read_parquet``) — or, for a DERIVED pipeline whose upstream
+    compute is expensive, pass ``spill_dir``: the (id, text) columns
+    are written there as partitioned Parquet ONCE and all three passes
+    re-read from disk, so upstream executes exactly once and memory
+    stays bounded at any scale (the ``link_triples(spill_dir=...)``
+    pattern, done for you).
     """
+    if spill_dir is not None:
+        import os
+
+        import ray.data as _rd
+
+        os.makedirs(spill_dir, exist_ok=True)
+        for stale in os.listdir(spill_dir):
+            if stale.endswith(".parquet"):
+                os.unlink(os.path.join(spill_dir, stale))
+        # prune to the two columns the operator reads before spilling
+        docs.map_batches(
+            lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+        ).write_parquet(spill_dir)
+        docs = _rd.read_parquet(spill_dir)
     n_buckets = 1024
 
     def expand(batch: pa.Table) -> pa.Table:

@@ -892,3 +892,47 @@ def test_ann_index_partial_build_is_wiped(ray_session, tmp_path):
     os.remove(os.path.join(idx, "_ann_meta.json"))  # simulate crash
     similarity.build_ann_index(ds, idx, kind="ivf", n_centroids=4, n_iter=1)
     assert len(glob.glob(f"{idx}/ann_part=*/*.parquet")) == n_files
+
+
+def test_minhash_spill_dir_executes_upstream_once(ray_session, tmp_path):
+    """A DERIVED input with spill_dir= executes its upstream exactly
+    once: the (id, text) projection is spilled to parquet and all three
+    operator passes re-read from disk instead of re-running upstream
+    compute per pass."""
+    import ray
+    import ray.data
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    counter = Counter.remote()
+    near = "the quick brown fox jumps over the lazy dog and keeps running fast"
+    base = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": near, "extra": "x"},
+            {"doc_id": 2, "text": near + " today", "extra": "y"},
+            {"doc_id": 3, "text": "an entirely different document", "extra": "z"},
+        ]
+    )
+
+    def expensive_upstream(batch):
+        ray.get(counter.add.remote(len(batch["doc_id"])))
+        return batch
+
+    derived = base.map_batches(expensive_upstream, batch_format="pandas")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_docs.minhash_clusters(
+            derived, threshold=0.5, spill_dir=str(tmp_path / "mh_spill")
+        ).take_all()
+    }
+    assert got[1] == got[2] == 1 and got[3] == 3
+    assert ray.get(counter.get.remote()) == 3  # once per row, not 3x
