@@ -285,16 +285,25 @@ def materialize_graph(
     batch_size: int = DEFAULT_SCORER_BATCH,
     analyzer: str = "mecab",
     decode_errors: str = "strict",
+    _fail_after_checkpoint: int | None = None,
 ) -> dict:
     """Resumable sorted graph materialize (north rule's final write).
 
     Two levels:
 
-    1. **Heavy, resumable**: the input is split into ``n_shards``
-       shards; each unfinished shard runs extract->score->assemble->
-       link->dedup and writes ``out_dir/shard=N/`` plus a lineage
-       record. A rerun reads the manifest and skips finished shards —
-       the expensive scoring compute is never repeated.
+    1. **Heavy, resumable — at SUB-shard granularity**: the input is
+       split into ``n_shards`` shards; each unfinished shard runs
+       extract->score->assemble, CHECKPOINTS the assembled triples to
+       ``out_dir/shard=N.triples/`` (completion marker
+       ``_SCORED.json``, carrying the shard's page/chunk lineage
+       totals), then runs link->dedup FROM THE CHECKPOINT and writes
+       ``out_dir/shard=N/`` plus a lineage record. A rerun reads the
+       manifest and skips finished shards; an UNFINISHED shard whose
+       score checkpoint exists resumes at link — the expensive scoring
+       compute (hours per shard at 100 TB) is never repeated even when
+       the kill lands mid-shard. Checkpoints are deleted once their
+       shard's manifest record lands (and lazily for already-done
+       shards).
 
        Shard assignment prefers **file-level pruning**: with a
        multi-file input (the real 100 TB layout), shard N reads only
@@ -320,8 +329,16 @@ def materialize_graph(
     input_files = _input_parquet_files(pages_path)
     by_files = len(input_files) >= n_shards
 
+    import json
+    import shutil
+
     for shard in range(n_shards):
+        ck_dir = f"{out_dir}/shard={shard}.triples"
+        ck_marker = os.path.join(ck_dir, "_SCORED.json")
         if shard in done:
+            # lazy cleanup: a crash between manifest append and
+            # checkpoint delete can leave an orphan checkpoint behind
+            shutil.rmtree(ck_dir, ignore_errors=True)
             continue
         t0 = time.time()
 
@@ -343,55 +360,77 @@ def materialize_graph(
 
             fingerprint = f"urlhash[{shard}/{n_shards}] (single-file rescan)"
 
-        # lineage counters ride the ONE shard pipeline as side
-        # aggregates (VERDICT r1 item 7: no extra corpus passes) — the
-        # taps report per-batch counts to a zero-cpu actor with
-        # idempotency keys, FIRE-AND-FORGET (the hot path never blocks
-        # on an actor round trip; retried tasks overwrite their own
-        # keys, so totals stay exact), then the stream continues
-        counters = _ShardCounters.remote()
+        from ..state.caps import cap_totals, new_cap_counters
 
-        def tap_pages(b):
-            import pyarrow.compute as _pc
+        if os.path.exists(ck_marker):
+            # mid-shard resume: the expensive half (extract -> score ->
+            # assemble) already ran to completion — its output and its
+            # page/chunk lineage totals are on disk; go straight to link
+            with open(ck_marker, encoding="utf-8") as f:
+                totals = json.load(f)["totals"]
+        else:
+            # lineage counters ride the ONE shard pipeline as side
+            # aggregates (VERDICT r1 item 7: no extra corpus passes) —
+            # the taps report per-batch counts to a zero-cpu actor with
+            # idempotency keys, FIRE-AND-FORGET (the hot path never
+            # blocks on an actor round trip; retried tasks overwrite
+            # their own keys, so totals stay exact)
+            counters = _ShardCounters.remote()
 
-            q = _pc.sum(_pc.not_equal(b.column("error"), "")).as_py() or 0
-            counters.record_pages.remote(
-                _batch_fingerprint(b, "url"), b.num_rows - q, q
+            def tap_pages(b):
+                import pyarrow.compute as _pc
+
+                q = _pc.sum(_pc.not_equal(b.column("error"), "")).as_py() or 0
+                counters.record_pages.remote(
+                    _batch_fingerprint(b, "url"), b.num_rows - q, q
+                )
+                return b
+
+            def tap_chunks(b):
+                key = stable_hash64(
+                    _batch_fingerprint(b, "url"),
+                    b.column("chunk_id")[0].as_py() if b.num_rows else -1,
+                    b.column("chunk_id")[-1].as_py() if b.num_rows else -1,
+                )
+                counters.record_chunks.remote(key, b.num_rows)
+                return b
+
+            pages = read_pages(shard_input, shard_filter=shard_filter)
+            extracted = extracted_pages(
+                pages, lang, decode_errors=decode_errors
+            ).map_batches(tap_pages, batch_format="pyarrow")
+            chunks = chunk_pages(extracted, analyzer=analyzer).map_batches(
+                tap_chunks, batch_format="pyarrow"
             )
-            return b
-
-        def tap_chunks(b):
-            key = stable_hash64(
-                _batch_fingerprint(b, "url"),
-                b.column("chunk_id")[0].as_py() if b.num_rows else -1,
-                b.column("chunk_id")[-1].as_py() if b.num_rows else -1,
+            tagged = score_chunks(
+                chunks,
+                concurrency=concurrency,
+                batch_size=batch_size,
+                analyzer=analyzer,
             )
-            counters.record_chunks.remote(key, b.num_rows)
-            return b
+            triples = tagged.map_batches(assemble_batch, batch_format="pyarrow")
+            # score checkpoint: the reduced triples land on disk BEFORE
+            # link/dedup; the _SCORED.json marker (written atomically,
+            # AFTER the parquet) makes the checkpoint all-or-nothing —
+            # a kill mid-write leaves no marker and scoring reruns
+            os.makedirs(ck_dir, exist_ok=True)
+            for stale in _parquet_files(ck_dir):
+                os.unlink(stale)
+            triples.write_parquet(ck_dir)
+            totals = cap_totals(counters)  # settled read (state/caps.py)
+            tmp = os.path.join(ck_dir, ".scored-tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump({"totals": {k: int(v) for k, v in totals.items()}}, f)
+            os.replace(tmp, ck_marker)
+            if _fail_after_checkpoint == shard:
+                raise RuntimeError(
+                    f"injected kill after score checkpoint of shard {shard}"
+                )
 
         # blocking-cap observability (no-silent-caps rule): hot-band
         # truncations inside the linker are counted per shard and land
         # in the lineage record below
-        from ..state.caps import cap_totals, new_cap_counters
-
         caps = new_cap_counters()
-
-        pages = read_pages(shard_input, shard_filter=shard_filter)
-        extracted = extracted_pages(
-            pages, lang, decode_errors=decode_errors
-        ).map_batches(tap_pages, batch_format="pyarrow")
-        chunks = chunk_pages(extracted, analyzer=analyzer).map_batches(
-            tap_chunks, batch_format="pyarrow"
-        )
-        tagged = score_chunks(
-            chunks,
-            concurrency=concurrency,
-            batch_size=batch_size,
-            analyzer=analyzer,
-        )
-        triples = tagged.map_batches(assemble_batch, batch_format="pyarrow")
-        linked = link_triples(triples, cap_counters=caps)
-        graph = dedup_triples(linked)
         shard_dir = f"{out_dir}/shard={shard}"
         os.makedirs(shard_dir, exist_ok=True)
         # resume crash window: a prior run may have died after writing
@@ -400,9 +439,17 @@ def materialize_graph(
         # would read both copies and double-count provenance
         for stale in _parquet_files(shard_dir):
             os.unlink(stale)
-        graph.write_parquet(shard_dir)
+        ck_files = _parquet_files(ck_dir)
+        if ck_files:
+            # link/dedup consume the checkpoint (link reads it twice —
+            # a disk-backed source, so no in-memory materialize needed)
+            linked = link_triples(
+                ray.data.read_parquet(ck_files),
+                cap_counters=caps,
+                cache_input=False,
+            )
+            dedup_triples(linked).write_parquet(shard_dir)
         n_triples = _count_parquet_rows(shard_dir)
-        totals = cap_totals(counters)  # settled read (see state/caps.py)
         truncations = cap_totals(caps)
         append_manifest(
             out_dir,
@@ -423,6 +470,9 @@ def materialize_graph(
                 "wall_time_s": round(time.time() - t0, 3),
             },
         )
+        # the manifest record is durable — the checkpoint served its
+        # purpose and the finalize pass must not re-read it
+        shutil.rmtree(ck_dir, ignore_errors=True)
         summary["shards_run"] += 1
 
     # finalize: global dedup + sorted write (idempotent)

@@ -303,6 +303,7 @@ def link_triples(
     spill_dir: str | None = None,
     edge_cap: int | None = None,
     cap_counters=None,
+    cache_input: bool = True,
 ):
     """Full linking stage: triples Dataset -> linked triples Dataset.
 
@@ -327,7 +328,9 @@ def link_triples(
     the object store (spillable). For triple sets too large even for
     spill comfort, pass ``spill_dir``: triples are written to
     partitioned Parquet there and both passes re-read from disk —
-    bounded memory at any scale (the 100-TB-safe shape).
+    bounded memory at any scale (the 100-TB-safe shape). If the input
+    is ALREADY source-backed (a plain ``read_parquet``), pass
+    ``cache_input=False`` to skip the object-store copy entirely.
     """
     if spill_dir is not None:
         import os
@@ -340,8 +343,11 @@ def link_triples(
                 os.unlink(os.path.join(spill_dir, stale))
         triples.write_parquet(spill_dir)
         triples = _rd.read_parquet(spill_dir)
-    else:
+    elif cache_input:
         triples = triples.materialize()
+    # cache_input=False: the caller vouches the input is already
+    # source-backed (e.g. read_parquet over a score checkpoint) — both
+    # passes re-read from the source, no object-store copy is made
     # candidate generation: block-local distinct (combiner — the global
     # per-occurrence distinct shuffle is gone), band expansion, then ONE
     # shuffle on the band bucket; cross-block duplicate surfaces are

@@ -213,6 +213,61 @@ def test_materialize_survives_pre_manifest_kill(corpus, tmp_path, monkeypatch):
     assert a == b and s["n_triples"] == s2["n_triples"]
 
 
+def test_materialize_midshard_resume(corpus, tmp_path, monkeypatch):
+    """Kill landing MID-shard, after the score checkpoint but before
+    link/dedup: the rerun must resume that shard AT link — zero pages
+    re-scored — and still produce the clean-run graph."""
+    pages_dir, _ = corpus
+    out = tmp_path / "graph_midshard"
+    with pytest.raises(RuntimeError, match="injected kill"):
+        kg.materialize_graph(
+            str(pages_dir / "pages.parquet"), str(out), n_shards=3,
+            _fail_after_checkpoint=0,
+        )
+    # the expensive half of shard 0 is on disk with its marker
+    ck = out / "shard=0.triples"
+    assert (ck / "_SCORED.json").exists()
+    assert any(f.suffix == ".parquet" for f in ck.iterdir())
+
+    # count scoring-pipeline constructions on the rerun: shard 0 must
+    # NOT re-score (resume goes straight to link from the checkpoint)
+    import jamie_ray.pipelines.kg as kgmod
+
+    calls = {"n": 0}
+    real_score = kgmod.score_chunks
+
+    def counting_score(*a, **kw):
+        calls["n"] += 1
+        return real_score(*a, **kw)
+
+    monkeypatch.setattr(kgmod, "score_chunks", counting_score)
+    s = kg.materialize_graph(
+        str(pages_dir / "pages.parquet"), str(out), n_shards=3
+    )
+    assert s["shards_run"] == 3 and calls["n"] == 2  # shards 1, 2 only
+    # checkpoints are cleaned up once manifests land
+    assert not ck.exists()
+
+    # lineage totals for shard 0 came from the checkpoint marker, not a
+    # re-run tap: the manifest still carries real page/chunk counts
+    from jamie_ray.state.lineage import read_manifest
+
+    rec0 = read_manifest(str(out))[0]
+    assert rec0["n_pages"] > 0 and rec0["n_chunks"] > 0
+
+    clean = tmp_path / "graph_midshard_clean"
+    s2 = kg.materialize_graph(
+        str(pages_dir / "pages.parquet"), str(clean), n_shards=3
+    )
+    import ray.data
+
+    a = sorted(map(tuple, (tuple(r.values()) for r in
+               ray.data.read_parquet(str(out / "graph")).take_all())))
+    b = sorted(map(tuple, (tuple(r.values()) for r in
+               ray.data.read_parquet(str(clean / "graph")).take_all())))
+    assert a == b and s["n_triples"] == s2["n_triples"]
+
+
 def test_materialize_file_sharded(corpus, tmp_path):
     """Multi-file input -> shards prune at the file level (no rescans)
     and produce the same graph as the single-file path."""
