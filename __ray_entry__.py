@@ -259,10 +259,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """P/R/F1 of the pipeline vs the independent oracle, one row
         per evaluation task — the BASELINE correctness gate (every row
         must be exactly 1.0 here). Tasks: ``triples`` (TupleEvaluator
-        G4) and ``entities`` (eval_ner/eval_mod analogue, G5) — folded
-        into one table so both gates fit one driver-check slot."""
+        G4), ``entities`` (eval_ner/eval_mod analogue, G5), and the
+        three modality-attribute tasks ``mod_cert`` / ``mod_ttype`` /
+        ``mod_state`` (the reference's -a cert|ttype|state knob,
+        clinical_cert.py:41 + utils.py:1268-1281) — folded into one
+        table so all gates fit one driver-check slot. ``n_gold``
+        (= tps+fns, the matchable gold support per task) is what makes
+        the three tasks DISTINGUISHABLE to the oracle: DuckDB derives
+        each family's support independently from the generator tables."""
         corpus = _kg_dir(sf_dir)
-        from jamie_ray.evalx import evaluate_entities, evaluate_triples
+        from jamie_ray.evalx import (
+            evaluate_entities,
+            evaluate_mod_task,
+            evaluate_triples,
+        )
         import pyarrow as pa
 
         gold_t = ray.data.read_parquet(f"{corpus}/expected_triples.parquet")
@@ -272,20 +282,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rows = [
             ("triples", evaluate_triples(gold_t, pred_t)),
             ("entities", evaluate_entities(gold_e, pred_e)),
+            ("mod_cert", evaluate_mod_task(gold_e, pred_e, "cert")),
+            ("mod_ttype", evaluate_mod_task(gold_e, pred_e, "ttype")),
+            ("mod_state", evaluate_mod_task(gold_e, pred_e, "state")),
         ]
-        tasks, ps, rs, f1s = [], [], [], []
+        tasks, ps, rs, f1s, n_golds = [], [], [], [], []
         for task, res in rows:
             p, r, f1 = (round(x, 6) for x in res["micro"])
             tasks.append(task)
             ps.append(p)
             rs.append(r)
             f1s.append(f1)
+            n_golds.append(res["counts"]["tps"] + res["counts"]["fns"])
         return pa.table(
             {
                 "task": pa.array(tasks, pa.string()),
                 "p": pa.array(ps, pa.float64()),
                 "r": pa.array(rs, pa.float64()),
                 "f1": pa.array(f1s, pa.float64()),
+                "n_gold": pa.array(n_golds, pa.int64()),
             }
         )
 
@@ -895,10 +910,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY subj
             ORDER BY degree DESC, subj ASC LIMIT 20
         """,
-        "kg_eval": """
-            SELECT 'triples' AS task, 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1
+        # the 1.0s are the P/R gate; n_gold is derived INDEPENDENTLY by
+        # DuckDB from the generator tables (triples: every relation
+        # tuple; entities: every mention; mod_*: the attribute task's
+        # tag family — reference utils.py:1271-1277 — with the
+        # evaluator's skip classes removed, clinical_eval.py:70), so a
+        # wrong family selection or a dropped mention shows up as a
+        # value mismatch, not just a sub-1.0 score
+        "kg_eval": f"""
+            WITH ents AS (
+                SELECT * FROM read_parquet('{os.path.join(_KG_ROOT, "n1200")}/expected_entities.parquet')
+            )
+            SELECT 'triples' AS task, 1.0::DOUBLE AS p, 1.0::DOUBLE AS r, 1.0::DOUBLE AS f1,
+                   (SELECT count(*) FROM read_parquet('{os.path.join(_KG_ROOT, "n1200")}/expected_triples.parquet')) AS n_gold
             UNION ALL
-            SELECT 'entities', 1.0::DOUBLE, 1.0::DOUBLE, 1.0::DOUBLE
+            SELECT 'entities', 1.0, 1.0, 1.0, (SELECT count(*) FROM ents)
+            UNION ALL
+            SELECT 'mod_cert', 1.0, 1.0, 1.0,
+                   (SELECT count(*) FROM ents WHERE ner_tag IN ('d')
+                    AND mod NOT IN ('N', 'O', '_', 'OO'))
+            UNION ALL
+            SELECT 'mod_ttype', 1.0, 1.0, 1.0,
+                   (SELECT count(*) FROM ents WHERE ner_tag IN ('TIMEX3')
+                    AND mod NOT IN ('N', 'O', '_', 'OO'))
+            UNION ALL
+            SELECT 'mod_state', 1.0, 1.0, 1.0,
+                   (SELECT count(*) FROM ents WHERE ner_tag IN ('t-test', 'r', 'cc')
+                    AND mod NOT IN ('N', 'O', '_', 'OO'))
         """,
         # ---- relational suite
         # money/metric sums use the exact-integer trick (floor(x*S+0.5)

@@ -111,11 +111,17 @@ def cmd_eval(args) -> None:
     _ensure_ray()
     import ray.data
 
-    from .evalx import evaluate_triples
+    from .evalx import evaluate_mod_task, evaluate_triples
 
     gold = ray.data.read_parquet(args.gold)
     pred = ray.data.read_parquet(args.pred)
-    res = evaluate_triples(gold, pred, f1_mode=args.f1_mode)
+    if args.attrib:
+        # attribute-task mode (reference clinical_cert.py:41): inputs
+        # are ENTITY tables (mention/ner_tag/mod), scored on the chosen
+        # family's modality attribute
+        res = evaluate_mod_task(gold, pred, args.attrib, f1_mode=args.f1_mode)
+    else:
+        res = evaluate_triples(gold, pred, f1_mode=args.f1_mode)
     p, r, f1 = res["micro" if args.f1_mode == "micro" else "macro"]
     print(
         json.dumps(
@@ -260,6 +266,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--gold", required=True)
     p.add_argument("--pred", required=True)
     p.add_argument("--f1-mode", choices=("micro", "macro"), default="micro")
+    p.add_argument(
+        "--attrib",
+        choices=("cert", "ttype", "state"),
+        default=None,
+        help="evaluate one modality-attribute task over ENTITY tables "
+        "instead of triples (reference clinical_cert.py -a)",
+    )
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser(

@@ -28,6 +28,9 @@ class PipelineConfig:
     scorer_concurrency: int | None = None  # None -> cluster-sized
     scorer_use_actors: bool = False        # actors for real models, tasks for mock
     scorer_model: str = "mock"             # "mock" | "hf:<checkpoint_dir>"
+    attrib_task: str | None = None         # None | cert | ttype | state
+    # (reference clinical_cert.py:41 -a knob: restrict the modality
+    # attribute to one task's tag family; see evalx.ATTRIB_TASK_TAGS)
     model_cost_layers: int = 0             # >0: deterministic forward-pass emulator
     link_threshold: float = 0.6            # LSH verification Jaccard
     n_shards: int = 8                      # resumable materialize shards
@@ -79,6 +82,16 @@ def build_graph_with_config(pages_path: str, config: PipelineConfig):
         analyzer=config.analyzer,
         decode_errors=config.decode_errors,
     )
+    if config.attrib_task is not None:
+        from .evalx import mask_attrib_batch
+
+        task = config.attrib_task
+        triples = triples.map_batches(
+            lambda b: mask_attrib_batch(
+                b, task, tag_col="subj_type", mod_col="subj_mod"
+            ),
+            batch_format="pyarrow",
+        )
     for name in config.extra_stages:
         triples = get_stage(name)(triples)
     linked = link_triples(triples, threshold=config.link_threshold)

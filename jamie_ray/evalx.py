@@ -145,6 +145,81 @@ def evaluate_entities(gold, pred, f1_mode: str = "micro") -> dict:
 
 
 # ---------------------------------------------------------------------------
+# attribute-task selection (reference utils.py:1268-1281, the clinical
+# attribute classifier's -a/--attrib knob in clinical_cert.py:41)
+# ---------------------------------------------------------------------------
+
+# task -> the entity-tag family whose modality attribute that task
+# recognizes/evaluates. Exactly the reference's mapping
+# (utils.py:1271-1277: cert -> ['D'], ttype -> ['Timex3'],
+# state -> ['T-test', 'R', 'Cc']), in this engine's lowercase tag
+# inventory (data_objects.py:11-25).
+ATTRIB_TASK_TAGS: dict[str, tuple[str, ...]] = {
+    "cert": ("d",),
+    "ttype": ("TIMEX3",),
+    "state": ("t-test", "r", "cc"),
+}
+
+
+def _task_tags(task: str) -> tuple[str, ...]:
+    try:
+        return ATTRIB_TASK_TAGS[task]
+    except KeyError:
+        raise ValueError(
+            f"unknown attrib task {task!r}; expected one of "
+            f"{sorted(ATTRIB_TASK_TAGS)} (reference utils.py:1279: "
+            "'wrong attrib')"
+        ) from None
+
+
+def mask_attrib_batch(
+    batch: pa.Table, task: str, *, tag_col: str = "ner_tag", mod_col: str = "mod"
+) -> pa.Table:
+    """Vectorized per-batch attribute-task projection: rows whose tag is
+    outside the task's family get their modality masked to ``'_'``
+    (the reference recognizes attributes only for the selected family —
+    ner_labels_to_masks, utils.py:1268-1290)."""
+    import pyarrow.compute as pc
+
+    in_family = pc.is_in(
+        batch.column(tag_col), value_set=pa.array(_task_tags(task), pa.string())
+    )
+    masked = pc.if_else(in_family, batch.column(mod_col), "_")
+    return batch.set_column(
+        batch.schema.get_field_index(mod_col), mod_col, masked
+    )
+
+
+def evaluate_mod_task(gold, pred, task: str, f1_mode: str = "micro") -> dict:
+    """Modality-attribute P/R/F1 for one attribute task over entity
+    tables (columns url/chunk_id/mention/ner_tag/mod): both sides are
+    restricted to the task's tag family and matched on
+    (mention, ner_tag, mod) with the mod value as the class — the
+    distributed analogue of the reference's per-attrib accuracy loop
+    (clinical_cert.py eval over the ner_masks of utils.py:1268-1290).
+    Unmarked ``'_'`` rows fall under the evaluator's standard skip
+    classes, as in clinical_eval.py:70."""
+    tags = _task_tags(task)
+
+    def family(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.is_in(
+                batch.column("ner_tag"), value_set=pa.array(tags, pa.string())
+            )
+        )
+
+    return evaluate_datasets(
+        gold.map_batches(family, batch_format="pyarrow"),
+        pred.map_batches(family, batch_format="pyarrow"),
+        ["mention", "ner_tag", "mod"],
+        rel_col=-1,
+        f1_mode=f1_mode,
+    )
+
+
+# ---------------------------------------------------------------------------
 # conlleval (the reference's shell eval hook, in-repo)
 # ---------------------------------------------------------------------------
 

@@ -118,6 +118,22 @@ def test_graph_ids_match_oracle(corpus):
     assert _rows(graph, cols) == _rows(tables["expected_graph"], cols)
 
 
+def test_config_attrib_task(corpus):
+    """PipelineConfig.attrib_task (reference clinical_cert.py -a):
+    graph subj_mod carries ONLY the selected family's attribute."""
+    from jamie_ray.config import PipelineConfig, build_graph_with_config
+
+    pages_dir, _ = corpus
+    graph = build_graph_with_config(
+        str(pages_dir / "pages.parquet"), PipelineConfig(attrib_task="cert")
+    )
+    rows = graph.select_columns(["subj_type", "subj_mod"]).take_all()
+    assert any(r["subj_type"] == "d" and r["subj_mod"] != "_" for r in rows)
+    assert all(
+        r["subj_mod"] == "_" for r in rows if r["subj_type"] != "d"
+    )
+
+
 def test_materialize_resumable(corpus, tmp_path):
     pages_dir, _ = corpus
     out = tmp_path / "graph_out"

@@ -141,3 +141,86 @@ def test_conlleval_cli(tmp_path):
     )
     assert out.returncode == 0
     assert "FB1: 100.00" in out.stdout
+
+
+# ---------------------------------------------------------------------------
+# attribute-task selection (reference clinical_cert.py:41 -a knob)
+# ---------------------------------------------------------------------------
+
+def test_mask_attrib_batch_vectorized():
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "ner_tag": ["d", "TIMEX3", "r", "a"],
+            "mod": ["positive", "DATE", "executed", "_"],
+        }
+    )
+    out = evalx.mask_attrib_batch(batch, "cert")
+    assert out.column("mod").to_pylist() == ["positive", "_", "_", "_"]
+    out = evalx.mask_attrib_batch(batch, "state")
+    assert out.column("mod").to_pylist() == ["_", "_", "executed", "_"]
+
+
+def test_unknown_attrib_task_raises():
+    import pyarrow as pa
+
+    with pytest.raises(ValueError, match="wrong attrib"):
+        evalx.mask_attrib_batch(pa.table({"ner_tag": [], "mod": []}), "nope")
+
+
+def test_evaluate_mod_task_fixture(ray_session):
+    """The three attribute tasks against the generator's entity table:
+    self-eval is 1.0 per task, and each family's gold support matches a
+    hand count over the table — the tasks are genuinely distinct."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    ents = fixtures.generate(60)["expected_entities"]
+    gold = ray.data.from_arrow(ents)
+    pred = ray.data.from_arrow(ents)
+    supports = {}
+    for task, tags in evalx.ATTRIB_TASK_TAGS.items():
+        res = evalx.evaluate_mod_task(gold, pred, task)
+        assert res["micro"] == (1.0, 1.0, 1.0), task
+        supports[task] = res["counts"]["tps"]
+        # hand count: family rows whose mod is a real class
+        import pyarrow as pa
+
+        mask = pc.and_(
+            pc.is_in(ents["ner_tag"], value_set=pa.array(tags)),
+            pc.invert(
+                pc.is_in(ents["mod"], value_set=pa.array(["N", "O", "_", "OO"]))
+            ),
+        )
+        assert res["counts"]["tps"] == pc.sum(mask).as_py()
+    # the fixture plants all three attribute classes
+    assert all(n > 0 for n in supports.values())
+    assert len(set(supports.values())) > 1
+
+
+def test_evaluate_mod_task_isolates_tasks(ray_session):
+    """Corrupting one disease certainty hurts mod_cert ONLY."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    ents = fixtures.generate(40)["expected_entities"]
+    mods = ents["mod"].to_pylist()
+    tags = ents["ner_tag"].to_pylist()
+    i = next(
+        k for k, (t, m) in enumerate(zip(tags, mods)) if t == "d" and m != "_"
+    )
+    mods[i] = "negative" if mods[i] != "negative" else "positive"
+    bad = ents.set_column(
+        ents.schema.get_field_index("mod"), "mod", pa.array(mods, pa.string())
+    )
+    gold = ray.data.from_arrow(ents)
+    pred = ray.data.from_arrow(bad)
+    assert evalx.evaluate_mod_task(gold, pred, "cert")["micro"][2] < 1.0
+    assert evalx.evaluate_mod_task(gold, pred, "ttype")["micro"] == (1.0, 1.0, 1.0)
+    assert evalx.evaluate_mod_task(gold, pred, "state")["micro"] == (1.0, 1.0, 1.0)
