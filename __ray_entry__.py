@@ -819,8 +819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": rel.nation_revenue,
         "shipping_priority": rel.shipping_priority,
         "top_customers_per_segment": rel.top_customers_per_segment,
-        # debug text sinks (writer surfaces; reader roundtrips above
-        # value-check the same bytes)
+        # writer sinks — value-oracled since r4 (expected strings come
+        # from the generator's independent sentence-structure path)
         "kg_xml_out": kg_xml_out,
         "kg_brat_out": kg_brat_out,
         "kg_pmhs_out": kg_pmhs_out,
@@ -880,6 +880,14 @@ def oracle_sql() -> dict[str, str]:
             "expected_triples",
             "subj, pred, obj, subj_type, obj_type, url, chunk_id",
         ),
+        # writer sinks (r4): expected output STRINGS computed by the
+        # generator straight from sentence structure
+        # (fixtures._expected_format_rows) — upgraded from no_oracle
+        "kg_xml_out": kg_sql("expected_xml", "url, chunk_id, xml"),
+        "kg_brat_out": kg_sql(
+            "expected_brat", "url, chunk_id, brat_txt, brat_ann"
+        ),
+        "kg_pmhs_out": kg_sql("expected_pmhs", "url, chunk_id, pmhs"),
         "i2b2_triples": (lambda root: (
             __import__("jamie_ray.fixtures", fromlist=["write_i2b2_corpus"])
             .write_i2b2_corpus(root, 80)

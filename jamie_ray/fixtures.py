@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 9
+FIXTURE_VERSION = 10
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -744,11 +744,112 @@ def _compose_en_page(i: int) -> list[str]:
     return [" ".join(words[: n + 2]) + "."]
 
 
+def _expected_format_rows(
+    trunks: list[str],
+    assignment: list[list[int]],
+    per_sentence_mentions: list[list[tuple[str, str]]],
+) -> list[tuple[int, str, str, str]]:
+    """Expected writer-output strings per chunk, built DIRECTLY from
+    sentence structure (no scorer, no BIO/subword machinery): tokens via
+    the analyzer, entity spans by positional search of each planted
+    mention's token tuple, relations via the generator's own (a, b)
+    enumeration sorted per the selection-cell contract
+    (score.py predict: (subj_last, rel_index, obj_last)), and the
+    word-level rels/heads lists via the replace-then-append default rule
+    of ``sbwrel2head`` (labels.py:161-173 / reference utils.py:1873-92).
+    The string kernels themselves (``chunk_to_xml``/``chunk_to_brat``)
+    are shared with the engine — golden tests in test_formats.py pin
+    their literal output — so what this oracle value-checks end-to-end
+    is the full score -> decode -> realign algebra at string
+    granularity.
+
+    Returns [(chunk_id, xml, brat_txt, brat_ann, pmhs)].
+    """
+    from .mockmodel import REL_VOCAB
+    from .stages.format_out import chunk_to_brat, chunk_to_xml
+    from .stages.pmhs import chunk_to_pmhs
+    from .tokenization import analyze
+
+    rel_index = {r: i for i, r in enumerate(REL_VOCAB)}
+    out: list[tuple[int, str, str, str]] = []
+    for cid, (trunk, line_ids) in enumerate(zip(trunks, assignment)):
+        toks = analyze(trunk)
+        # [SEP]-delimited segments, one per packed sentence
+        segs: list[tuple[int, int]] = []
+        start = 0
+        for j, t in enumerate(toks):
+            if t == "[SEP]":
+                segs.append((start, j))
+                start = j + 1
+        segs.append((start, len(toks)))
+        if len(segs) != len(line_ids):
+            raise AssertionError(
+                f"fixture format oracle: {len(segs)} segments vs "
+                f"{len(line_ids)} packed lines in chunk {cid}"
+            )
+        ner = ["O"] * len(toks)
+        mod = ["_"] * len(toks)
+        relations: list[tuple[tuple[int, int], str, tuple[int, int]]] = []
+        for (s0, s1), li in zip(segs, line_ids):
+            mentions = per_sentence_mentions[li]
+            spans: list[tuple[int, int, str]] = []
+            cursor = s0
+            for surf, tag in mentions:
+                key = tuple(analyze(surf))
+                found = -1
+                for p in range(cursor, s1 - len(key) + 1):
+                    if tuple(toks[p : p + len(key)]) == key:
+                        found = p
+                        break
+                if found < 0:
+                    raise AssertionError(
+                        f"fixture format oracle: mention {surf!r} not "
+                        f"found in chunk {cid} segment tokens"
+                    )
+                spans.append((found, found + len(key), tag))
+                cursor = found + len(key)
+            mstrs = ["".join(toks[s:e]) for s, e, _ in spans]
+            for k, (s, e, tag) in enumerate(spans):
+                ner[s] = f"B-{tag}"
+                for j in range(s + 1, e):
+                    ner[j] = f"I-{tag}"
+                mod[e - 1] = modality_for(tag, mstrs[k], k)
+            for a in range(len(spans)):
+                for b in range(len(spans)):
+                    if a == b:
+                        continue
+                    pred = relation_for(mstrs[a], mstrs[b], a, b)
+                    if pred is not None:
+                        relations.append(
+                            (spans[a][:2], pred, spans[b][:2])
+                        )
+        relations.sort(
+            key=lambda r: (r[0][1] - 1, rel_index[r[1]], r[2][1] - 1)
+        )
+        rels: list[list[str]] = [["N"] for _ in toks]
+        heads: list[list[int]] = [[i] for i in range(len(toks))]
+        for (_ss, se), pred, (_os, oe) in relations:
+            t, h = se - 1, oe - 1
+            if heads[t] == [t] and rels[t] == ["N"]:
+                heads[t] = [h]
+                rels[t] = [pred]
+            else:
+                heads[t].append(h)
+                rels[t].append(pred)
+        xml = chunk_to_xml(toks, ner, mod, rels, heads)
+        txt, ann = chunk_to_brat(toks, ner, mod, rels, heads)
+        pmhs = chunk_to_pmhs(toks, ner, rels, heads)
+        out.append((cid, xml, txt, ann, pmhs))
+    return out
+
+
 def generate(n_pages: int) -> dict[str, pa.Table]:
     """Generate pages + expected tables for ``n_pages`` synthetic pages.
 
     Returns dict with keys: ``pages``, ``expected_text``,
-    ``expected_chunks``, ``expected_entities``, ``expected_triples``.
+    ``expected_chunks``, ``expected_entities``, ``expected_triples``
+    (plus quarantine/graph and the ``expected_xml`` / ``expected_brat``
+    writer-output oracles).
     """
     urls: list[str] = []
     tss: list[int] = []
@@ -764,6 +865,10 @@ def generate(n_pages: int) -> dict[str, pa.Table]:
     chk_rows: dict[str, list] = {k: [] for k in ("url", "chunk_id", "text", "n_subwords")}
 
     qua_rows: dict[str, list] = {"url": [], "error": []}
+    fmt_rows: dict[str, list] = {
+        k: []
+        for k in ("url", "chunk_id", "xml", "brat_txt", "brat_ann", "pmhs")
+    }
 
     for i in range(n_pages):
         url = _url_for(i)
@@ -854,6 +959,16 @@ def generate(n_pages: int) -> dict[str, pa.Table]:
                 f"{len(per_sentence_mentions)} mention groups vs "
                 f"{len(norm_sentences)} sentences"
             )
+
+        for cid, xml, btxt, bann, pmhs in _expected_format_rows(
+            trunks, assignment, per_sentence_mentions
+        ):
+            fmt_rows["url"].append(url)
+            fmt_rows["chunk_id"].append(cid)
+            fmt_rows["xml"].append(xml)
+            fmt_rows["brat_txt"].append(btxt)
+            fmt_rows["brat_ann"].append(bann)
+            fmt_rows["pmhs"].append(pmhs)
 
         for li, mentions in enumerate(per_sentence_mentions):
             cid = line_to_chunk.get(li)
@@ -993,6 +1108,28 @@ def generate(n_pages: int) -> dict[str, pa.Table]:
         "expected_triples": expected_triples,
         "expected_quarantine": expected_quarantine,
         "expected_graph": expected_graph,
+        "expected_xml": pa.table(
+            {
+                "url": pa.array(fmt_rows["url"], pa.string()),
+                "chunk_id": pa.array(fmt_rows["chunk_id"], pa.int32()),
+                "xml": pa.array(fmt_rows["xml"], pa.string()),
+            }
+        ),
+        "expected_brat": pa.table(
+            {
+                "url": pa.array(fmt_rows["url"], pa.string()),
+                "chunk_id": pa.array(fmt_rows["chunk_id"], pa.int32()),
+                "brat_txt": pa.array(fmt_rows["brat_txt"], pa.string()),
+                "brat_ann": pa.array(fmt_rows["brat_ann"], pa.string()),
+            }
+        ),
+        "expected_pmhs": pa.table(
+            {
+                "url": pa.array(fmt_rows["url"], pa.string()),
+                "chunk_id": pa.array(fmt_rows["chunk_id"], pa.int32()),
+                "pmhs": pa.array(fmt_rows["pmhs"], pa.string()),
+            }
+        ),
     }
     out.update(generate_embeddings(n_pages))
     out.update(generate_docs_nd(max(30, n_pages // 2)))

@@ -118,6 +118,36 @@ def test_graph_ids_match_oracle(corpus):
     assert _rows(graph, cols) == _rows(tables["expected_graph"], cols)
 
 
+def test_writer_sinks_match_fixture_oracle(corpus):
+    """The generator's expected writer strings (computed straight from
+    sentence structure, fixtures._expected_format_rows) equal the
+    pipeline's score->decode->writer output BYTE-EXACTLY — the r4
+    value oracle for kg_xml_out / kg_brat_out / kg_pmhs_out."""
+    from jamie_ray.stages.format_out import (
+        tagged_to_brat_batch,
+        tagged_to_xml_batch,
+    )
+    from jamie_ray.stages.pmhs import tagged_to_pmhs_batch
+
+    pages_dir, tables = corpus
+    chunks = kg.chunk_pages(
+        kg.extracted_pages(kg.read_pages(str(pages_dir / "pages.parquet")))
+    )
+    tagged = kg.score_chunks(chunks).materialize()
+    xml = tagged.map_batches(tagged_to_xml_batch, batch_format="pyarrow")
+    assert _rows(xml, ["url", "chunk_id", "xml"]) == _rows(
+        tables["expected_xml"], ["url", "chunk_id", "xml"]
+    )
+    brat = tagged.map_batches(tagged_to_brat_batch, batch_format="pyarrow")
+    assert _rows(brat, ["url", "chunk_id", "brat_txt", "brat_ann"]) == _rows(
+        tables["expected_brat"], ["url", "chunk_id", "brat_txt", "brat_ann"]
+    )
+    pmhs = tagged.map_batches(tagged_to_pmhs_batch, batch_format="pyarrow")
+    assert _rows(pmhs, ["url", "chunk_id", "pmhs"]) == _rows(
+        tables["expected_pmhs"], ["url", "chunk_id", "pmhs"]
+    )
+
+
 def test_config_attrib_task(corpus):
     """PipelineConfig.attrib_task (reference clinical_cert.py -a):
     graph subj_mod carries ONLY the selected family's attribute."""
