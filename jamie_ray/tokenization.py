@@ -127,11 +127,86 @@ def wakati_juman(text: str) -> list[str]:
     return _wakati_with(text, _char_class_juman)
 
 
+# ---------------------------------------------------------------------------
+# genuine tagger adapters (optional dependencies)
+# ---------------------------------------------------------------------------
+
+# per-process tagger singletons: taggers are expensive to construct and
+# NOT picklable, so the adapter functions below are module-level (every
+# Ray worker resolves them by name through the registry) and build
+# their tagger lazily on first call in each process
+_REAL_TAGGERS: dict[str, object] = {}
+
+
+def wakati_mecab_real(text: str) -> list[str]:
+    """Genuine MeCab ``-Owakati`` adapter (reference utils.py:36-42).
+
+    Returns the raw wakati token list; :func:`analyze` applies the
+    exact ``[JASP]``/``[SEP]`` sentinel repair of utils.py:47-60 on
+    top, so composing ``analyze(text, "mecab_real")`` reproduces the
+    reference's mecab branch with the real tagger. Tokens are split on
+    ASCII space ONLY — ideographic-space tokens (``　``) must survive
+    into the join for the ``　 SEP 　 -> [SEP]`` fold to fire.
+
+    Requires the optional ``mecab-python3`` package (plus a dictionary,
+    e.g. ``unidic-lite``); selecting this analyzer without it fails
+    loudly at first use.
+    """
+    tagger = _REAL_TAGGERS.get("mecab")
+    if tagger is None:
+        try:
+            import MeCab  # type: ignore[import-not-found]
+        except ImportError as ex:
+            raise ImportError(
+                "analyzer 'mecab_real' needs the optional mecab-python3 "
+                "package (pip install mecab-python3 unidic-lite); the "
+                "in-repo deterministic 'mecab' analyzer needs nothing"
+            ) from ex
+        tagger = MeCab.Tagger("-Owakati")
+        _REAL_TAGGERS["mecab"] = tagger
+    out = tagger.parse(text)
+    return [t for t in out.rstrip("\n").split(" ") if t]
+
+
+def wakati_juman_real(text: str) -> list[str]:
+    """Genuine JUMAN adapter (reference utils.py:33-35, 46-47): morpheme
+    surface forms (``midasi``) from pyknp. The reference's juman branch
+    returns these directly without the mecab sentinel repair; under this
+    engine's unified :func:`analyze` contract the repair runs for every
+    analyzer — a deliberate, documented deviation that keeps the
+    ``[JASP]``/``[SEP]`` invariants analyzer-independent.
+
+    Requires the optional ``pyknp`` package and a ``jumanpp``/``juman``
+    binary on PATH.
+    """
+    tagger = _REAL_TAGGERS.get("juman")
+    if tagger is None:
+        try:
+            from pyknp import Juman  # type: ignore[import-not-found]
+        except ImportError as ex:
+            raise ImportError(
+                "analyzer 'juman_real' needs the optional pyknp package "
+                "(pip install pyknp) and a juman/jumanpp binary; the "
+                "in-repo deterministic 'juman' analyzer needs nothing"
+            ) from ex
+        tagger = Juman()
+        _REAL_TAGGERS["juman"] = tagger
+    return [m.midasi for m in tagger.analysis(text).mrph_list()]
+
+
 # analyzer registry (SURVEY.md §2.9 user-extension surface): the
 # reference hard-wires a juman|mecab flag (utils.py:30-42); here the
 # analyzer is a named pure function str -> tokens, selectable per
 # pipeline via PipelineConfig.analyzer and extensible by users.
-ANALYZERS: dict[str, object] = {"mecab": wakati, "juman": wakati_juman}
+# 'mecab'/'juman' are the deterministic in-repo taggers (always
+# available); 'mecab_real'/'juman_real' wrap the genuine optional
+# bindings and fail loudly at first use when those aren't installed.
+ANALYZERS: dict[str, object] = {
+    "mecab": wakati,
+    "juman": wakati_juman,
+    "mecab_real": wakati_mecab_real,
+    "juman_real": wakati_juman_real,
+}
 DEFAULT_ANALYZER = "mecab"
 
 

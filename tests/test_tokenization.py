@@ -112,3 +112,95 @@ def test_analyzers_agree_on_fixture_corpus():
         lines, _ = fixtures._compose_page(i)
         for ln in lines:
             assert tok.analyze(ln) == tok.analyze(ln, "juman")
+
+
+# ---------------------------------------------------------------------------
+# genuine tagger adapters (optional MeCab / pyknp bindings)
+# ---------------------------------------------------------------------------
+
+def test_real_adapters_registered():
+    from jamie_ray import tokenization as tok
+
+    assert {"mecab_real", "juman_real"} <= set(tok.ANALYZERS)
+
+
+def test_mecab_real_missing_dep_fails_loudly(monkeypatch):
+    import builtins
+    import sys
+
+    import pytest as _pytest
+
+    from jamie_ray import tokenization as tok
+
+    monkeypatch.delitem(tok._REAL_TAGGERS, "mecab", raising=False)
+    monkeypatch.delitem(sys.modules, "MeCab", raising=False)
+    real_import = builtins.__import__
+
+    def no_mecab(name, *a, **kw):
+        if name == "MeCab":
+            raise ImportError("No module named 'MeCab'")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_mecab)
+    with _pytest.raises(ImportError, match="mecab-python3"):
+        tok.analyze("急性肺炎", "mecab_real")
+
+
+def test_mecab_real_adapter_glue(monkeypatch):
+    """The adapter composed with analyze() reproduces the reference's
+    mecab branch (utils.py:36-60) — exercised against a FAKE MeCab
+    whose -Owakati output includes the ideographic-space ' SEP '
+    pattern, proving ascii-space-only splitting keeps the U+3000
+    tokens alive for the [SEP] fold."""
+    import sys
+    import types
+
+    from jamie_ray import tokenization as tok
+
+    class _FakeTagger:
+        def __init__(self, _args):
+            pass
+
+        def parse(self, text):
+            # a real -Owakati: surface tokens joined by ascii spaces,
+            # U+3000 emitted as its own token, latin runs kept whole,
+            # trailing newline
+            import re
+
+            out = re.findall(r"[A-Za-z]+|.", text)
+            return " ".join(out) + " \n"
+
+    fake = types.ModuleType("MeCab")
+    fake.Tagger = _FakeTagger
+    monkeypatch.setitem(sys.modules, "MeCab", fake)
+    monkeypatch.delitem(tok._REAL_TAGGERS, "mecab", raising=False)
+    try:
+        # "a b" -> space becomes U+3000 before tagging, then [JASP]
+        toks = tok.analyze("ａ　ｂ", "mecab_real")
+        assert toks == ["ａ", "[JASP]", "ｂ"]
+        # the sentence-boundary sentinel round-trips through the fold
+        toks = tok.analyze("肺　SEP　癌", "mecab_real")
+        assert toks == ["肺", "[SEP]", "癌"]
+    finally:
+        tok._REAL_TAGGERS.pop("mecab", None)
+
+
+def test_mecab_real_live():
+    """Runs only where the genuine binding is installed."""
+    import pytest as _pytest
+
+    _pytest.importorskip("MeCab")
+    from jamie_ray import tokenization as tok
+
+    toks = tok.analyze("急性肺炎を認めた。", "mecab_real")
+    assert toks and "".join(toks) == "急性肺炎を認めた。"
+
+
+def test_juman_real_live():
+    import pytest as _pytest
+
+    _pytest.importorskip("pyknp")
+    from jamie_ray import tokenization as tok
+
+    toks = tok.analyze("急性肺炎を認めた。", "juman_real")
+    assert toks
