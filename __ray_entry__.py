@@ -492,6 +492,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs.map_batches(explode, batch_format="pyarrow")
 
+    def doc_top_terms(sf_dir: str):
+        """Each document's top-5 distinctive terms by the integer-exact
+        tf-idf key (tf desc, df asc, term asc): exact distributed df via
+        the deduped (term, doc) combiner + bucketed reduce, df map
+        broadcast once (``ray.put`` + ``cached_get``), per-doc tf and
+        top-k fully vectorised inside ``map_batches``. The inverted
+        index itself (term -> postings) is the sibling
+        ``functions.index.inverted_index``, value-checked in
+        ``tests/test_index.py``."""
+        from jamie_ray.functions.index import doc_top_terms as _dtt
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return _dtt(docs, k=5)
+
     def kg_pmhs_out(sf_dir: str):
         """JSONL (pmhs) debug view of the tagged chunks."""
         from jamie_ray.stages.pmhs import tagged_to_pmhs_batch
@@ -799,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "doc_analysis": rel.doc_analysis,
         "doc_winnow": doc_winnow,
+        "doc_top_terms": doc_top_terms,
         # relational operator suite (testdata tables)
         "agg_pricing_summary": rel.agg_pricing_summary,
         "returnflag_counts": rel.returnflag_counts,
@@ -1118,6 +1135,29 @@ def oracle_sql() -> dict[str, str]:
                    ) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro,
                    md5(text) AS text_hash
             FROM documents
+        """,
+        # tokenisation twin of functions/index.py (_WS_SPLIT_RE): both
+        # sides split on \s+ and drop empties; ordering keys are all
+        # integers/strings, so row_number() matches bit-for-bit
+        "doc_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks GROUP BY doc_id, term
+            ), dfs AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM toks GROUP BY term
+            )
+            SELECT doc_id, term, tf, df, rank FROM (
+              SELECT t.doc_id, t.term, t.tf, d.df,
+                     row_number() OVER (PARTITION BY t.doc_id
+                       ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+              FROM tf t JOIN dfs d ON t.term = d.term
+            ) WHERE rank <= 5
         """,
         # ---- dedup / similarity
         "dedup_docs_exact": """

@@ -1,0 +1,272 @@
+"""Inverted index + per-document distinctive-term ranking.
+
+The missing retrieval-side primitives of an LLM data pipeline: build a
+term -> postings index over a documents table, and rank each document's
+terms by a tf-idf-flavoured key. The reference engine has no analogue
+(its corpus ops stop at CoNLL/XML conversion); these are the brief's
+"operations a large-scale training-data pipeline would need".
+
+Tokenisation is the shared whitespace rule (``TOKEN_RE = \\S+`` from
+``text_analysis.py``), written once and mirrored verbatim in the DuckDB
+oracle (``string_split_regex(text, '\\s+')`` + empty filter) so the two
+sides cannot drift.
+
+Exactness discipline: ranks are computed over INTEGER keys only
+(``tf`` desc, ``df`` asc, ``term`` asc) — no float idf enters the
+ordering, so the DuckDB ``row_number()`` oracle matches bit-for-bit
+with no rounding reconciliation.
+
+Physical plans (the 100-TB shapes):
+
+- ``inverted_index``: block-local Arrow ``group_by(term, doc)``
+  combiner dedups within-document repetitions BEFORE anything moves
+  (the big reduction: a term occurring 100× in a doc ships once), then
+  ONE shuffle on a coarse term-hash bucket (1024 groups, the repo's
+  near-singleton-group pattern) with an in-group run walk building
+  (term, df, postings). Postings rows are bounded by ``max_postings``
+  (stopword-shaped terms), with the truncation reported to the
+  ``state/caps.py`` counter actor — never silent.
+- ``doc_top_terms``: document-frequency table via the same deduped
+  pair combiner + one small ``group_by(term)`` per block and a
+  1024-bucket reduce; the (term -> df) map is ``ray.put`` ONCE and
+  read through ``worker_cache.cached_get`` in every scoring task
+  (broadcast, not re-shipped per batch); per-document tf + top-k runs
+  fully inside ``map_batches`` with numpy lexsort — each doc's text
+  lives in one row, so no second shuffle is needed. The broadcast is
+  bounded by ``min_df`` pruning; at vocabulary sizes beyond worker
+  memory, raise ``min_df`` (documented contract) — rare terms can't
+  enter any top-k that requires df >= min_df anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..hashing import stable_hash64
+
+_N_BUCKETS = 1024
+_WS_SPLIT_RE = r"\s+"  # split twin of text_analysis.TOKEN_RE (\S+)
+
+
+def _term_buckets(terms: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """hash-bucket per term, hashing each DISTINCT term once: the
+    Python ``stable_hash64`` loop runs over the dictionary (vocab-sized
+    per block), not the row stream."""
+    enc = pc.dictionary_encode(terms)
+    enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+    uniq = enc.dictionary.to_pylist()
+    bucket_by_uniq = np.asarray(
+        [stable_hash64(t) & (_N_BUCKETS - 1) for t in uniq], dtype=np.int64
+    )
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return pa.array(bucket_by_uniq[idx], pa.int64())
+
+
+def _term_doc_pairs(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Block-local combiner: (id, text) -> DISTINCT (term, doc) pairs.
+
+    Fully vectorised: one regex split kernel, one flatten with parent
+    indices, one Arrow group_by for the distinct. Within-document
+    repetitions never leave the block.
+    """
+    flat = _flat_term_doc(batch, text_col, id_col)
+    return flat.group_by(["term", "doc_id"]).aggregate([])
+
+
+def _flat_term_doc(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(id, text) -> one (term, doc_id) row per token occurrence."""
+    text = pc.fill_null(batch.column(text_col), "")
+    toks = pc.split_pattern_regex(text, _WS_SPLIT_RE)
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    # parent index per flattened token (list offsets -> repeat counts)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    counts = np.diff(offsets)
+    pairs = pa.table(
+        {
+            "term": toks.flatten(),
+            "doc_id": pa.array(np.repeat(doc_ids, counts), pa.int64()),
+        }
+    )
+    # drop the empty strings a leading/trailing/double space produces
+    return pairs.filter(pc.not_equal(pairs.column("term"), ""))
+
+
+def inverted_index(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_postings: int | None = None,
+    cap_counters=None,
+):
+    """documents -> (term, df, postings) — one row per distinct term.
+
+    ``df`` is the exact document frequency; ``postings`` is the sorted
+    list of doc ids containing the term, truncated to ``max_postings``
+    when set (``df`` stays exact, so truncation is always visible, and
+    the dropped count is reported to ``cap_counters`` when provided —
+    the ``state/caps.py`` contract: no silent caps).
+    """
+
+    def expand(batch: pa.Table) -> pa.Table:
+        pairs = _term_doc_pairs(batch, text_col, id_col)
+        return pairs.append_column("bucket", _term_buckets(pairs.column("term")))
+
+    def merge(group: pa.Table) -> pa.Table:
+        from ..runs import iter_key_runs
+
+        group = group.sort_by(
+            [("term", "ascending"), ("doc_id", "ascending")]
+        )
+        terms: list[str] = []
+        dfs: list[int] = []
+        postings: list[list[int]] = []
+        n_dropped = 0
+        for run in iter_key_runs(group, "term"):
+            ids = pc.unique(run.column("doc_id")).to_pylist()
+            if len(ids) < min_df:
+                continue
+            terms.append(run.column("term")[0].as_py())
+            dfs.append(len(ids))
+            if max_postings is not None and len(ids) > max_postings:
+                n_dropped += len(ids) - max_postings
+                ids = ids[:max_postings]
+            postings.append(ids)
+        if cap_counters is not None and n_dropped:
+            cap_counters.record.remote(
+                "inverted_index_truncated_postings",
+                group.column("bucket")[0].as_py(),
+                n_dropped,
+            )
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "postings": pa.array(postings, pa.list_(pa.int64())),
+            }
+        )
+
+    return (
+        docs.map_batches(expand, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def term_df(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+):
+    """documents -> (term, df) exact document frequencies.
+
+    Same deduped-pair combiner as :func:`inverted_index`, but the
+    shuffle carries only (term, partial_df) — block-local group_by
+    counts distinct docs per term first, so the exchange volume is
+    vocabulary-sized per block, independent of corpus length.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = _term_doc_pairs(batch, text_col, id_col)
+        agg = pairs.group_by("term").aggregate([("doc_id", "count")])
+        return pa.table(
+            {
+                "term": agg.column("term"),
+                "pdf": agg.column("doc_id_count"),
+                "bucket": _term_buckets(agg.column("term")),
+            }
+        )
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        agg = group.group_by("term").aggregate([("pdf", "sum")])
+        tbl = pa.table(
+            {
+                "term": agg.column("term"),
+                "df": pc.cast(agg.column("pdf_sum"), pa.int64()),
+            }
+        )
+        if min_df > 1:
+            tbl = tbl.filter(pc.greater_equal(tbl.column("df"), min_df))
+        return tbl
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+
+
+def doc_top_terms(
+    docs,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+):
+    """documents -> (doc_id, term, tf, df, rank): each document's top-k
+    most distinctive terms, ranked by the integer-exact tf-idf key
+    (tf desc, df asc, term asc) with rank 1..k.
+
+    Terms with df < ``min_df`` are excluded from ranking (and from the
+    broadcast — the lever that bounds the df map at huge vocabularies).
+    """
+    # 1. exact df table, collected small (vocab-sized after min_df) and
+    #    broadcast once — every scoring task reads it via cached_get
+    df_tbl = term_df(docs, text_col=text_col, id_col=id_col, min_df=min_df)
+    df_map: dict[str, int] = {}
+    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+        df_map.update(
+            zip(b.column("term").to_pylist(), b.column("df").to_pylist())
+        )
+    df_ref = ray.put(df_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import cached_get
+
+        dfm = cached_get(df_ref, "doc_top_terms_df")
+        flat = _flat_term_doc(batch, text_col, id_col)
+        tf = flat.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        d = tf.column("doc_id").to_numpy(zero_copy_only=False)
+        f = tf.column("term_count").to_numpy(zero_copy_only=False)
+        # df lookup once per DISTINCT term (dict indices fan it back out)
+        enc = pc.dictionary_encode(tf.column("term"))
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        uniq = enc.dictionary.to_pylist()
+        df_by_uniq = np.asarray([dfm.get(x, 0) for x in uniq], dtype=np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        df_arr = df_by_uniq[idx]
+        t = np.asarray(uniq, dtype=object)[idx]
+        keep = df_arr >= 1  # min_df pruning already happened in dfm
+        d, t, f, df_arr = d[keep], t[keep], f[keep], df_arr[keep]
+        # lexsort: last key is primary -> (doc asc, tf desc, df asc, term asc)
+        order = np.lexsort((t, df_arr, -f, d))
+        d, t, f, df_arr = d[order], t[order], f[order], df_arr[order]
+        # rank within doc, take first k (d is sorted: run-boundary scan)
+        if len(d):
+            new_doc = np.empty(len(d), dtype=bool)
+            new_doc[0] = True
+            new_doc[1:] = d[1:] != d[:-1]
+            run_starts = np.flatnonzero(new_doc)
+            rank = np.arange(len(d)) - np.repeat(run_starts, np.diff(
+                np.append(run_starts, len(d))
+            )) + 1
+        else:
+            rank = np.empty(0, dtype=np.int64)
+        keep = rank <= k
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "term": pa.array(list(t[keep]), pa.string()),
+                "tf": pa.array(f[keep], pa.int64()),
+                "df": pa.array(df_arr[keep], pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,125 @@
+"""Inverted index + doc_top_terms (functions/index.py).
+
+The exactness bar is the same as the driver's: the distributed results
+must equal an independent single-process reference — here a DuckDB
+replica of the oracle SQL and a pure-Python postings builder.
+"""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat"),
+    (3, "cat dog cat   dog"),  # double space -> empty-token filter
+    (4, " leading and trailing "),
+    (5, ""),  # empty doc: no terms, no top-k rows
+    (6, "ＵＮＩＱ 漢字 the"),  # non-ascii terms: byte order == codepoint order
+]
+
+
+def _docs_table():
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+            "text": pa.array([t for _, t in DOCS], pa.string()),
+        }
+    )
+
+
+def _py_postings():
+    post = {}
+    for d, t in DOCS:
+        for term in set(t.split()):
+            post.setdefault(term, set()).add(d)
+    return {k: sorted(v) for k, v in post.items()}
+
+
+def test_inverted_index_exact(ray_session):
+    import ray
+
+    from jamie_ray.functions.index import inverted_index
+
+    ds = ray.data.from_arrow(_docs_table()).repartition(3)
+    got = {
+        r["term"]: (r["df"], list(r["postings"]))
+        for r in inverted_index(ds).take_all()
+    }
+    exp = {k: (len(v), v) for k, v in _py_postings().items()}
+    assert got == exp
+
+
+def test_inverted_index_min_df_and_cap(ray_session):
+    import ray
+
+    from jamie_ray.functions.index import inverted_index
+    from jamie_ray.state.caps import cap_totals, new_cap_counters
+
+    ds = ray.data.from_arrow(_docs_table()).repartition(2)
+    caps = new_cap_counters()
+    got = {
+        r["term"]: (r["df"], list(r["postings"]))
+        for r in inverted_index(
+            ds, min_df=2, max_postings=1, cap_counters=caps
+        ).take_all()
+    }
+    exp = {
+        k: (len(v), v[:1]) for k, v in _py_postings().items() if len(v) >= 2
+    }
+    assert got == exp
+    # df stays exact while postings truncate, and the drop is counted
+    dropped = sum(len(v) - 1 for v in _py_postings().values() if len(v) >= 2)
+    totals = cap_totals(caps)
+    assert totals.get("inverted_index_truncated_postings", 0) == dropped
+
+
+def test_term_df_matches_index(ray_session):
+    import ray
+
+    from jamie_ray.functions.index import term_df
+
+    ds = ray.data.from_arrow(_docs_table()).repartition(3)
+    got = {r["term"]: r["df"] for r in term_df(ds).take_all()}
+    assert got == {k: len(v) for k, v in _py_postings().items()}
+
+
+def _duckdb_top_terms(k=3, min_df=1):
+    con = duckdb.connect()
+    con.register("documents", _docs_table())
+    return con.execute(
+        rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), dfs AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        )
+        SELECT doc_id, term, tf, df, rank FROM (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+                 row_number() OVER (PARTITION BY t.doc_id
+                   ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+          FROM tf t JOIN dfs d ON t.term = d.term
+          WHERE d.df >= {min_df}
+        ) WHERE rank <= {k}
+        ORDER BY doc_id, rank
+        """
+    ).fetchall()
+
+
+@pytest.mark.parametrize("min_df", [1, 2])
+def test_doc_top_terms_matches_duckdb(ray_session, min_df):
+    import ray
+
+    from jamie_ray.functions.index import doc_top_terms
+
+    ds = ray.data.from_arrow(_docs_table()).repartition(3)
+    rows = doc_top_terms(ds, k=3, min_df=min_df).take_all()
+    got = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["df"], r["rank"]) for r in rows
+    )
+    assert got == sorted(tuple(r) for r in _duckdb_top_terms(3, min_df))
