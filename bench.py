@@ -111,6 +111,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "i2b2_triples",
         "top_orders",
         "doc_analysis",
+        "doc_top_terms",
         "dedup_docs_exact",
         "docs_minhash_clusters",
         "docs_simhash_pairs",
