@@ -158,6 +158,125 @@ def inverted_index(
     )
 
 
+_IDX_META = "_term_index_meta.json"
+
+
+def build_term_index(
+    docs,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_postings: int | None = None,
+    cap_counters=None,
+) -> dict:
+    """Materialize :func:`inverted_index` as hive-partitioned parquet
+    keyed by the term-hash bucket (``bucket=<b>/...``), so a probe for
+    any set of terms reads ONLY those terms' bucket partitions — the
+    100-TB repeated-lookup shape (the ``build_ann_index`` pattern,
+    applied to the retrieval index).
+
+    All-or-nothing like the ANN build: an ``out_dir`` without a
+    completion meta (a crashed build) is wiped and rebuilt; one WITH a
+    meta raises — at scale an accidental rebuild is hours, so
+    overwriting must be deliberate. Returns the meta dict.
+    """
+    import json
+    import os
+    import shutil
+
+    meta_path = os.path.join(out_dir, _IDX_META)
+    if os.path.exists(meta_path):
+        raise FileExistsError(
+            f"build_term_index: {out_dir} already holds a completed "
+            "index; remove it explicitly to rebuild"
+        )
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)  # crashed partial build — wipe and redo
+
+    idx = inverted_index(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        min_df=min_df,
+        max_postings=max_postings,
+        cap_counters=cap_counters,
+    )
+    # re-derive the partition key from the term (vocab-sized work): the
+    # merge output intentionally drops the shuffle bucket column
+    idx.map_batches(
+        lambda b: b.append_column("bucket", _term_buckets(b.column("term"))),
+        batch_format="pyarrow",
+    ).write_parquet(out_dir, partition_cols=["bucket"])
+    meta = {
+        "format_version": 1,
+        "n_buckets": _N_BUCKETS,
+        "min_df": min_df,
+        "max_postings": max_postings,
+        "id_col": id_col,
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def term_probe_partitions(index_dir: str, terms: list[str]) -> list[str]:
+    """The bucket partition directories a lookup would read — exposed
+    so tests can assert the pruned read touches nothing else. Vacant
+    buckets (no directory written) are dropped."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, _IDX_META)) as f:
+        meta = json.load(f)
+    n = int(meta["n_buckets"])
+    buckets = sorted({stable_hash64(t) & (n - 1) for t in terms})
+    dirs = [os.path.join(index_dir, f"bucket={b}") for b in buckets]
+    return [d for d in dirs if os.path.isdir(d)]
+
+
+def lookup_postings(index_dir: str, terms: list[str]) -> pa.Table:
+    """(term, df, postings) for the requested terms, reading ONLY their
+    bucket partitions (I/O pruning, not just compute pruning). Terms
+    absent from the corpus (or pruned by the build's ``min_df``) simply
+    have no row."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    paths = term_probe_partitions(index_dir, terms)
+    files = [
+        f
+        for d in paths
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+    ]
+    if not files:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "postings": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+    want = pa.array(sorted(set(terms)), pa.string())
+    out = rd.read_parquet(files, columns=["term", "df", "postings"]).map_batches(
+        lambda b: b.filter(pc.is_in(b.column("term"), value_set=want)),
+        batch_format="pyarrow",
+    )
+    tbl = pa.Table.from_pylist(out.take_all())
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "postings": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+    return tbl.select(["term", "df", "postings"])
+
+
 def term_df(
     docs,
     text_col: str = "text",

@@ -123,3 +123,64 @@ def test_doc_top_terms_matches_duckdb(ray_session, min_df):
         (r["doc_id"], r["term"], r["tf"], r["df"], r["rank"]) for r in rows
     )
     assert got == sorted(tuple(r) for r in _duckdb_top_terms(3, min_df))
+
+
+# ---------------------------------------------------------------------------
+# materialized term index (build once, bucket-pruned probe)
+# ---------------------------------------------------------------------------
+
+def test_term_index_prunes_read_and_matches_scan(ray_session, tmp_path):
+    import os
+
+    import ray
+
+    from jamie_ray.functions.index import (
+        build_term_index,
+        inverted_index,
+        lookup_postings,
+        term_probe_partitions,
+    )
+
+    ds = ray.data.from_arrow(_docs_table()).repartition(3)
+    out = str(tmp_path / "tidx")
+    meta = build_term_index(ds, out)
+    assert meta["n_buckets"] == 1024
+
+    all_parts = [d for d in os.listdir(out) if d.startswith("bucket=")]
+    probe = term_probe_partitions(out, ["cat", "dog"])
+    # the probe plan touches strictly fewer partitions than the index
+    assert 0 < len(probe) < len(all_parts)
+    assert all(os.path.basename(p).startswith("bucket=") for p in probe)
+
+    got = {
+        r["term"]: (r["df"], list(r["postings"]))
+        for r in lookup_postings(out, ["cat", "dog", "nosuchterm"]).to_pylist()
+    }
+    exp = {
+        r["term"]: (r["df"], list(r["postings"]))
+        for r in inverted_index(ray.data.from_arrow(_docs_table())).take_all()
+        if r["term"] in ("cat", "dog")
+    }
+    assert got == exp
+
+    # a completed index refuses accidental rebuild
+    with pytest.raises(FileExistsError):
+        build_term_index(ds, out)
+
+
+def test_term_index_partial_build_is_wiped(ray_session, tmp_path):
+    import os
+
+    import ray
+
+    from jamie_ray.functions.index import build_term_index, lookup_postings
+
+    out = str(tmp_path / "tidx2")
+    # simulate a crashed build: directory exists, no completion meta
+    os.makedirs(os.path.join(out, "bucket=7"))
+    with open(os.path.join(out, "bucket=7", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    ds = ray.data.from_arrow(_docs_table())
+    build_term_index(ds, out)
+    got = lookup_postings(out, ["cat"]).to_pylist()
+    assert got and got[0]["term"] == "cat"
