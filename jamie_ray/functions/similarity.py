@@ -71,6 +71,88 @@ def _topk_merge(rows: list[dict], k: int, id_col: str) -> pa.Table:
     )
 
 
+def _cosine_many(mat: np.ndarray, qs: np.ndarray) -> np.ndarray:
+    """(n, d) corpus x (m, d) queries -> (n, m) cosine matrix — one
+    matmul, shared row-norm work across all queries."""
+    qn = qs / np.maximum(np.linalg.norm(qs, axis=1, keepdims=True), 1e-300)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return (mat @ qn.T) / norms[:, None]
+
+
+def knn_bruteforce_batch(
+    embeddings,
+    queries,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+):
+    """Exact cosine top-k for MANY queries in ONE corpus scan ->
+    pyarrow Table (query_id, vec_id, score), query_id = row index into
+    ``queries``.
+
+    The 100-TB shape for repeated exact search: the (m, d) query matrix
+    is ``ray.put`` once and read through ``cached_get`` in every task
+    (broadcast, not re-shipped per batch); each block does a single
+    (n, d) x (d, m) matmul and emits k rows PER QUERY (k*m rows leave
+    the node, independent of block size); the driver merges m
+    independent partial heaps. m corpus scans collapse into one —
+    batch your queries instead of looping :func:`knn_bruteforce`.
+
+    Tie contract shared with every kNN entry point: ROUNDED score
+    descending, id ascending (the per-block cut uses the rounded score
+    so boundary near-ties can't diverge from the merge or the oracle).
+    """
+    qs = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    m = qs.shape[0]
+    qref = ray.put(qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import cached_get
+
+        qmat = cached_get(qref, "knn_batch_queries")
+        mat = _as_matrix(batch.column(vec_col))
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        if not mat.size:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        sims = np.round(_cosine_many(mat, qmat), round_to)  # (n, m)
+        out_q: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for j in range(qmat.shape[0]):  # loop over QUERIES, not rows
+            order = np.lexsort((ids, -sims[:, j]))[:k]
+            out_q.append(np.full(len(order), j, dtype=np.int64))
+            out_i.append(ids[order])
+            out_s.append(sims[order, j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                id_col: pa.array(np.concatenate(out_i), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    rows = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
+    by_query: list[list[dict]] = [[] for _ in range(m)]
+    for r in rows:
+        by_query[r["query_id"]].append(r)
+    merged: list[pa.Table] = []
+    for j in range(m):
+        t = _topk_merge(by_query[j], k, id_col)
+        merged.append(
+            t.add_column(0, "query_id", pa.array([j] * t.num_rows, pa.int64()))
+        )
+    return pa.concat_tables(merged)
+
+
 def knn_bruteforce(
     embeddings,
     query: list[float],
@@ -82,29 +164,20 @@ def knn_bruteforce(
 ):
     """Exact cosine top-k -> pyarrow Table (vec_id, score) sorted desc.
 
-    Distributed shape: map_batches computes block-local top-k (k rows
-    per block leave the node), driver heap-merges the partials. Ties
+    Single-query facade over :func:`knn_bruteforce_batch` (m=1), so the
+    driver-oracled path and the batched path are the same code. Ties
     broken by vec_id ascending; scores rounded for cross-engine
     comparability.
     """
-    q = np.asarray(query, dtype=np.float64)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        mat = _as_matrix(batch.column(vec_col))
-        ids = batch.column(id_col).to_pylist()
-        # cut by the ROUNDED score — the same key the final merge and
-        # the SQL oracle order by, so boundary near-ties can't diverge
-        scores = np.round(_cosine(mat, q), round_to)
-        order = np.lexsort((np.asarray(ids), -scores))[:k]
-        return pa.table(
-            {
-                id_col: pa.array([ids[i] for i in order], pa.int64()),
-                "score": pa.array(scores[order], pa.float64()),
-            }
-        )
-
-    rows = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
-    return _topk_merge(rows, k, id_col)
+    out = knn_bruteforce_batch(
+        embeddings,
+        [query],
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+    )
+    return out.drop_columns(["query_id"])
 
 
 def _planes(dim: int, seed: int = 7, n_planes: int = N_PLANES) -> np.ndarray:

@@ -136,6 +136,28 @@ def test_knn_bruteforce(ray_session):
     assert out.column("score").to_pylist()[0] == 1.0
 
 
+def test_knn_bruteforce_batch_equals_per_query(ray_session):
+    """m queries in one scan == m single-query runs (same tie contract),
+    with query_id mapping back to the input row."""
+    import ray
+
+    queries = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]]
+    batch = similarity.knn_bruteforce_batch(
+        _emb_ds(ray).repartition(2), queries, k=3
+    )
+    for j, q in enumerate(queries):
+        single = similarity.knn_bruteforce(_emb_ds(ray), q, k=3)
+        part = batch.filter(
+            __import__("pyarrow").compute.equal(batch.column("query_id"), j)
+        )
+        assert part.column("vec_id").to_pylist() == single.column(
+            "vec_id"
+        ).to_pylist()
+        assert part.column("score").to_pylist() == single.column(
+            "score"
+        ).to_pylist()
+
+
 def test_knn_lsh_subset_of_bruteforce(ray_session):
     import ray
 
