@@ -184,3 +184,54 @@ def test_term_index_partial_build_is_wiped(ray_session, tmp_path):
     build_term_index(ds, out)
     got = lookup_postings(out, ["cat"]).to_pylist()
     assert got and got[0]["term"] == "cat"
+
+
+# ---------------------------------------------------------------------------
+# tokenisation-twin property: Arrow RE2 \s+ split == DuckDB RE2 \s+ split
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_texty = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "Zs", "Cc"),
+        whitelist_characters=" \t\n\r　漢字かなカナ",
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_texty, min_size=1, max_size=4))
+def test_flat_term_doc_matches_duckdb_split(texts):
+    """The engine-side tokenizer kernel (_flat_term_doc: pyarrow RE2
+    split on \\s+ + empty filter) must agree with the oracle-side
+    DuckDB string_split_regex on arbitrary unicode — this seam is what
+    makes the doc_top_terms oracle exact."""
+    import duckdb
+    import pyarrow as pa
+
+    from jamie_ray.functions.index import _flat_term_doc
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = sorted(
+        zip(
+            _flat_term_doc(batch, "text", "doc_id").column("doc_id").to_pylist(),
+            _flat_term_doc(batch, "text", "doc_id").column("term").to_pylist(),
+        )
+    )
+    con = duckdb.connect()
+    con.register("d", batch)
+    exp = sorted(
+        con.execute(
+            r"""SELECT doc_id, unnest(list_filter(
+                    string_split_regex(text, '\s+'), x -> x <> '')) AS term
+                FROM d ORDER BY doc_id"""
+        ).fetchall()
+    )
+    assert got == [tuple(r) for r in exp]
