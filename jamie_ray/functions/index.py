@@ -327,6 +327,7 @@ def doc_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_df: int = 1,
+    vocab_cap: int = 5_000_000,
 ):
     """documents -> (doc_id, term, tf, df, rank): each document's top-k
     most distinctive terms, ranked by the integer-exact tf-idf key
@@ -334,12 +335,22 @@ def doc_top_terms(
 
     Terms with df < ``min_df`` are excluded from ranking (and from the
     broadcast — the lever that bounds the df map at huge vocabularies).
+    The driver-side df collection is hard-capped (``vocab_cap``, the
+    ``state/collect.py`` loud-failure contract): a vocabulary past the
+    cap raises ``EdgeCapExceeded`` telling the user to raise ``min_df``
+    instead of silently OOMing the driver.
     """
+    from ..state.collect import iter_capped_batches
+
     # 1. exact df table, collected small (vocab-sized after min_df) and
     #    broadcast once — every scoring task reads it via cached_get
     df_tbl = term_df(docs, text_col=text_col, id_col=id_col, min_df=min_df)
     df_map: dict[str, int] = {}
-    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+    for b in iter_capped_batches(
+        df_tbl,
+        cap=vocab_cap,
+        context=f"doc_top_terms df map (raise min_df, currently {min_df})",
+    ):
         df_map.update(
             zip(b.column("term").to_pylist(), b.column("df").to_pylist())
         )

@@ -235,3 +235,14 @@ def test_flat_term_doc_matches_duckdb_split(texts):
         ).fetchall()
     )
     assert got == [tuple(r) for r in exp]
+
+
+def test_doc_top_terms_vocab_cap_fails_loudly(ray_session):
+    import ray
+
+    from jamie_ray.functions.index import doc_top_terms
+    from jamie_ray.state.collect import EdgeCapExceeded
+
+    ds = ray.data.from_arrow(_docs_table())
+    with pytest.raises(EdgeCapExceeded, match="min_df"):
+        doc_top_terms(ds, k=2, vocab_cap=3)
