@@ -328,6 +328,7 @@ def doc_top_terms(
     id_col: str = "doc_id",
     min_df: int = 1,
     vocab_cap: int = 5_000_000,
+    spill_dir: str | None = None,
 ):
     """documents -> (doc_id, term, tf, df, rank): each document's top-k
     most distinctive terms, ranked by the integer-exact tf-idf key
@@ -341,6 +342,23 @@ def doc_top_terms(
     instead of silently OOMing the driver.
     """
     from ..state.collect import iter_capped_batches
+
+    # the operator consumes ``docs`` twice (df pass + score pass); a
+    # DERIVED input with expensive upstream compute should be spilled
+    # to parquet once — the minhash_clusters(spill_dir=) pattern
+    if spill_dir is not None:
+        import os
+
+        import ray.data as _rd
+
+        os.makedirs(spill_dir, exist_ok=True)
+        for stale in os.listdir(spill_dir):
+            if stale.endswith(".parquet"):
+                os.unlink(os.path.join(spill_dir, stale))
+        docs.map_batches(
+            lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+        ).write_parquet(spill_dir)
+        docs = _rd.read_parquet(spill_dir)
 
     # 1. exact df table, collected small (vocab-sized after min_df) and
     #    broadcast once — every scoring task reads it via cached_get

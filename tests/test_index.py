@@ -246,3 +246,40 @@ def test_doc_top_terms_vocab_cap_fails_loudly(ray_session):
     ds = ray.data.from_arrow(_docs_table())
     with pytest.raises(EdgeCapExceeded, match="min_df"):
         doc_top_terms(ds, k=2, vocab_cap=3)
+
+
+def test_doc_top_terms_spill_dir_executes_upstream_once(ray_session, tmp_path):
+    """A DERIVED input with spill_dir= executes its upstream exactly
+    once: the (id, text) projection spills to parquet and both operator
+    passes (df + score) re-read from disk."""
+    import ray
+    import ray.data
+
+    from jamie_ray.functions.index import doc_top_terms
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    counter = Counter.remote()
+    base = ray.data.from_arrow(_docs_table())
+
+    def expensive_upstream(batch):
+        ray.get(counter.add.remote(len(batch["doc_id"])))
+        return batch
+
+    derived = base.map_batches(expensive_upstream, batch_format="pandas")
+    spill = str(tmp_path / "spill")
+    got = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["df"], r["rank"])
+        for r in doc_top_terms(derived, k=3, spill_dir=spill).take_all()
+    )
+    assert got == sorted(tuple(r) for r in _duckdb_top_terms(3, 1))
+    assert ray.get(counter.get.remote()) == len(DOCS)
