@@ -20,6 +20,10 @@ Commands
                    any reader (tagged parquet / gold-XML parquet /
                    multihead-CoNLL parquet / i2b2 directory) to any
                    writer (tagged / conll / xml / brat / pmhs / triples)
+- ``index``        documents parquet -> materialized term index
+                   (bucket-partitioned postings, probe-pruned reads)
+- ``lookup``       term lookup against a materialized index
+- ``topterms``     documents parquet -> per-doc top-k distinctive terms
 
 Every command guards ``ray.init`` with ``is_initialized`` so it works
 both standalone and under a driver that already initialised Ray.
@@ -218,6 +222,55 @@ def cmd_convert(args) -> None:
     )
 
 
+def cmd_index(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .functions.index import build_term_index
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    meta = build_term_index(
+        docs,
+        args.out,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_df=args.min_df,
+        max_postings=args.max_postings,
+    )
+    print(json.dumps({"command": "index", "out": args.out, **meta}))
+
+
+def cmd_lookup(args) -> None:
+    _ensure_ray()
+    from .functions.index import lookup_postings, term_probe_partitions
+
+    terms = [t for t in args.terms.split(",") if t]
+    tbl = lookup_postings(args.index, terms)
+    print(
+        json.dumps(
+            {
+                "command": "lookup",
+                "n_partitions_read": len(term_probe_partitions(args.index, terms)),
+                "rows": tbl.to_pylist(),
+            }
+        )
+    )
+
+
+def cmd_topterms(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .functions.index import doc_top_terms
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    out = doc_top_terms(
+        docs, k=args.k, text_col=args.text_col, id_col=args.id_col, min_df=args.min_df
+    )
+    out.write_parquet(args.out)
+    print(json.dumps({"command": "topterms", "out": args.out, "k": args.k}))
+
+
 def cmd_synth(args) -> None:
     from .fixtures import write_corpus
 
@@ -293,6 +346,29 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--collection", default="beth", help="i2b2 collection name")
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("index", help="documents -> materialized term index")
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="index directory")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--min-df", dest="min_df", type=int, default=1)
+    p.add_argument("--max-postings", dest="max_postings", type=int, default=None)
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("lookup", help="term lookup against a term index")
+    p.add_argument("--index", required=True, help="index directory")
+    p.add_argument("--terms", required=True, help="comma-separated terms")
+    p.set_defaults(fn=cmd_lookup)
+
+    p = sub.add_parser("topterms", help="documents -> per-doc top-k terms")
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="output parquet dir")
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--min-df", dest="min_df", type=int, default=1)
+    p.set_defaults(fn=cmd_topterms)
 
     p = sub.add_parser("synth", help="deterministic synthetic pages corpus")
     p.add_argument("--out", required=True)
