@@ -283,3 +283,35 @@ def test_doc_top_terms_spill_dir_executes_upstream_once(ray_session, tmp_path):
     )
     assert got == sorted(tuple(r) for r in _duckdb_top_terms(3, 1))
     assert ray.get(counter.get.remote()) == len(DOCS)
+
+
+def test_cli_index_lookup_topterms(ray_session, tmp_path, capsys):
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from jamie_ray.__main__ import main
+
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(_docs_table(), docs)
+
+    idx = str(tmp_path / "idx")
+    main(["index", "--docs", docs, "--out", idx])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_buckets"] == 1024
+
+    main(["lookup", "--index", idx, "--terms", "cat,nosuchterm"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == [
+        {"term": "cat", "df": 2, "postings": [1, 3]}
+    ]
+    assert out["n_partitions_read"] >= 1
+
+    tt = str(tmp_path / "tt")
+    main(["topterms", "--docs", docs, "--out", tt, "--k", "3"])
+    got = pq.read_table(sorted(glob.glob(f"{tt}/*.parquet")))
+    rows = sorted(
+        zip(*[got.column(c).to_pylist() for c in ["doc_id", "term", "tf", "df", "rank"]])
+    )
+    assert rows == sorted(tuple(r) for r in _duckdb_top_terms(3, 1))
