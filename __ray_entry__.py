@@ -429,12 +429,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """MinHash+LSH near-dup clusters over the fixture documents,
         which plant deterministic band-sharing near-dup groups
         (fixtures.py generate_docs_nd) so cluster assignments are
-        value-checked against the generator's expected table."""
+        value-checked against the generator's expected table. BOTH
+        cluster mergers run and are verified: the capped driver
+        union-find (variant="driver") and the alternating-star
+        distributed connected components (variant="distributed_cc",
+        functions/graph.py — the EdgeCapExceeded remedy); the oracle
+        doubles the expected table, so a divergence between the two
+        paths is a driver-visible failure."""
+        import pyarrow as pa
+
         corpus = _kg_dir(sf_dir)
         docs = ray.data.read_parquet(
             f"{corpus}/documents_nd.parquet", columns=["doc_id", "text"]
         )
-        return dedup_docs.minhash_clusters(docs, threshold=0.8)
+
+        def tag(variant):
+            def add(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "variant", pa.array([variant] * b.num_rows, pa.string())
+                )
+
+            return add
+
+        via_driver = dedup_docs.minhash_clusters(docs, threshold=0.8).map_batches(
+            tag("driver"), batch_format="pyarrow"
+        )
+        via_cc = dedup_docs.minhash_clusters(
+            docs, threshold=0.8, cc="distributed"
+        ).map_batches(tag("distributed_cc"), batch_format="pyarrow")
+        return via_driver.union(via_cc)
 
     def docs_simhash(sf_dir: str):
         """SimHash signatures, value-checked against the generator's
@@ -1209,9 +1232,15 @@ def oracle_sql() -> dict[str, str]:
         # identical result contract: the indexed probe reads only the
         # probed partitions but scores the same candidate set
         "knn_ivf_indexed": kg_sql("expected_knn_ivf", "vec_id, score"),
-        "docs_minhash_clusters": kg_sql(
-            "expected_minhash_clusters", "doc_id, cluster_id"
-        ),
+        "docs_minhash_clusters": (
+            lambda d: f"""
+            SELECT doc_id, cluster_id, 'driver' AS variant
+            FROM read_parquet('{d}/expected_minhash_clusters.parquet')
+            UNION ALL
+            SELECT doc_id, cluster_id, 'distributed_cc' AS variant
+            FROM read_parquet('{d}/expected_minhash_clusters.parquet')
+            """
+        )(_kg_dir("/root/testdata/sf0.01")),
         "docs_simhash_pairs": kg_sql(
             "expected_simhash_pairs", "id_a, id_b, hamming"
         ),
@@ -1228,8 +1257,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'audio', media_id, -1::BIGINT, feat_idx, value
             FROM read_parquet('{_kg_dir("/root/testdata/sf0.01")}/expected_audio_features.parquet')
         """,
-        # kg_xml_out / kg_brat_out / kg_pmhs_out (raw debug text
-        # surfaces) remain rows-only — their READER roundtrips above
-        # are the value checks; every other query carries an exact
-        # oracle (knn_lsh included: deterministic on the planted corpus)
+        # every registered query carries an exact oracle — the writer
+        # sinks (kg_xml_out / kg_brat_out / kg_pmhs_out) compare
+        # byte-exact against generator-computed expected text, and
+        # knn_lsh is deterministic on the planted corpus
     }

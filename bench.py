@@ -97,10 +97,29 @@ def run_flagship(sf_dir: str) -> dict:
     }
 
 
+def _minhash_direct(sf_dir: str, cc: str):
+    """One merge path of the near-dup clusterer (the registered query
+    runs BOTH paths for driver verification; the bench times each
+    separately so round-over-round numbers stay comparable and the
+    distributed-CC cost is its own line)."""
+    import ray.data
+
+    import __ray_entry__ as entrymod
+    from jamie_ray.functions import dedup_docs
+
+    corpus = entrymod._kg_dir(sf_dir)
+    docs = ray.data.read_parquet(
+        f"{corpus}/documents_nd.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_docs.minhash_clusters(docs, threshold=0.8, cc=cc)
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    qs["docs_minhash_clusters"] = lambda d: _minhash_direct(d, "driver")
+    qs["docs_minhash_clusters_cc"] = lambda d: _minhash_direct(d, "distributed")
     picks = [
         "kg_triples",
         "agg_pricing_summary",
@@ -114,6 +133,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "doc_top_terms",
         "dedup_docs_exact",
         "docs_minhash_clusters",
+        "docs_minhash_clusters_cc",
         "docs_simhash_pairs",
         "knn_bruteforce",
         "embedding_near_dup",

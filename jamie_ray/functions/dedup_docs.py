@@ -154,6 +154,7 @@ def minhash_clusters(
     cap_counters=None,
     driver_verify_pairs: int = DRIVER_VERIFY_PAIRS,
     spill_dir: str | None = None,
+    cc: str = "driver",
 ):
     """documents -> (doc_id, cluster_id) for every doc; cluster_id = min
     doc_id of its near-duplicate cluster (singletons map to themselves).
@@ -179,6 +180,19 @@ def minhash_clusters(
     ``edge_cap`` bounds every driver-side collection (candidate pairs,
     candidate signatures, verified edges); ``cap_counters`` (see
     ``state/caps.py``) makes per-band truncation observable.
+
+    ``cc`` selects the cluster merger: ``"driver"`` (default) is the
+    capped driver-side union-find; ``"distributed"`` runs the verify
+    as the bucketed shuffle and merges with the alternating-star
+    connected-components operator (``functions/graph.py``) — the
+    remedy when the edge list itself outgrows driver memory
+    (``EdgeCapExceeded`` on "minhash near-dup edges"). In distributed
+    mode the component map is still broadcast for the final assign
+    while it fits ``edge_cap``, and degrades to a bucketed shuffle
+    join (``graph.assign_components``) beyond that — no driver state
+    grows with duplicate mass. Output is bit-identical between modes
+    (both roots are component-minimum ids; ``tests/test_functions.py``
+    asserts equality on the planted corpus).
 
     The input Dataset is consumed three times (bands, candidate-doc
     signatures, cluster assign); each pass streams from the source —
@@ -333,7 +347,7 @@ def minhash_clusters(
             if j >= threshold:
                 uf.union(a, b_)
 
-    def verify_distributed() -> None:
+    def verified_edges_ds():
         # doc_id -> [pair index] lookup, broadcast once; the signature
         # pass touches ONLY candidate docs (everything else streams past)
         pair_map: dict[int, list[int]] = {}
@@ -401,29 +415,65 @@ def minhash_clusters(
                 }
             )
 
-        edges_ds = (
+        return (
             docs.map_batches(sigs, batch_format="pyarrow")
             .groupby("pair_bucket")
             .map_groups(verify, batch_format="pyarrow")
         )
-        for b in iter_capped_batches(edges_ds, cap=cap, context="minhash near-dup edges"):
+
+    def verify_distributed() -> None:
+        for b in iter_capped_batches(
+            verified_edges_ds(), cap=cap, context="minhash near-dup edges"
+        ):
             for a, bb in zip(
                 b.column("id_a").to_pylist(), b.column("id_b").to_pylist()
             ):
                 uf.union(a, bb)
 
-    if pairs:
-        if len(pairs) <= driver_verify_pairs:
-            from ..state.collect import EdgeCapExceeded
+    if cc not in ("driver", "distributed"):
+        raise ValueError(f"minhash_clusters: unknown cc mode {cc!r}")
 
+    if cc == "distributed":
+        comp: dict = {}
+        if pairs:
+            from ..state.collect import EdgeCapExceeded
+            from .graph import assign_components, connected_components
+
+            edges_ds = verified_edges_ds().materialize()
+            comp_ds = connected_components(
+                edges_ds, "id_a", "id_b"
+            ).materialize()
             try:
-                verify_at_driver()
+                for b in iter_capped_batches(
+                    comp_ds, cap=cap, context="minhash component map"
+                ):
+                    comp.update(
+                        zip(
+                            b.column("node").to_pylist(),
+                            b.column("root").to_pylist(),
+                        )
+                    )
             except EdgeCapExceeded:
-                uf = UnionFind()  # discard any partial unions
+                # component map itself beyond driver memory: assign via
+                # the bucketed shuffle join — nothing driver-side scales
+                # with duplicate mass on this path
+                ids_ds = docs.map_batches(
+                    lambda t: t.select([id_col]), batch_format="pyarrow"
+                )
+                return assign_components(ids_ds, comp_ds, id_col=id_col)
+    else:
+        if pairs:
+            if len(pairs) <= driver_verify_pairs:
+                from ..state.collect import EdgeCapExceeded
+
+                try:
+                    verify_at_driver()
+                except EdgeCapExceeded:
+                    uf = UnionFind()  # discard any partial unions
+                    verify_distributed()
+            else:
                 verify_distributed()
-        else:
-            verify_distributed()
-    comp = uf.components()
+        comp = uf.components()
     ref = ray.put(comp)
 
     class Assign:

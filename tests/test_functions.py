@@ -958,3 +958,57 @@ def test_minhash_spill_dir_executes_upstream_once(ray_session, tmp_path):
     }
     assert got[1] == got[2] == 1 and got[3] == 3
     assert ray.get(counter.get.remote()) == 3  # once per row, not 3x
+
+
+def test_minhash_distributed_cc_identical(ray_session):
+    """cc="distributed" (alternating-star connected components + no
+    driver union-find) produces bit-identical clusters to the default
+    driver merge on the planted fixture — the EdgeCapExceeded remedy
+    is semantics-free."""
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(200)
+    docs = ray.data.from_arrow(tabs["documents_nd"])
+    key = lambda rows: sorted((r["doc_id"], r["cluster_id"]) for r in rows)
+    via_driver = key(
+        dedup_docs.minhash_clusters(docs, threshold=0.8).take_all()
+    )
+    via_cc = key(
+        dedup_docs.minhash_clusters(
+            docs, threshold=0.8, cc="distributed"
+        ).take_all()
+    )
+    assert via_cc == via_driver
+    assert via_cc == key(tabs["expected_minhash_clusters"].to_pylist())
+
+
+def test_minhash_distributed_cc_shuffle_assign(ray_session, monkeypatch):
+    """When even the component map crosses the cap, cc="distributed"
+    degrades to the bucketed shuffle-join assign with identical
+    output (nothing driver-side scales with duplicate mass)."""
+    import ray.data
+
+    from jamie_ray import fixtures
+    from jamie_ray.state import collect
+
+    real_iter = collect.iter_capped_batches
+
+    def capped(ds, cap=collect.DEFAULT_EDGE_CAP, context="edge list"):
+        if context == "minhash component map":
+            raise collect.EdgeCapExceeded(context)
+        return real_iter(ds, cap=cap, context=context)
+
+    monkeypatch.setattr(collect, "iter_capped_batches", capped)
+    tabs = fixtures.generate(200)
+    docs = ray.data.from_arrow(tabs["documents_nd"])
+    key = lambda rows: sorted((r["doc_id"], r["cluster_id"]) for r in rows)
+    via_shuffle_assign = key(
+        dedup_docs.minhash_clusters(
+            docs, threshold=0.8, cc="distributed"
+        ).take_all()
+    )
+    assert via_shuffle_assign == key(
+        tabs["expected_minhash_clusters"].to_pylist()
+    )
