@@ -543,6 +543,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tagged_to_pmhs_batch, batch_format="pyarrow"
         )
 
+    def kg_writers_out(sf_dir: str):
+        """All three writer sinks (XML / brat / pmhs) in one
+        registration: the tagged chunks are scored ONCE (materialized —
+        ~1k rows at conformance scale), then each writer renders its
+        view and the union is compared byte-exact against the
+        generator-computed expected text, one row per (url, chunk_id,
+        kind). Folding keeps every family inside the driver's 50-slot
+        check window while preserving the three independent byte-exact
+        oracles."""
+        import pyarrow as pa
+
+        from jamie_ray.stages.format_out import (
+            tagged_to_brat_batch,
+            tagged_to_xml_batch,
+        )
+        from jamie_ray.stages.pmhs import tagged_to_pmhs_batch
+
+        corpus = _kg_dir(sf_dir)
+        tagged = kg.score_chunks(
+            kg.chunk_pages(
+                kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
+            )
+        ).materialize()
+
+        def view(render, picks):
+            def out(b: pa.Table) -> pa.Table:
+                b = render(b)
+                urls, cids, kinds, payloads = [], [], [], []
+                for kind, col in picks:
+                    urls.extend(b.column("url").to_pylist())
+                    cids.extend(
+                        int(x) for x in b.column("chunk_id").to_pylist()
+                    )
+                    kinds.extend([kind] * b.num_rows)
+                    payloads.extend(b.column(col).to_pylist())
+                return pa.table(
+                    {
+                        "url": pa.array(urls, pa.string()),
+                        "chunk_id": pa.array(cids, pa.int64()),
+                        "kind": pa.array(kinds, pa.string()),
+                        "payload": pa.array(payloads, pa.string()),
+                    }
+                )
+
+            return out
+
+        xml = tagged.map_batches(
+            view(tagged_to_xml_batch, [("xml", "xml")]), batch_format="pyarrow"
+        )
+        brat = tagged.map_batches(
+            view(
+                tagged_to_brat_batch,
+                [("brat_txt", "brat_txt"), ("brat_ann", "brat_ann")],
+            ),
+            batch_format="pyarrow",
+        )
+        pmhs = tagged.map_batches(
+            view(tagged_to_pmhs_batch, [("pmhs", "pmhs")]),
+            batch_format="pyarrow",
+        )
+        return xml.union(brat).union(pmhs)
+
+    def docs_paragraph_dedup(sf_dir: str):
+        """Cross-corpus keep-first paragraph dedup over the fixture
+        paragraph corpus (planted boilerplate repeats, fixtures.py
+        generate_docs_para). The oracle is PURE SQL: DuckDB recomputes
+        the keep-first rule from the raw text with window functions —
+        fully independent of the engine's hash-shuffle plan."""
+        corpus = _kg_dir(sf_dir)
+        docs = ray.data.read_parquet(
+            f"{corpus}/documents_para.parquet", columns=["doc_id", "text"]
+        )
+        return dedup_docs.paragraph_dedup(docs)
+
     # ---- custom temporal operators ----
 
     def events_asof_orders(sf_dir: str):
@@ -861,9 +935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_per_segment": rel.top_customers_per_segment,
         # writer sinks — value-oracled since r4 (expected strings come
         # from the generator's independent sentence-structure path)
-        "kg_xml_out": kg_xml_out,
-        "kg_brat_out": kg_brat_out,
-        "kg_pmhs_out": kg_pmhs_out,
+        "kg_writers_out": kg_writers_out,
+        "docs_paragraph_dedup": docs_paragraph_dedup,
     }
     assert len(reg) <= 50, f"driver checks only 50 queries; got {len(reg)}"
     return reg
@@ -923,11 +996,57 @@ def oracle_sql() -> dict[str, str]:
         # writer sinks (r4): expected output STRINGS computed by the
         # generator straight from sentence structure
         # (fixtures._expected_format_rows) — upgraded from no_oracle
-        "kg_xml_out": kg_sql("expected_xml", "url, chunk_id, xml"),
-        "kg_brat_out": kg_sql(
-            "expected_brat", "url, chunk_id, brat_txt, brat_ann"
-        ),
-        "kg_pmhs_out": kg_sql("expected_pmhs", "url, chunk_id, pmhs"),
+        "kg_writers_out": (
+            lambda d: f"""
+            SELECT url, chunk_id::BIGINT AS chunk_id, 'xml' AS kind,
+                   xml AS payload
+            FROM read_parquet('{d}/expected_xml.parquet')
+            UNION ALL
+            SELECT url, chunk_id::BIGINT, 'brat_txt', brat_txt
+            FROM read_parquet('{d}/expected_brat.parquet')
+            UNION ALL
+            SELECT url, chunk_id::BIGINT, 'brat_ann', brat_ann
+            FROM read_parquet('{d}/expected_brat.parquet')
+            UNION ALL
+            SELECT url, chunk_id::BIGINT, 'pmhs', pmhs
+            FROM read_parquet('{d}/expected_pmhs.parquet')
+            """
+        )(_kg_dir("/root/testdata/sf0.01")),
+        "docs_paragraph_dedup": (
+            lambda d: f"""
+            WITH docs AS (
+              SELECT doc_id, string_split(text, chr(10)) AS arr
+              FROM read_parquet('{d}/documents_para.parquet')
+            ),
+            ex AS (
+              SELECT doc_id, i.i AS idx, arr[i.i] AS para
+              FROM docs,
+                   LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) i
+            ),
+            marked AS (
+              SELECT doc_id, idx, para,
+                     (trim(para) = '') AS always_keep,
+                     row_number() OVER (
+                       PARTITION BY para ORDER BY doc_id, idx
+                     ) AS rn
+              FROM ex
+            )
+            SELECT doc_id,
+                   coalesce(
+                     string_agg(
+                       CASE WHEN always_keep OR rn = 1 THEN para END,
+                       chr(10) ORDER BY idx
+                     ),
+                     ''
+                   ) AS clean_text,
+                   count(*)::BIGINT AS n_paras,
+                   sum(
+                     CASE WHEN always_keep OR rn = 1 THEN 0 ELSE 1 END
+                   )::BIGINT AS n_dropped
+            FROM marked
+            GROUP BY doc_id
+            """
+        )(_kg_dir("/root/testdata/sf0.01")),
         "i2b2_triples": (lambda root: (
             __import__("jamie_ray.fixtures", fromlist=["write_i2b2_corpus"])
             .write_i2b2_corpus(root, 80)
@@ -1156,8 +1275,58 @@ def oracle_sql() -> dict[str, str]:
                      + least(len(regexp_extract_all(text, '{STOPWORD_RE}'))::DOUBLE
                              / 5.0, 1.0) * 0.3
                    ) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro,
-                   md5(text) AS text_hash
+                   md5(text) AS text_hash,
+                   coalesce(r2.top2gram_micro, 0) AS top2gram_micro,
+                   coalesce(r3.dup3gram_micro, 0) AS dup3gram_micro
             FROM documents
+            LEFT JOIN (
+              -- most frequent token 2-gram's char coverage, micro
+              -- units, integer floor division (bit-exact twin of
+              -- functions/text_analysis.py repetition_batch)
+              WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+              ), g2 AS (
+                SELECT doc_id, w[i.i] AS a, w[i.i + 1] AS b,
+                       list_sum(list_transform(w, x -> length(x))) AS total_chars
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+              ), cnt AS (
+                SELECT doc_id, a, b, total_chars, count(*) AS c
+                FROM g2 GROUP BY doc_id, a, b, total_chars
+              ), best AS (
+                SELECT doc_id,
+                       c * (length(a) + length(b)) * 1000000
+                         // total_chars AS top2gram_micro,
+                       row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY c DESC, a || ' ' || b ASC
+                       ) AS rn
+                FROM cnt
+              )
+              SELECT doc_id, top2gram_micro FROM best WHERE rn = 1
+            ) r2 USING (doc_id)
+            LEFT JOIN (
+              -- fraction of 3-gram occurrences that are repeats
+              WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+              )
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN 0
+                          ELSE ((len(w) - 2)
+                                - len(list_distinct(list_transform(
+                                    range(1, len(w) - 1),
+                                    i -> w[i] || chr(31) || w[i+1]
+                                         || chr(31) || w[i+2]))))
+                               * 1000000 // (len(w) - 2)
+                     END AS dup3gram_micro
+              FROM toks
+            ) r3 USING (doc_id)
         """,
         # tokenisation twin of functions/index.py (_WS_SPLIT_RE): both
         # sides split on \s+ and drop empties; ordering keys are all

@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 10
+FIXTURE_VERSION = 11
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -631,6 +631,57 @@ def _image_features_expected(px: "object") -> list[float]:
     return [float(a.mean()), float(a.std())] + (hist / max(len(a), 1)).tolist()
 
 
+def generate_docs_para(n_docs: int) -> dict[str, pa.Table]:
+    """Deterministic documents with PLANTED repeated paragraphs
+    (newline-joined) for ``paragraph_dedup``: a shared boilerplate pool
+    recurs across documents (and sometimes twice within one document),
+    unique paragraphs never recur, and whitespace-only paragraphs
+    exercise the always-keep rule. No expected table is generated — the
+    oracle for this family is PURE SQL (DuckDB recomputes keep-first
+    dedup from the raw text with window functions), the strongest
+    oracle form."""
+    n_boiler = 24
+    boiler = [
+        " ".join(f"bp{j}t{k}" for k in range(6 + stable_hash64("blen", j) % 8))
+        for j in range(n_boiler)
+    ]
+    ids: list[int] = []
+    texts: list[str] = []
+    for i in range(n_docs):
+        n_paras = 3 + stable_hash64("plen", i) % 5
+        paras: list[str] = []
+        for s in range(n_paras):
+            kind = stable_hash64("pkind", i, s) % 10
+            if kind < 4:
+                paras.append(boiler[stable_hash64("pboil", i, s) % n_boiler])
+            elif kind == 4:
+                # whitespace-only (always kept, never deduped)
+                paras.append("" if s % 2 else "  ")
+            elif kind == 5 and paras:
+                # within-doc repeat of an earlier paragraph
+                paras.append(paras[stable_hash64("prep", i, s) % len(paras)])
+            else:
+                paras.append(
+                    " ".join(
+                        f"d{i}p{s}t{k}"
+                        for k in range(5 + stable_hash64("ulen", i, s) % 6)
+                    )
+                )
+        ids.append(i)
+        texts.append("\n".join(paras))
+    # a fully-empty document exercises the ''.split boundary
+    if n_docs:
+        texts[-1] = ""
+    return {
+        "documents_para": pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    }
+
+
 def generate_media_expected() -> dict[str, pa.Table]:
     """Expected outputs of the three multimodal conformance pipelines.
 
@@ -1133,6 +1184,7 @@ def generate(n_pages: int) -> dict[str, pa.Table]:
     }
     out.update(generate_embeddings(n_pages))
     out.update(generate_docs_nd(max(30, n_pages // 2)))
+    out.update(generate_docs_para(max(40, n_pages // 2)))
     out.update(generate_media_expected())
     return out
 

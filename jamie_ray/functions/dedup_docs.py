@@ -632,3 +632,163 @@ def simhash_pairs(
             batch_format="pyarrow",
         )
     )
+
+
+# -- paragraph-level exact dedup --------------------------------------------
+
+def paragraph_dedup(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    edge_cap: int | None = None,
+    n_buckets: int = 1024,
+):
+    """Cross-corpus keep-first paragraph dedup (the boilerplate-removal
+    pass of a training-data pipeline; cf. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    literature; the reference has no analogue).
+
+    Rule: documents are newline-separated paragraph lists. A paragraph
+    occurrence survives iff it is whitespace-only (structure, never
+    deduped) or it is the FIRST occurrence of that exact string in the
+    corpus, ordered by ``(doc_id, paragraph_index)``. Output: one row
+    per document — ``(doc_id, clean_text, n_paras, n_dropped)`` with
+    ``clean_text`` the newline-join of survivors.
+
+    Physical plan (the 100-TB shape):
+
+    1. explode ships ``(bucket, h1, h2, doc_id, idx)`` — 40 bytes per
+       paragraph, never the text; ``(h1, h2)`` are two independently
+       keyed 64-bit hashes (128-bit identity: a false merge needs a
+       simultaneous collision in both families);
+    2. ``groupby(bucket)`` finds, per hash pair with >1 occurrence, the
+       min ``(doc_id, idx)`` winner — only DUPLICATED paragraphs leave
+       the shuffle;
+    3. the winner map is collected under ``edge_cap`` (bounded by
+       distinct duplicated-paragraph count, i.e. boilerplate mass, not
+       corpus size) and broadcast via ``ray.put``;
+    4. a second streaming pass rebuilds each document from survivors.
+
+    The input is consumed twice — pass a source-backed Dataset (or
+    pre-spill like ``minhash_clusters(spill_dir=...)``).
+    """
+    from ..hashing import hash_str_array
+    from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
+    from ..state.worker_cache import cached_get
+
+    cap = edge_cap or DEFAULT_EDGE_CAP
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_doc: list[int] = []
+        out_idx: list[int] = []
+        paras: list[str] = []
+        for d, t in zip(ids, texts):
+            for j, p in enumerate((t or "").split("\n")):
+                if p.strip() == "":
+                    continue  # whitespace-only: always kept, never shuffled
+                out_doc.append(d)
+                out_idx.append(j)
+                paras.append(p)
+        h1 = hash_str_array(paras, seed=1).astype(np.int64)
+        h2 = hash_str_array(paras, seed=2).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.mod(h1, np.int64(n_buckets)), pa.int64()
+                ),
+                "h1": pa.array(h1, pa.int64()),
+                "h2": pa.array(h2, pa.int64()),
+                "doc": pa.array(out_doc, pa.int64()),
+                "idx": pa.array(out_idx, pa.int64()),
+            }
+        )
+
+    def winners(group: pa.Table) -> pa.Table:
+        from ..runs import iter_key_runs
+
+        group = group.sort_by(
+            [
+                ("h1", "ascending"),
+                ("h2", "ascending"),
+                ("doc", "ascending"),
+                ("idx", "ascending"),
+            ]
+        )
+        # runs keyed on h1; split ties on h2 inside the run
+        out_h1: list[int] = []
+        out_h2: list[int] = []
+        out_doc: list[int] = []
+        out_idx: list[int] = []
+        for run in iter_key_runs(group, "h1"):
+            for sub in iter_key_runs(run, "h2"):
+                if sub.num_rows > 1:
+                    out_h1.append(sub.column("h1")[0].as_py())
+                    out_h2.append(sub.column("h2")[0].as_py())
+                    out_doc.append(sub.column("doc")[0].as_py())
+                    out_idx.append(sub.column("idx")[0].as_py())
+        return pa.table(
+            {
+                "h1": pa.array(out_h1, pa.int64()),
+                "h2": pa.array(out_h2, pa.int64()),
+                "doc": pa.array(out_doc, pa.int64()),
+                "idx": pa.array(out_idx, pa.int64()),
+            }
+        )
+
+    win_ds = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(winners, batch_format="pyarrow")
+    )
+    win_map: dict[tuple[int, int], tuple[int, int]] = {}
+    for b in iter_capped_batches(win_ds, cap=cap, context="paragraph dedup winners"):
+        for h1, h2, d, j in zip(
+            b.column("h1").to_pylist(),
+            b.column("h2").to_pylist(),
+            b.column("doc").to_pylist(),
+            b.column("idx").to_pylist(),
+        ):
+            win_map[(h1, h2)] = (d, j)
+    win_ref = ray.put(win_map)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        wm = cached_get(win_ref, "paragraph_dedup_winners")
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_text: list[str] = []
+        out_n: list[int] = []
+        out_drop: list[int] = []
+        for d, t in zip(ids, texts):
+            paras = (t or "").split("\n")
+            body = [p for p in paras if p.strip() != ""]
+            h1 = hash_str_array(body, seed=1).astype(np.int64)
+            h2 = hash_str_array(body, seed=2).astype(np.int64)
+            kept: list[str] = []
+            dropped = 0
+            k = 0
+            for j, p in enumerate(paras):
+                if p.strip() == "":
+                    kept.append(p)
+                    continue
+                w = wm.get((int(h1[k]), int(h2[k])))
+                k += 1
+                if w is None or w == (d, j):
+                    kept.append(p)
+                else:
+                    dropped += 1
+            out_text.append("\n".join(kept))
+            out_n.append(len(paras))
+            out_drop.append(dropped)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_paras": pa.array(out_n, pa.int64()),
+                "n_dropped": pa.array(out_drop, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(rebuild, batch_format="pyarrow")

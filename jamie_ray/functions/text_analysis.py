@@ -10,6 +10,7 @@ shared with the SQL strings so the two sides cannot drift.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -157,3 +158,48 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         for t in batch.column(text_col).to_pylist()
     ]
     return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+
+
+_WS_RE = re.compile(r"\s+")
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher" §A1.1 — public literature),
+    integer-exact so the DuckDB oracle compares bit-for-bit:
+
+    - ``top2gram_micro``: characters covered by the single most
+      frequent token 2-gram as a fraction of total token characters,
+      in micro units — ``(count * (len(a)+len(b)) * 1e6) //
+      total_token_chars``. Tie-break: higher count, then
+      lexicographically smallest ``"a b"``.
+    - ``dup3gram_micro``: fraction of token-3-gram OCCURRENCES that
+      are repeats — ``((n3 - distinct3) * 1e6) // n3``.
+
+    Both are 0 for docs too short to form the n-gram. Tokens are the
+    ``\\s+`` split (the engine-wide tokenization twin of the SQL
+    ``string_split_regex(text, '\\s+')``)."""
+    from collections import Counter
+
+    top2: list[int] = []
+    dup3: list[int] = []
+    for t in batch.column(text_col).to_pylist():
+        toks = [x for x in _WS_RE.split(t or "") if x]
+        total_chars = sum(len(x) for x in toks)
+        if len(toks) < 2 or total_chars == 0:
+            top2.append(0)
+        else:
+            counts = Counter(zip(toks, toks[1:]))
+            # max count, then lexicographically smallest "a b"
+            best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+            (a, b), c = best
+            top2.append(c * (len(a) + len(b)) * 1_000_000 // total_chars)
+        n3 = max(0, len(toks) - 2)
+        if n3 == 0:
+            dup3.append(0)
+        else:
+            distinct3 = len({(toks[i], toks[i + 1], toks[i + 2]) for i in range(n3)})
+            dup3.append((n3 - distinct3) * 1_000_000 // n3)
+    return batch.append_column(
+        "top2gram_micro", pa.array(top2, pa.int64())
+    ).append_column("dup3gram_micro", pa.array(dup3, pa.int64()))

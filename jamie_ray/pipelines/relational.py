@@ -460,12 +460,25 @@ def doc_analysis(sf_dir: str) -> ray.data.Dataset:
     doc also mirrors how a real corpus-QA pipeline runs these: every
     facet in one scan.
     """
+    from jamie_ray.functions.text_analysis import repetition_batch
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def all_facets(b: pa.Table) -> pa.Table:
-        b = fingerprint_batch(quality_score_batch(lang_id_batch(token_count_batch(b))))
+        b = repetition_batch(
+            fingerprint_batch(quality_score_batch(lang_id_batch(token_count_batch(b))))
+        )
         return b.select(
-            ["doc_id", "n_tokens", "n_bpe", "lang_pred", "quality_micro", "text_hash"]
+            [
+                "doc_id",
+                "n_tokens",
+                "n_bpe",
+                "lang_pred",
+                "quality_micro",
+                "text_hash",
+                "top2gram_micro",
+                "dup3gram_micro",
+            ]
         )
 
     return ds.map_batches(all_facets, batch_format="pyarrow")

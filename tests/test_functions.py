@@ -1012,3 +1012,69 @@ def test_minhash_distributed_cc_shuffle_assign(ray_session, monkeypatch):
     assert via_shuffle_assign == key(
         tabs["expected_minhash_clusters"].to_pylist()
     )
+
+
+def test_paragraph_dedup_rules(ray_session):
+    """Keep-first across the corpus, within-doc repeats dropped,
+    whitespace-only paragraphs always kept, empty documents survive."""
+    import ray.data
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "alpha beta\nshared boiler\nunique one"},
+            {"doc_id": 2, "text": "shared boiler\n\nunique two\nshared boiler"},
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 4, "text": "  \nshared boiler"},
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_dropped"])
+        for r in dedup_docs.paragraph_dedup(docs).take_all()
+    }
+    assert got[1] == ("alpha beta\nshared boiler\nunique one", 3, 0)
+    # doc 2: both copies of the boiler drop (first occurrence is doc 1),
+    # the empty paragraph stays
+    assert got[2] == ("\nunique two", 4, 2)
+    assert got[3] == ("", 1, 0)
+    assert got[4] == ("  ", 2, 1)
+
+
+def test_paragraph_dedup_cap_is_loud(ray_session):
+    import pytest
+    import ray.data
+
+    from jamie_ray.state.collect import EdgeCapExceeded
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": "dup a\ndup b\ndup c"} for i in range(4)]
+    )
+    with pytest.raises(EdgeCapExceeded):
+        dedup_docs.paragraph_dedup(docs, edge_cap=1).take_all()
+
+
+def test_repetition_metrics_hand_computed():
+    """top2gram / dup3gram micro fractions against hand calculation."""
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                # "ab cd" appears twice; tokens ab,cd,ab,cd,ef = 10 chars
+                # covered = 2 * 4 = 8 -> 8_000_000 // 10 = 800000
+                "ab cd ab cd ef",
+                # all distinct 2-grams (count 1 each); tie -> smallest
+                # "aa bb" (4 chars) of 6 total -> 666666
+                "aa bb cc",
+                "single",
+                "",
+            ],
+        }
+    )
+    out = text_analysis.repetition_batch(batch)
+    assert out.column("top2gram_micro").to_pylist() == [800000, 666666, 0, 0]
+    # doc 1: 3-grams (ab,cd,ab),(cd,ab,cd),(ab,cd,ef) all distinct -> 0
+    assert out.column("dup3gram_micro").to_pylist()[0] == 0
+    # repeated 3-gram: "x y x y x y" -> 4 occurrences, 2 distinct -> 500000
+    rep = text_analysis.repetition_batch(
+        pa.table({"doc_id": pa.array([9], pa.int64()), "text": ["x y x y x y"]})
+    )
+    assert rep.column("dup3gram_micro").to_pylist() == [500000]

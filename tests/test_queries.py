@@ -81,9 +81,6 @@ def test_rows_only_queries_run(name, ray_session):
     got = _to_table(QUERIES[name](SF_DIR))
     assert got.num_rows >= 0
     if name in (
-        "kg_xml_out",
-        "kg_brat_out",
-        "kg_pmhs_out",
         "docs_minhash_clusters",
         "docs_simhash",
         "docs_simhash_pairs",
