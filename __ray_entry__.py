@@ -605,6 +605,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return xml.union(brat).union(pmhs)
 
+    def bpe_merges(sf_dir: str):
+        """Distributed BPE vocabulary training over the fixture
+        paragraph corpus: the corpus-scale pass is the bucketed word
+        count; the merge loop runs on the vocabulary-scale frequency
+        table (functions/bpe.py). Trains on a deterministic sample
+        (doc_id < fixtures.BPE_DOC_SAMPLE) — the standard
+        tokenizer-training practice: a tokenizer is trained on a
+        bounded sample, never the full corpus, so the driver merge
+        loop stays O(sample vocabulary) at every scale. Oracle: the
+        generator's INDEPENDENT occurrence-level replay
+        (fixtures._bpe_expected — no shared frequency-table code)."""
+        import pyarrow.compute as pc
+
+        from jamie_ray.fixtures import BPE_DOC_SAMPLE
+        from jamie_ray.functions.bpe import train_bpe
+
+        corpus = _kg_dir(sf_dir)
+        docs = ray.data.read_parquet(
+            f"{corpus}/documents_para.parquet", columns=["doc_id", "text"]
+        ).map_batches(
+            lambda b: b.filter(pc.less(b.column("doc_id"), BPE_DOC_SAMPLE)),
+            batch_format="pyarrow",
+        )
+        return train_bpe(docs)
+
     def docs_paragraph_dedup(sf_dir: str):
         """Cross-corpus keep-first paragraph dedup over the fixture
         paragraph corpus (planted boilerplate repeats, fixtures.py
@@ -937,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # from the generator's independent sentence-structure path)
         "kg_writers_out": kg_writers_out,
         "docs_paragraph_dedup": docs_paragraph_dedup,
+        "bpe_merges": bpe_merges,
     }
     assert len(reg) <= 50, f"driver checks only 50 queries; got {len(reg)}"
     return reg
@@ -1012,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{d}/expected_pmhs.parquet')
             """
         )(_kg_dir("/root/testdata/sf0.01")),
+        "bpe_merges": kg_sql("expected_bpe_merges", "rank, lhs, rhs, freq"),
         "docs_paragraph_dedup": (
             lambda d: f"""
             WITH docs AS (

@@ -132,6 +132,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "doc_analysis",
         "doc_top_terms",
         "dedup_docs_exact",
+        "docs_paragraph_dedup",
+        "bpe_merges",
         "docs_minhash_clusters",
         "docs_minhash_clusters_cc",
         "docs_simhash_pairs",

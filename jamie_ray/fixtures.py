@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 11
+FIXTURE_VERSION = 12
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -631,6 +631,70 @@ def _image_features_expected(px: "object") -> list[float]:
     return [float(a.mean()), float(a.std())] + (hist / max(len(a), 1)).tolist()
 
 
+BPE_N_MERGES = 40
+BPE_MIN_FREQ = 2
+# BPE trains on a bounded deterministic sample (doc_id < cap) — the
+# standard tokenizer-training practice at corpus scale (a tokenizer is
+# trained on a few GB sample, never the full 100 TB); also bounds the
+# oracle-generation cost at every sf
+BPE_DOC_SAMPLE = 600
+
+
+def _bpe_expected(texts: list[str]) -> pa.Table:
+    """Independent occurrence-level BPE replay (vs the engine's
+    word-frequency-table formulation in ``functions/bpe.py``): every
+    word occurrence is its own symbol list, pair counts are literal
+    scans — same math, structurally different code path. Tie rule:
+    max count, then lexicographically smallest (lhs, rhs)."""
+    occs: list[list[str]] = []
+    for t in texts:
+        for w in t.split():
+            occs.append(list(w))
+    rows: dict[str, list] = {"rank": [], "lhs": [], "rhs": [], "freq": []}
+    for rank in range(BPE_N_MERGES):
+        cnt: dict[tuple[str, str], int] = {}
+        for syms in occs:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                cnt[p] = cnt.get(p, 0) + 1
+        if not cnt:
+            break
+        best: tuple[str, str] | None = None
+        freq = -1
+        for p, c in cnt.items():
+            if c > freq or (c == freq and (best is None or p < best)):
+                best, freq = p, c
+        if freq < BPE_MIN_FREQ or best is None:
+            break
+        rows["rank"].append(rank)
+        rows["lhs"].append(best[0])
+        rows["rhs"].append(best[1])
+        rows["freq"].append(freq)
+        a, b = best
+        fused = a + b
+        new_occs: list[list[str]] = []
+        for syms in occs:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_occs.append(out)
+        occs = new_occs
+    return pa.table(
+        {
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "lhs": pa.array(rows["lhs"], pa.string()),
+            "rhs": pa.array(rows["rhs"], pa.string()),
+            "freq": pa.array(rows["freq"], pa.int64()),
+        }
+    )
+
+
 def generate_docs_para(n_docs: int) -> dict[str, pa.Table]:
     """Deterministic documents with PLANTED repeated paragraphs
     (newline-joined) for ``paragraph_dedup``: a shared boilerplate pool
@@ -678,7 +742,8 @@ def generate_docs_para(n_docs: int) -> dict[str, pa.Table]:
                 "doc_id": pa.array(ids, pa.int64()),
                 "text": pa.array(texts, pa.string()),
             }
-        )
+        ),
+        "expected_bpe_merges": _bpe_expected(texts[:BPE_DOC_SAMPLE]),
     }
 
 

@@ -1,0 +1,170 @@
+"""Distributed BPE vocabulary training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units" — public
+literature; the reference consumes pretrained subword vocabs, SURVEY
+§2.2 M5, but never trains one — this is the training-data-pipeline
+sibling).
+
+Physical plan — the honest 100-TB shape of BPE training:
+
+1. **distributed word count** (the only corpus-scale work): per-block
+   ``Counter`` over the ``\\s+`` tokens — so the one
+   ``groupby(bucket)`` shuffle carries ``(bucket, word, n)`` partials
+   bounded by block-distinct words, not token occurrences — then an
+   Arrow ``group_by(word).sum`` merge per bucket;
+2. the merged **vocabulary** (distinct words + frequencies) is
+   collected under a loud cap: BPE's merge loop is a function of the
+   word-frequency table, which scales with vocabulary (Heaps' law),
+   not corpus size — this is how every practical BPE trainer works;
+3. the **merge loop** runs driver-side on the frequency table: count
+   adjacent symbol pairs weighted by word frequency, take the max
+   (ties -> lexicographically smallest pair), fuse, repeat.
+
+Determinism: pure integer counts; the tie rule is total; no RNG.
+Words are split to character symbols with NO end-of-word marker (the
+simplest public variant; documented contract, mirrored by the
+fixture's independent replay in ``fixtures._bpe_expected``).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import hash_str_array
+
+_WS_RE = re.compile(r"\s+")
+
+
+def word_counts(docs, text_col: str = "text", *, n_buckets: int = 1024):
+    """documents -> Dataset ``(word, n)``, one row per distinct word."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(x for x in _WS_RE.split(t or "") if x)
+        words = sorted(c)
+        h = hash_str_array(words, seed=5).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.mod(h, np.int64(n_buckets)), pa.int64()),
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        gb = group.group_by(["word"]).aggregate([("n", "sum")])
+        # aggregates selected BY NAME (<col>_<agg>), never positionally
+        return pa.table({"word": gb.column("word"), "n": gb.column("n_sum")})
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def _pair_stats(vocab: dict[tuple[str, ...], int]) -> Counter:
+    stats: Counter = Counter()
+    for syms, freq in vocab.items():
+        for i in range(len(syms) - 1):
+            stats[(syms[i], syms[i + 1])] += freq
+    return stats
+
+
+def _merge_vocab(
+    vocab: dict[tuple[str, ...], int], pair: tuple[str, str]
+) -> dict[tuple[str, ...], int]:
+    a, b = pair
+    fused = a + b
+    out: dict[tuple[str, ...], int] = {}
+    for syms, freq in vocab.items():
+        merged: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                merged.append(fused)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        key = tuple(merged)
+        out[key] = out.get(key, 0) + freq
+    return out
+
+
+def train_bpe(
+    docs,
+    text_col: str = "text",
+    n_merges: int = 40,
+    min_freq: int = 2,
+    *,
+    vocab_cap: int | None = None,
+) -> pa.Table:
+    """Train ``n_merges`` BPE merges over the corpus; returns an Arrow
+    table ``(rank, lhs, rhs, freq)`` — ``rank`` is merge order,
+    ``freq`` the weighted pair count at merge time. Stops early when no
+    pair reaches ``min_freq`` (fewer rows than ``n_merges``).
+
+    ``vocab_cap`` bounds the driver-side word-frequency collection
+    (default ``state.collect.DEFAULT_EDGE_CAP``) — crossing it raises
+    ``EdgeCapExceeded`` loudly rather than OOMing the driver.
+    """
+    from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
+
+    cap = vocab_cap or DEFAULT_EDGE_CAP
+    vocab: dict[tuple[str, ...], int] = {}
+    for b in iter_capped_batches(
+        word_counts(docs, text_col), cap=cap, context="bpe vocabulary"
+    ):
+        for w, n in zip(b.column("word").to_pylist(), b.column("n").to_pylist()):
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + n
+
+    ranks: list[int] = []
+    lefts: list[str] = []
+    rights: list[str] = []
+    freqs: list[int] = []
+    for rank in range(n_merges):
+        stats = _pair_stats(vocab)
+        if not stats:
+            break
+        # max count, ties -> lexicographically smallest (left, right)
+        (a, b), freq = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < min_freq:
+            break
+        ranks.append(rank)
+        lefts.append(a)
+        rights.append(b)
+        freqs.append(freq)
+        vocab = _merge_vocab(vocab, (a, b))
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "lhs": pa.array(lefts, pa.string()),
+            "rhs": pa.array(rights, pa.string()),
+            "freq": pa.array(freqs, pa.int64()),
+        }
+    )
+
+
+def apply_bpe(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Segment ``text``'s words with a trained merge list (priority =
+    list order — the standard greedy application)."""
+    prio = {pair: i for i, pair in enumerate(merges)}
+    out: list[str] = []
+    for w in (x for x in _WS_RE.split(text or "") if x):
+        syms = list(w)
+        while len(syms) > 1:
+            best_i, best_p = -1, None
+            for i in range(len(syms) - 1):
+                p = prio.get((syms[i], syms[i + 1]))
+                if p is not None and (best_p is None or p < best_p):
+                    best_i, best_p = i, p
+            if best_p is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        out.extend(syms)
+    return out

@@ -18,6 +18,15 @@ Partitioning assumption (documented per the custom-operator rule): a
 candidate pair must share at least one band key — standard LSH recall;
 the shuffle key is the band hash, and the edge list fits on the driver
 because verification culls everything below ``threshold``.
+
+Scale bound: both the edge list and the canonical map grow with the
+distinct-surface VOCABULARY (Heaps' law), not the corpus, and the map
+must reach every rewrite worker anyway — so the driver union-find is
+not the scaling bottleneck here. If a pathological vocabulary ever
+trips the edge cap, ``functions/graph.py::connected_components`` is
+the drop-in distributed merge (same min-key root semantics over
+``entity_id`` hashes; see ``minhash_clusters(cc="distributed")`` for
+the wiring pattern).
 """
 
 from __future__ import annotations

@@ -1078,3 +1078,57 @@ def test_repetition_metrics_hand_computed():
         pa.table({"doc_id": pa.array([9], pa.int64()), "text": ["x y x y x y"]})
     )
     assert rep.column("dup3gram_micro").to_pylist() == [500000]
+
+
+def test_bpe_train_hand_computed(ray_session):
+    """Merges on a tiny corpus against hand calculation, and the
+    early-stop below min_freq."""
+    import ray.data
+
+    from jamie_ray.functions import bpe
+
+    docs = ray.data.from_items([{"doc_id": 1, "text": "low low lower"}])
+    out = bpe.train_bpe(docs, n_merges=10, min_freq=2)
+    assert out.to_pylist() == [
+        {"rank": 0, "lhs": "l", "rhs": "o", "freq": 3},
+        {"rank": 1, "lhs": "lo", "rhs": "w", "freq": 3},
+    ]
+
+
+def test_bpe_apply_greedy():
+    from jamie_ray.functions import bpe
+
+    merges = [("l", "o"), ("lo", "w")]
+    assert bpe.apply_bpe("low lower slow", merges) == [
+        "low", "low", "e", "r", "s", "low",
+    ]
+    assert bpe.apply_bpe("", merges) == []
+
+
+def test_bpe_vocab_cap_is_loud(ray_session):
+    import pytest
+    import ray.data
+
+    from jamie_ray.functions import bpe
+    from jamie_ray.state.collect import EdgeCapExceeded
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"w{i}a w{i}b w{i}c"} for i in range(10)]
+    )
+    with pytest.raises(EdgeCapExceeded):
+        bpe.train_bpe(docs, vocab_cap=3)
+
+
+def test_bpe_word_counts_merge_across_blocks(ray_session):
+    import ray.data
+
+    from jamie_ray.functions import bpe
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": "shared unique%d" % i} for i in range(6)]
+    ).repartition(3)
+    got = {
+        r["word"]: r["n"] for r in bpe.word_counts(docs).take_all()
+    }
+    assert got["shared"] == 6
+    assert all(got[f"unique{i}"] == 1 for i in range(6))
