@@ -24,6 +24,8 @@ Commands
                    (bucket-partitioned postings, probe-pruned reads)
 - ``lookup``       term lookup against a materialized index
 - ``topterms``     documents parquet -> per-doc top-k distinctive terms
+- ``dedup-paras``  documents parquet -> keep-first paragraph dedup
+- ``bpe``          documents parquet -> trained BPE merge table
 
 Every command guards ``ray.init`` with ``is_initialized`` so it works
 both standalone and under a driver that already initialised Ray.
@@ -271,6 +273,59 @@ def cmd_topterms(args) -> None:
     print(json.dumps({"command": "topterms", "out": args.out, "k": args.k}))
 
 
+def cmd_dedup_paras(args) -> None:
+    _ensure_ray()
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from .functions.dedup_docs import paragraph_dedup
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    paragraph_dedup(
+        docs, text_col=args.text_col, id_col=args.id_col
+    ).write_parquet(args.out)
+    # stats from the written output (one cheap re-read of two columns)
+    import glob as _glob
+
+    n_docs = n_dropped = 0
+    for f in sorted(_glob.glob(f"{args.out}/*.parquet")):
+        t = _pq.read_table(f, columns=["n_dropped"])
+        n_docs += t.num_rows
+        n_dropped += sum(t.column("n_dropped").to_pylist())
+    print(
+        json.dumps(
+            {
+                "command": "dedup-paras",
+                "out": args.out,
+                "n_docs": n_docs,
+                "n_paras_dropped": n_dropped,
+            }
+        )
+    )
+
+
+def cmd_bpe(args) -> None:
+    _ensure_ray()
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from .functions.bpe import train_bpe
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    merges = train_bpe(
+        docs,
+        text_col=args.text_col,
+        n_merges=args.merges,
+        min_freq=args.min_freq,
+    )
+    _pq.write_table(merges, args.out)
+    print(
+        json.dumps(
+            {"command": "bpe", "out": args.out, "n_merges": merges.num_rows}
+        )
+    )
+
+
 def cmd_synth(args) -> None:
     from .fixtures import write_corpus
 
@@ -369,6 +424,24 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--min-df", dest="min_df", type=int, default=1)
     p.set_defaults(fn=cmd_topterms)
+
+    p = sub.add_parser(
+        "dedup-paras", help="documents -> keep-first paragraph dedup"
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.set_defaults(fn=cmd_dedup_paras)
+
+    p = sub.add_parser("bpe", help="documents -> trained BPE merge table")
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True, help="output parquet FILE")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.add_argument("--merges", type=int, default=200)
+    p.add_argument("--min-freq", dest="min_freq", type=int, default=2)
+    p.set_defaults(fn=cmd_bpe)
 
     p = sub.add_parser("synth", help="deterministic synthetic pages corpus")
     p.add_argument("--out", required=True)

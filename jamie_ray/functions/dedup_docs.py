@@ -102,6 +102,25 @@ def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def _spill_input(docs, spill_dir: str, cols: list[str]):
+    """Write a DERIVED input's needed columns to parquet ONCE and
+    return a source-backed Dataset over them — so a multi-pass operator
+    re-reads from disk instead of re-executing upstream compute per
+    pass (the ``link_triples(spill_dir=...)`` pattern)."""
+    import os
+
+    import ray.data as _rd
+
+    os.makedirs(spill_dir, exist_ok=True)
+    for stale in os.listdir(spill_dir):
+        if stale.endswith(".parquet"):
+            os.unlink(os.path.join(spill_dir, stale))
+    docs.map_batches(lambda b: b.select(cols), batch_format="pyarrow").write_parquet(
+        spill_dir
+    )
+    return _rd.read_parquet(spill_dir)
+
+
 # -- minhash-LSH near-dup ---------------------------------------------------
 
 def _doc_shingle_hashes(text: str) -> np.ndarray:
@@ -205,19 +224,7 @@ def minhash_clusters(
     pattern, done for you).
     """
     if spill_dir is not None:
-        import os
-
-        import ray.data as _rd
-
-        os.makedirs(spill_dir, exist_ok=True)
-        for stale in os.listdir(spill_dir):
-            if stale.endswith(".parquet"):
-                os.unlink(os.path.join(spill_dir, stale))
-        # prune to the two columns the operator reads before spilling
-        docs.map_batches(
-            lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
-        ).write_parquet(spill_dir)
-        docs = _rd.read_parquet(spill_dir)
+        docs = _spill_input(docs, spill_dir, [id_col, text_col])
     n_buckets = 1024
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -643,6 +650,7 @@ def paragraph_dedup(
     *,
     edge_cap: int | None = None,
     n_buckets: int = 1024,
+    spill_dir: str | None = None,
 ):
     """Cross-corpus keep-first paragraph dedup (the boilerplate-removal
     pass of a training-data pipeline; cf. Lee et al. 2022,
@@ -670,13 +678,16 @@ def paragraph_dedup(
        corpus size) and broadcast via ``ray.put``;
     4. a second streaming pass rebuilds each document from survivors.
 
-    The input is consumed twice — pass a source-backed Dataset (or
-    pre-spill like ``minhash_clusters(spill_dir=...)``).
+    The input is consumed twice — pass a source-backed Dataset, or for
+    a derived pipeline pass ``spill_dir`` (the needed columns are
+    written to parquet once and both passes re-read from disk).
     """
     from ..hashing import hash_str_array
     from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
     from ..state.worker_cache import cached_get
 
+    if spill_dir is not None:
+        docs = _spill_input(docs, spill_dir, [id_col, text_col])
     cap = edge_cap or DEFAULT_EDGE_CAP
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -1132,3 +1132,83 @@ def test_bpe_word_counts_merge_across_blocks(ray_session):
     }
     assert got["shared"] == 6
     assert all(got[f"unique{i}"] == 1 for i in range(6))
+
+
+def test_paragraph_dedup_spill_dir_executes_upstream_once(ray_session, tmp_path):
+    """Same contract as minhash spill_dir: a derived input's upstream
+    runs once; both operator passes re-read the spilled parquet."""
+    import ray
+    import ray.data
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    counter = Counter.remote()
+    base = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "keep one\nshared boiler"},
+            {"doc_id": 2, "text": "shared boiler\nkeep two"},
+        ]
+    )
+
+    def expensive_upstream(batch):
+        ray.get(counter.add.remote(len(batch["doc_id"])))
+        return batch
+
+    derived = base.map_batches(expensive_upstream, batch_format="pandas")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_docs.paragraph_dedup(
+            derived, spill_dir=str(tmp_path / "pd_spill")
+        ).take_all()
+    }
+    assert got[1] == "keep one\nshared boiler"
+    assert got[2] == "keep two"
+    assert ray.get(counter.get.remote()) == 2  # once per row, not 2x
+
+
+def test_cli_dedup_paras_and_bpe(ray_session, tmp_path, capsys):
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from jamie_ray.__main__ import main
+
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["low low lower\nboiler", "boiler\nother text"],
+            }
+        ),
+        docs,
+    )
+
+    out = str(tmp_path / "clean")
+    main(["dedup-paras", "--docs", docs, "--out", out])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 2 and stats["n_paras_dropped"] == 1
+    rows = {
+        r["doc_id"]: r["clean_text"]
+        for f in sorted(glob.glob(f"{out}/*.parquet"))
+        for r in pq.read_table(f).to_pylist()
+    }
+    assert rows[2] == "other text"
+
+    merges_out = str(tmp_path / "merges.parquet")
+    main(["bpe", "--docs", docs, "--out", merges_out, "--merges", "2"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_merges"] == 2
+    got = pq.read_table(merges_out).to_pylist()
+    # (e,r) appears in boiler x2 + lower + other = 4, the corpus max
+    assert got[0]["lhs"] == "e" and got[0]["rhs"] == "r" and got[0]["freq"] == 4
