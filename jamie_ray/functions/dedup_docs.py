@@ -444,11 +444,12 @@ def minhash_clusters(
         comp: dict = {}
         if pairs:
             from ..state.collect import EdgeCapExceeded
-            from .graph import assign_components, connected_components
+            from .graph import assign_components, component_pairs
 
-            edges_ds = verified_edges_ds().materialize()
-            comp_ds = connected_components(
-                edges_ds, "id_a", "id_b"
+            # the lean CC variant: map-assignment tolerates duplicate
+            # (node, root) rows and absent singletons (.get(i, i))
+            comp_ds = component_pairs(
+                verified_edges_ds().materialize(), "id_a", "id_b"
             ).materialize()
             try:
                 for b in iter_capped_batches(

@@ -153,6 +153,53 @@ def _star(edges, large: bool, n_buckets: int):
     )
 
 
+def _iterate_stars(cur, n_buckets: int, max_iters: int):
+    """Alternate large/small stars on a materialized canonical edge
+    Dataset until the edge set is stable; returns the fixpoint star
+    edges ``(hi=node, lo=root)``."""
+    prev_sig = None
+    for _ in range(max_iters):
+        cur = _star(cur, large=True, n_buckets=n_buckets).materialize()
+        cur = _star(cur, large=False, n_buckets=n_buckets).materialize()
+        sig = _edge_stats(cur)
+        if sig == prev_sig:
+            return cur
+        prev_sig = sig
+    raise RuntimeError(
+        f"connected_components: no convergence after {max_iters} "
+        "alternating star rounds — this exceeds the algorithm's "
+        "O(log^2 n) bound and indicates a bug or non-int64 ids"
+    )
+
+
+def component_pairs(
+    edges,
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    *,
+    n_buckets: int = 1024,
+    max_iters: int = 64,
+):
+    """Lean variant of :func:`connected_components` for lookup-style
+    consumers (e.g. ``minhash_clusters(cc="distributed")``): returns
+    the fixpoint star edges as ``(node, root)`` WITHOUT the singleton
+    inventory and final resolve shuffles. Contract differences, both
+    harmless for map-assignment (``.get(node, node)`` semantics):
+    rows may be duplicated, and self-loop-only nodes are absent."""
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column("hi"), "root": batch.column("lo")}
+        )
+
+    cur = _iterate_stars(
+        _canonicalize(edges, col_a, col_b, n_buckets).materialize(),
+        n_buckets,
+        max_iters,
+    )
+    return cur.map_batches(rename, batch_format="pyarrow")
+
+
 def connected_components(
     edges,
     col_a: str = "id_a",
@@ -192,21 +239,11 @@ def connected_components(
         .map_groups(distinct_nodes, batch_format="pyarrow")
     ).materialize()
 
-    cur = _canonicalize(edges, col_a, col_b, n_buckets).materialize()
-    prev_sig = None
-    for _ in range(max_iters):
-        cur = _star(cur, large=True, n_buckets=n_buckets).materialize()
-        cur = _star(cur, large=False, n_buckets=n_buckets).materialize()
-        sig = _edge_stats(cur)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(
-            f"connected_components: no convergence after {max_iters} "
-            "alternating star rounds — this exceeds the algorithm's "
-            "O(log^2 n) bound and indicates a bug or non-int64 ids"
-        )
+    cur = _iterate_stars(
+        _canonicalize(edges, col_a, col_b, n_buckets).materialize(),
+        n_buckets,
+        max_iters,
+    )
 
     # final assembly: every node joined (bucketed) against the star
     # edges; nodes with no incoming (v, root) row are roots/singletons

@@ -98,3 +98,26 @@ def test_assign_components_shuffle_join(ray_session):
     }
     # 99 never appeared in an edge -> its own cluster
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_component_pairs_lean_contract(ray_session):
+    """component_pairs: same (node -> root) mapping as the full
+    operator for non-singleton nodes; duplicates allowed; self-loop
+    singletons absent."""
+    import ray
+
+    pairs = [(1, 2), (2, 3), (9, 9)]
+    tbl = pa.table(
+        {
+            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    from jamie_ray.functions.graph import component_pairs
+
+    rows = component_pairs(ray.data.from_arrow(tbl), n_buckets=4).take_all()
+    got = {}
+    for r in rows:
+        prev = got.setdefault(r["node"], r["root"])
+        assert prev == r["root"], "conflicting duplicate rows"
+    assert got == {2: 1, 3: 1}  # 9 (self-loop singleton) absent; 1 is root
