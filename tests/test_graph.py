@@ -121,3 +121,14 @@ def test_component_pairs_lean_contract(ray_session):
         prev = got.setdefault(r["node"], r["root"])
         assert prev == r["root"], "conflicting duplicate rows"
     assert got == {2: 1, 3: 1}  # 9 (self-loop singleton) absent; 1 is root
+
+
+def test_cc_empty_edges(ray_session):
+    import ray
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    )
+    assert connected_components(empty, n_buckets=4).take_all() == []

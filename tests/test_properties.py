@@ -372,3 +372,75 @@ def test_quantiles_exact_property(vals, stride):
 
     expected = {q: sv[int(math.floor(q * (n - 1)))] for q in qs}
     assert got == expected
+
+
+def test_paragraph_dedup_matches_bruteforce_random():
+    """paragraph_dedup equals a single-machine brute-force replay of
+    the keep-first rule on seeded random corpora (cross-doc repeats,
+    within-doc repeats, whitespace-only paragraphs, empty docs)."""
+    import numpy as np
+    import ray.data
+
+    from jamie_ray.functions.dedup_docs import paragraph_dedup
+
+    pool = [f"para {i} tok{i}" for i in range(8)] + ["", "  "]
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        docs = []
+        for d in range(25):
+            n = int(rng.integers(0, 6))
+            paras = [pool[int(rng.integers(0, len(pool)))] for _ in range(n)]
+            docs.append({"doc_id": d, "text": "\n".join(paras)})
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_dropped"])
+            for r in paragraph_dedup(
+                ray.data.from_items(docs), n_buckets=8
+            ).take_all()
+        }
+        seen: set[str] = set()
+        for d in docs:
+            paras = d["text"].split("\n")
+            kept, dropped = [], 0
+            for p in paras:
+                if p.strip() == "":
+                    kept.append(p)
+                elif p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+                else:
+                    dropped += 1
+            assert got[d["doc_id"]] == (
+                "\n".join(kept),
+                len(paras),
+                dropped,
+            ), f"seed {seed} doc {d['doc_id']}"
+
+
+def test_bpe_train_matches_occurrence_replay_random():
+    """train_bpe (distributed word count + frequency-table merge loop)
+    equals fixtures._bpe_expected (occurrence-level replay) on seeded
+    random corpora — two structurally different implementations of the
+    same merge algebra."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from jamie_ray.fixtures import BPE_N_MERGES, _bpe_expected
+    from jamie_ray.functions.bpe import train_bpe
+
+    toks = ["aa", "ab", "abc", "ba", "bb", "ca", "cab", "x"]
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        texts = [
+            " ".join(
+                toks[int(rng.integers(0, len(toks)))]
+                for _ in range(int(rng.integers(0, 12)))
+            )
+            for _ in range(30)
+        ]
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        ).repartition(4)
+        got = train_bpe(docs, n_merges=BPE_N_MERGES, min_freq=2)
+        exp = _bpe_expected(texts)
+        assert got.to_pylist() == exp.to_pylist(), f"seed {seed}"
