@@ -168,3 +168,81 @@ def apply_bpe(text: str, merges: list[tuple[str, str]]) -> list[str]:
             syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
         out.extend(syms)
     return out
+
+
+class SegmentBPE:
+    """Actor-pool ``map_batches`` kernel applying a trained merge
+    table to a text column — the corpus-scale consumer of
+    :func:`train_bpe` (train once on a sample, segment 100 TB with the
+    broadcast merge list). Priority table is built ONCE per actor in
+    ``__init__`` from the broadcast merges; ``__call__`` adds
+    ``bpe_tokens`` (list<string>) and ``n_bpe_tokens`` columns.
+
+    Worker-cache variant: pass the ``ray.put`` ref of the merge list
+    so tasks never re-ship it.
+    """
+
+    def __init__(self, merges_ref, text_col: str = "text") -> None:
+        import ray as _ray
+
+        merges = (
+            _ray.get(merges_ref)
+            if isinstance(merges_ref, _ray.ObjectRef)
+            else merges_ref
+        )
+        self._prio = {tuple(p): i for i, p in enumerate(merges)}
+        self._text_col = text_col
+        self._memo: dict[str, list[str]] = {}
+
+    def _segment_word(self, w: str) -> list[str]:
+        hit = self._memo.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w)
+        prio = self._prio
+        while len(syms) > 1:
+            best_i, best_p = -1, None
+            for i in range(len(syms) - 1):
+                p = prio.get((syms[i], syms[i + 1]))
+                if p is not None and (best_p is None or p < best_p):
+                    best_i, best_p = i, p
+            if best_p is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        if len(self._memo) < (1 << 20):  # vocabulary-bounded memo
+            self._memo[w] = syms
+        return syms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks_out: list[list[str]] = []
+        for t in batch.column(self._text_col).to_pylist():
+            row: list[str] = []
+            for w in (x for x in _WS_RE.split(t or "") if x):
+                row.extend(self._segment_word(w))
+            toks_out.append(row)
+        return batch.append_column(
+            "bpe_tokens", pa.array(toks_out, pa.list_(pa.string()))
+        ).append_column(
+            "n_bpe_tokens", pa.array([len(r) for r in toks_out], pa.int64())
+        )
+
+
+def segment_corpus(docs, merges_table: pa.Table, text_col: str = "text"):
+    """documents -> documents + (bpe_tokens, n_bpe_tokens), applying a
+    trained merge table via a broadcast-once actor pool."""
+    import ray as _ray
+
+    merges = list(
+        zip(
+            merges_table.column("lhs").to_pylist(),
+            merges_table.column("rhs").to_pylist(),
+        )
+    )
+    ref = _ray.put(merges)
+    return docs.map_batches(
+        SegmentBPE,
+        fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"text_col": text_col},
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+    )

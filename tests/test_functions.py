@@ -1212,3 +1212,37 @@ def test_cli_dedup_paras_and_bpe(ray_session, tmp_path, capsys):
     got = pq.read_table(merges_out).to_pylist()
     # (e,r) appears in boiler x2 + lower + other = 4, the corpus max
     assert got[0]["lhs"] == "e" and got[0]["rhs"] == "r" and got[0]["freq"] == 4
+
+
+def test_bpe_segment_corpus_matches_apply(ray_session):
+    """segment_corpus (actor-pool broadcast apply) equals the scalar
+    apply_bpe on every row, with per-word memoization transparent."""
+    import ray.data
+
+    from jamie_ray.functions import bpe
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "low lower slowest low"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "low low"},
+        ]
+    )
+    merges_tbl = bpe.train_bpe(docs, n_merges=5, min_freq=2)
+    merges = list(
+        zip(
+            merges_tbl.column("lhs").to_pylist(),
+            merges_tbl.column("rhs").to_pylist(),
+        )
+    )
+    out = {
+        r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+        for r in bpe.segment_corpus(docs, merges_tbl).take_all()
+    }
+    for row in [
+        {"doc_id": 1, "text": "low lower slowest low"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "low low"},
+    ]:
+        exp = bpe.apply_bpe(row["text"], merges)
+        assert out[row["doc_id"]] == (exp, len(exp))
