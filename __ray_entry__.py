@@ -233,28 +233,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             assemble_batch, batch_format="pyarrow"
         )
 
-    def kg_xml_out(sf_dir: str):
-        from jamie_ray.stages.format_out import tagged_to_xml_batch
-
-        corpus = _kg_dir(sf_dir)
-        chunks = kg.chunk_pages(
-            kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
-        )
-        return kg.score_chunks(chunks).map_batches(
-            tagged_to_xml_batch, batch_format="pyarrow"
-        )
-
-    def kg_brat_out(sf_dir: str):
-        from jamie_ray.stages.format_out import tagged_to_brat_batch
-
-        corpus = _kg_dir(sf_dir)
-        chunks = kg.chunk_pages(
-            kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
-        )
-        return kg.score_chunks(chunks).map_batches(
-            tagged_to_brat_batch, batch_format="pyarrow"
-        )
-
     def kg_eval(sf_dir: str):
         """P/R/F1 of the pipeline vs the independent oracle, one row
         per evaluation task — the BASELINE correctness gate (every row
@@ -531,18 +509,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _dtt(docs, k=5)
 
-    def kg_pmhs_out(sf_dir: str):
-        """JSONL (pmhs) debug view of the tagged chunks."""
-        from jamie_ray.stages.pmhs import tagged_to_pmhs_batch
-
-        corpus = _kg_dir(sf_dir)
-        chunks = kg.chunk_pages(
-            kg.extracted_pages(kg.read_pages(f"{corpus}/pages.parquet"))
-        )
-        return kg.score_chunks(chunks).map_batches(
-            tagged_to_pmhs_batch, batch_format="pyarrow"
-        )
-
     def kg_writers_out(sf_dir: str):
         """All three writer sinks (XML / brat / pmhs) in one
         registration: the tagged chunks are scored ONCE (materialized —
@@ -618,7 +584,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (fixtures._bpe_expected — no shared frequency-table code)."""
         import pyarrow.compute as pc
 
-        from jamie_ray.fixtures import BPE_DOC_SAMPLE
+        from jamie_ray.fixtures import (
+            BPE_DOC_SAMPLE,
+            BPE_MIN_FREQ,
+            BPE_N_MERGES,
+        )
         from jamie_ray.functions.bpe import train_bpe
 
         corpus = _kg_dir(sf_dir)
@@ -628,7 +598,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.filter(pc.less(b.column("doc_id"), BPE_DOC_SAMPLE)),
             batch_format="pyarrow",
         )
-        return train_bpe(docs)
+        # all three constants imported from fixtures so query and
+        # oracle can never drift (FIXTURES.md §9)
+        return train_bpe(docs, n_merges=BPE_N_MERGES, min_freq=BPE_MIN_FREQ)
 
     def docs_paragraph_dedup(sf_dir: str):
         """Cross-corpus keep-first paragraph dedup over the fixture
@@ -1042,7 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_paragraph_dedup": (
             lambda d: f"""
             WITH docs AS (
-              SELECT doc_id, string_split(text, chr(10)) AS arr
+              SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS arr
               FROM read_parquet('{d}/documents_para.parquet')
             ),
             ex AS (
@@ -1052,7 +1024,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             marked AS (
               SELECT doc_id, idx, para,
-                     (trim(para) = '') AS always_keep,
+                     -- blank = RE2-whitespace-only, the exact twin of
+                     -- the engine's is_re2_blank (tab/lf/ff/cr/space)
+                     (trim(para, chr(9)||chr(10)||chr(12)||chr(13)||' ') = ''
+                     ) AS always_keep,
                      row_number() OVER (
                        PARTITION BY para ORDER BY doc_id, idx
                      ) AS rn

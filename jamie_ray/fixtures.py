@@ -646,10 +646,14 @@ def _bpe_expected(texts: list[str]) -> pa.Table:
     word occurrence is its own symbol list, pair counts are literal
     scans — same math, structurally different code path. Tie rule:
     max count, then lexicographically smallest (lhs, rhs)."""
+    import re as _re
+
     occs: list[list[str]] = []
+    ws = _re.compile("[\t\n\x0c\r ]+")  # RE2-\s-exact, same as ws_tokens
     for t in texts:
-        for w in t.split():
-            occs.append(list(w))
+        for w in ws.split(t):
+            if w:
+                occs.append(list(w))
     rows: dict[str, list] = {"rank": [], "lhs": [], "rhs": [], "freq": []}
     for rank in range(BPE_N_MERGES):
         cnt: dict[tuple[str, str], int] = {}

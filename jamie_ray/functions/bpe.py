@@ -27,15 +27,13 @@ fixture's independent replay in ``fixtures._bpe_expected``).
 
 from __future__ import annotations
 
-import re
 from collections import Counter
 
 import numpy as np
 import pyarrow as pa
 
 from ..hashing import hash_str_array
-
-_WS_RE = re.compile(r"\s+")
+from .text_analysis import ws_tokens
 
 
 def word_counts(docs, text_col: str = "text", *, n_buckets: int = 1024):
@@ -44,7 +42,7 @@ def word_counts(docs, text_col: str = "text", *, n_buckets: int = 1024):
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for t in batch.column(text_col).to_pylist():
-            c.update(x for x in _WS_RE.split(t or "") if x)
+            c.update(ws_tokens(t))
         words = sorted(c)
         h = hash_str_array(words, seed=5).astype(np.int64)
         return pa.table(
@@ -150,23 +148,30 @@ def train_bpe(
     )
 
 
+def _apply_word(w: str, prio: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy best-priority merge application to one word — the ONE
+    copy of the fuse loop shared by :func:`apply_bpe` and
+    :class:`SegmentBPE`."""
+    syms = list(w)
+    while len(syms) > 1:
+        best_i, best_p = -1, None
+        for i in range(len(syms) - 1):
+            p = prio.get((syms[i], syms[i + 1]))
+            if p is not None and (best_p is None or p < best_p):
+                best_i, best_p = i, p
+        if best_p is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
 def apply_bpe(text: str, merges: list[tuple[str, str]]) -> list[str]:
     """Segment ``text``'s words with a trained merge list (priority =
     list order — the standard greedy application)."""
     prio = {pair: i for i, pair in enumerate(merges)}
     out: list[str] = []
-    for w in (x for x in _WS_RE.split(text or "") if x):
-        syms = list(w)
-        while len(syms) > 1:
-            best_i, best_p = -1, None
-            for i in range(len(syms) - 1):
-                p = prio.get((syms[i], syms[i + 1]))
-                if p is not None and (best_p is None or p < best_p):
-                    best_i, best_p = i, p
-            if best_p is None:
-                break
-            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-        out.extend(syms)
+    for w in ws_tokens(text):
+        out.extend(_apply_word(w, prio))
     return out
 
 
@@ -198,17 +203,7 @@ class SegmentBPE:
         hit = self._memo.get(w)
         if hit is not None:
             return hit
-        syms = list(w)
-        prio = self._prio
-        while len(syms) > 1:
-            best_i, best_p = -1, None
-            for i in range(len(syms) - 1):
-                p = prio.get((syms[i], syms[i + 1]))
-                if p is not None and (best_p is None or p < best_p):
-                    best_i, best_p = i, p
-            if best_p is None:
-                break
-            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        syms = _apply_word(w, self._prio)
         if len(self._memo) < (1 << 20):  # vocabulary-bounded memo
             self._memo[w] = syms
         return syms
@@ -217,7 +212,7 @@ class SegmentBPE:
         toks_out: list[list[str]] = []
         for t in batch.column(self._text_col).to_pylist():
             row: list[str] = []
-            for w in (x for x in _WS_RE.split(t or "") if x):
+            for w in ws_tokens(t):
                 row.extend(self._segment_word(w))
             toks_out.append(row)
         return batch.append_column(

@@ -203,15 +203,20 @@ def minhash_clusters(
     ``cc`` selects the cluster merger: ``"driver"`` (default) is the
     capped driver-side union-find; ``"distributed"`` runs the verify
     as the bucketed shuffle and merges with the alternating-star
-    connected-components operator (``functions/graph.py``) — the
-    remedy when the edge list itself outgrows driver memory
-    (``EdgeCapExceeded`` on "minhash near-dup edges"). In distributed
-    mode the component map is still broadcast for the final assign
-    while it fits ``edge_cap``, and degrades to a bucketed shuffle
-    join (``graph.assign_components``) beyond that — no driver state
-    grows with duplicate mass. Output is bit-identical between modes
-    (both roots are component-minimum ids; ``tests/test_functions.py``
-    asserts equality on the planted corpus).
+    connected-components operator (``functions/graph.py``), removing
+    the union-find AND (via the ``graph.assign_components`` shuffle
+    join when the broadcast map crosses ``edge_cap``) the
+    component-map state from the driver. Precisely what remains
+    driver-side in distributed mode: the CANDIDATE-PAIR collection of
+    step 3 (and the pair-map broadcast that locates candidate docs) —
+    bounded by duplicate+LSH-false-positive mass and failing loudly at
+    ``edge_cap``. Eliminating that too would require shipping every
+    doc's shingle-hash set through a corpus-scale shuffle join instead
+    of a broadcast membership filter — a deliberate non-default
+    trade-off documented here rather than silently paid. Output is
+    bit-identical between modes (both roots are component-minimum
+    ids; ``tests/test_functions.py`` asserts equality on the planted
+    corpus).
 
     The input Dataset is consumed three times (bands, candidate-doc
     signatures, cluster assign); each pass streams from the source —
@@ -463,8 +468,10 @@ def minhash_clusters(
                     )
             except EdgeCapExceeded:
                 # component map itself beyond driver memory: assign via
-                # the bucketed shuffle join — nothing driver-side scales
-                # with duplicate mass on this path
+                # the bucketed shuffle join — the merge/assign half no
+                # longer holds driver state (the candidate-pair
+                # collection remains the one capped driver-side bound;
+                # see the cc= docstring paragraph)
                 ids_ds = docs.map_batches(
                     lambda t: t.select([id_col]), batch_format="pyarrow"
                 )
@@ -659,9 +666,11 @@ def paragraph_dedup(
     literature; the reference has no analogue).
 
     Rule: documents are newline-separated paragraph lists. A paragraph
-    occurrence survives iff it is whitespace-only (structure, never
-    deduped) or it is the FIRST occurrence of that exact string in the
-    corpus, ordered by ``(doc_id, paragraph_index)``. Output: one row
+    occurrence survives iff it is blank (RE2-whitespace-only —
+    structure, never deduped; ``text_analysis.is_re2_blank``, the
+    bit-exact twin of the SQL oracle's custom-charset ``trim``) or it
+    is the FIRST occurrence of that exact string in the corpus,
+    ordered by ``(doc_id, paragraph_index)``. Output: one row
     per document — ``(doc_id, clean_text, n_paras, n_dropped)`` with
     ``clean_text`` the newline-join of survivors.
 
@@ -686,6 +695,7 @@ def paragraph_dedup(
     from ..hashing import hash_str_array
     from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
     from ..state.worker_cache import cached_get
+    from .text_analysis import is_re2_blank
 
     if spill_dir is not None:
         docs = _spill_input(docs, spill_dir, [id_col, text_col])
@@ -699,8 +709,8 @@ def paragraph_dedup(
         paras: list[str] = []
         for d, t in zip(ids, texts):
             for j, p in enumerate((t or "").split("\n")):
-                if p.strip() == "":
-                    continue  # whitespace-only: always kept, never shuffled
+                if is_re2_blank(p):
+                    continue  # blank: always kept, never shuffled
                 out_doc.append(d)
                 out_idx.append(j)
                 paras.append(p)
@@ -775,14 +785,14 @@ def paragraph_dedup(
         out_drop: list[int] = []
         for d, t in zip(ids, texts):
             paras = (t or "").split("\n")
-            body = [p for p in paras if p.strip() != ""]
+            body = [p for p in paras if not is_re2_blank(p)]
             h1 = hash_str_array(body, seed=1).astype(np.int64)
             h2 = hash_str_array(body, seed=2).astype(np.int64)
             kept: list[str] = []
             dropped = 0
             k = 0
             for j, p in enumerate(paras):
-                if p.strip() == "":
+                if is_re2_blank(p):
                     kept.append(p)
                     continue
                 w = wm.get((int(h1[k]), int(h2[k])))

@@ -160,7 +160,25 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("text_hash", pa.array(hashes, pa.string()))
 
 
-_WS_RE = re.compile(r"\s+")
+# RE2's \s is exactly [\t\n\f\r ] (no \v, no Unicode spaces) — verified
+# empirically against BOTH DuckDB and pyarrow; Python re's \s is wider
+# (NBSP, \v, U+2000...), so Python-side tokenizers must use THIS class
+# to stay bit-exact with the '\s+' in the SQL oracles
+# (tests/test_properties.py::test_ws_tokens_matches_duckdb_split).
+WS_RE2_CLASS = "[\t\n\x0c\r ]"
+_WS_RE2_SPLIT = re.compile(WS_RE2_CLASS + "+")
+
+
+def ws_tokens(text: str | None) -> list[str]:
+    """RE2-exact ``\\s+`` tokenization (the DuckDB
+    ``string_split_regex(text, '\\s+')`` twin), empties dropped."""
+    return [t for t in _WS_RE2_SPLIT.split(text or "") if t]
+
+
+def is_re2_blank(text: str) -> bool:
+    """True iff ``text`` contains only RE2-whitespace characters —
+    the twin of DuckDB ``trim(x, chr(9)||chr(10)||chr(12)||chr(13)||' ') = ''``."""
+    return text.strip("\t\n\x0c\r ") == ""
 
 
 def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -177,14 +195,14 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
       are repeats — ``((n3 - distinct3) * 1e6) // n3``.
 
     Both are 0 for docs too short to form the n-gram. Tokens are the
-    ``\\s+`` split (the engine-wide tokenization twin of the SQL
-    ``string_split_regex(text, '\\s+')``)."""
+    RE2-exact ``\\s+`` split (:func:`ws_tokens` — bit-exact with the
+    SQL ``string_split_regex(text, '\\s+')``)."""
     from collections import Counter
 
     top2: list[int] = []
     dup3: list[int] = []
     for t in batch.column(text_col).to_pylist():
-        toks = [x for x in _WS_RE.split(t or "") if x]
+        toks = ws_tokens(t)
         total_chars = sum(len(x) for x in toks)
         if len(toks) < 2 or total_chars == 0:
             top2.append(0)

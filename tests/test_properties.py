@@ -383,7 +383,11 @@ def test_paragraph_dedup_matches_bruteforce_random():
 
     from jamie_ray.functions.dedup_docs import paragraph_dedup
 
-    pool = [f"para {i} tok{i}" for i in range(8)] + ["", "  "]
+    from jamie_ray.functions.text_analysis import is_re2_blank
+
+    # includes RE2-blank ("", "  ", "\t") and NOT-RE2-blank ("\xa0":
+    # NBSP is \S to RE2, so it deduplicates like content) paragraphs
+    pool = [f"para {i} tok{i}" for i in range(8)] + ["", "  ", "\t", "\xa0"]
     for seed in (0, 1, 2):
         rng = np.random.default_rng(seed)
         docs = []
@@ -402,7 +406,7 @@ def test_paragraph_dedup_matches_bruteforce_random():
             paras = d["text"].split("\n")
             kept, dropped = [], 0
             for p in paras:
-                if p.strip() == "":
+                if is_re2_blank(p):
                     kept.append(p)
                 elif p not in seen:
                     seen.add(p)
@@ -444,3 +448,34 @@ def test_bpe_train_matches_occurrence_replay_random():
         got = train_bpe(docs, n_merges=BPE_N_MERGES, min_freq=2)
         exp = _bpe_expected(texts)
         assert got.to_pylist() == exp.to_pylist(), f"seed {seed}"
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("L", "N", "P", "Zs", "Cc"),
+            whitelist_characters=" \t\n\r\x0b\x0c\xa0　漢字かなカナ",
+        ),
+        max_size=80,
+    )
+)
+def test_ws_tokens_matches_duckdb_split(text):
+    """ws_tokens (the Python RE2-\\s-exact tokenizer behind
+    repetition_batch and BPE) must agree with DuckDB's RE2
+    string_split_regex on arbitrary unicode incl. NBSP / \\v /
+    ideographic space — the seam that keeps the SQL oracles exact."""
+    import duckdb
+
+    from jamie_ray.functions.text_analysis import is_re2_blank, ws_tokens
+
+    con = duckdb.connect()
+    exp = con.execute(
+        r"""SELECT list_filter(string_split_regex(?, '\s+'), x -> x <> '')""",
+        [text],
+    ).fetchone()[0]
+    assert ws_tokens(text) == exp
+    blank_sql = con.execute(
+        "SELECT trim(?, chr(9)||chr(10)||chr(12)||chr(13)||' ') = ''", [text]
+    ).fetchone()[0]
+    assert is_re2_blank(text) == blank_sql
