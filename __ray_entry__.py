@@ -408,12 +408,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         which plant deterministic band-sharing near-dup groups
         (fixtures.py generate_docs_nd) so cluster assignments are
         value-checked against the generator's expected table. BOTH
-        cluster mergers run and are verified: the capped driver
-        union-find (variant="driver") and the alternating-star
-        distributed connected components (variant="distributed_cc",
-        functions/graph.py — the EdgeCapExceeded remedy); the oracle
-        doubles the expected table, so a divergence between the two
-        paths is a driver-visible failure."""
+        cluster mergers run and are verified at their EXTREME
+        configurations: the capped driver union-find with broadcast
+        candidates (variant="driver") and the fully-distributed
+        pipeline — shuffle-join candidate verify + alternating-star
+        connected components + shuffle assign, zero driver-side
+        collections (variant="distributed_cc", functions/graph.py +
+        candidate_path="shuffle"); the oracle doubles the expected
+        table, so a divergence between the two paths is a
+        driver-visible failure. The middle combination (broadcast
+        candidates + distributed CC) is equality-tested in-repo."""
         import pyarrow as pa
 
         corpus = _kg_dir(sf_dir)
@@ -433,7 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tag("driver"), batch_format="pyarrow"
         )
         via_cc = dedup_docs.minhash_clusters(
-            docs, threshold=0.8, cc="distributed"
+            docs, threshold=0.8, cc="distributed", candidate_path="shuffle"
         ).map_batches(tag("distributed_cc"), batch_format="pyarrow")
         return via_driver.union(via_cc)
 

@@ -163,6 +163,135 @@ DRIVER_VERIFY_PAIRS = 100_000
 DRIVER_VERIFY_HASH_BUDGET = 20_000_000  # ~160 MB of raw hash payload
 
 
+def _verify_shuffle_join(
+    docs, cand_ds, text_col: str, id_col: str, threshold: float, n_buckets: int
+):
+    """Fully-distributed exact-Jaccard verification: candidate
+    membership rows shuffle-join the corpus's shingle-hash sets on the
+    doc-id bucket, then pairs verify inside one ``groupby(pair
+    bucket)`` — no driver collection, no broadcast. Returns the
+    verified edge Dataset ``(id_a, id_b)``.
+
+    Cost model (why this is the opt-in path): EVERY doc's hash set
+    enters the first shuffle (a corpus-scale exchange, ~the distinct
+    shingle mass), vs the default broadcast filter that ships hashes
+    for candidate docs only. Per-group memory is one bucket's share of
+    doc hash sets — size with ``n_buckets``."""
+
+    def member(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        key = np.concatenate([a, b])
+        lo = np.concatenate([np.minimum(a, b)] * 2)
+        hi = np.concatenate([np.maximum(a, b)] * 2)
+        n = len(key)
+        return pa.table(
+            {
+                "bucket": pa.array(np.mod(key, np.int64(n_buckets)), pa.int64()),
+                "key_doc": pa.array(key, pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "hashes": pa.array([[]] * n, pa.list_(pa.int64())),
+                "is_doc": pa.array(np.zeros(n, np.int8), pa.int8()),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hashes = [
+            _doc_shingle_hashes(t or "").astype(np.int64).tolist()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        n = len(ids)
+        ids_np = np.asarray(ids, dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.mod(ids_np, np.int64(n_buckets)), pa.int64()),
+                "key_doc": pa.array(ids_np, pa.int64()),
+                "lo": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "hi": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "hashes": pa.array(hashes, pa.list_(pa.int64())),
+                "is_doc": pa.array(np.ones(n, np.int8), pa.int8()),
+            }
+        )
+
+    def join_hashes(group: pa.Table) -> pa.Table:
+        from ..runs import iter_key_runs
+
+        group = group.sort_by(
+            [("key_doc", "ascending"), ("is_doc", "descending")]
+        )
+        out = {"pair_bucket": [], "lo": [], "hi": [], "doc": [], "hashes": []}
+        for run in iter_key_runs(group, "key_doc"):
+            is_doc = run.column("is_doc").to_numpy(zero_copy_only=False)
+            if is_doc[0] != 1:
+                continue  # candidate references a doc absent from the corpus
+            hashes = run.column("hashes")[0].as_py()
+            doc = run.column("key_doc")[0].as_py()
+            los = run.column("lo").to_pylist()
+            his = run.column("hi").to_pylist()
+            for i in range(len(is_doc)):
+                if is_doc[i] == 1:
+                    continue
+                lo, hi = los[i], his[i]
+                out["pair_bucket"].append(
+                    (lo * 1_000_003 + hi) % n_buckets
+                )
+                out["lo"].append(lo)
+                out["hi"].append(hi)
+                out["doc"].append(doc)
+                out["hashes"].append(hashes)
+        return pa.table(
+            {
+                "pair_bucket": pa.array(out["pair_bucket"], pa.int64()),
+                "lo": pa.array(out["lo"], pa.int64()),
+                "hi": pa.array(out["hi"], pa.int64()),
+                "doc": pa.array(out["doc"], pa.int64()),
+                "hashes": pa.array(out["hashes"], pa.list_(pa.int64())),
+            }
+        )
+
+    def verify_pairs(group: pa.Table) -> pa.Table:
+        from ..runs import iter_key_runs
+
+        group = group.sort_by(
+            [("lo", "ascending"), ("hi", "ascending"), ("doc", "ascending")]
+        )
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for run in iter_key_runs(group, "lo"):
+            for sub in iter_key_runs(run, "hi"):
+                sides: dict[int, set[int]] = {}
+                for d, hs in zip(
+                    sub.column("doc").to_pylist(), sub.column("hashes").to_pylist()
+                ):
+                    sides.setdefault(d, set(hs))
+                if len(sides) != 2:
+                    continue  # a side was absent -> unverifiable
+                ha, hb = sides.values()
+                inter = len(ha & hb)
+                j = inter / (len(ha) + len(hb) - inter) if inter else 0.0
+                if j >= threshold:
+                    a_out.append(sub.column("lo")[0].as_py())
+                    b_out.append(sub.column("hi")[0].as_py())
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+            }
+        )
+
+    joined = (
+        cand_ds.map_batches(member, batch_format="pyarrow")
+        .union(docs.map_batches(doc_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_hashes, batch_format="pyarrow")
+    )
+    return joined.groupby("pair_bucket").map_groups(
+        verify_pairs, batch_format="pyarrow"
+    )
+
+
 def minhash_clusters(
     docs,
     text_col: str = "text",
@@ -174,6 +303,7 @@ def minhash_clusters(
     driver_verify_pairs: int = DRIVER_VERIFY_PAIRS,
     spill_dir: str | None = None,
     cc: str = "driver",
+    candidate_path: str = "broadcast",
 ):
     """documents -> (doc_id, cluster_id) for every doc; cluster_id = min
     doc_id of its near-duplicate cluster (singletons map to themselves).
@@ -210,13 +340,20 @@ def minhash_clusters(
     driver-side in distributed mode: the CANDIDATE-PAIR collection of
     step 3 (and the pair-map broadcast that locates candidate docs) —
     bounded by duplicate+LSH-false-positive mass and failing loudly at
-    ``edge_cap``. Eliminating that too would require shipping every
-    doc's shingle-hash set through a corpus-scale shuffle join instead
-    of a broadcast membership filter — a deliberate non-default
-    trade-off documented here rather than silently paid. Output is
-    bit-identical between modes (both roots are component-minimum
-    ids; ``tests/test_functions.py`` asserts equality on the planted
-    corpus).
+    ``edge_cap``.
+
+    ``candidate_path="shuffle"`` (requires ``cc="distributed"``)
+    removes THAT too: candidates stay a Dataset, every doc's
+    shingle-hash set ships through a bucketed shuffle join against the
+    candidate membership rows, and verification runs per pair group —
+    ZERO driver-side collections end-to-end (candidates -> verify ->
+    connected components -> shuffle assign). The cost is a
+    corpus-scale shuffle of hash sets (vs the broadcast membership
+    filter that touches only candidate docs), which is why it is not
+    the default: pick it when duplicate mass itself is too big for any
+    single machine. Output is bit-identical across all modes (roots
+    are component-minimum ids; ``tests/test_functions.py`` asserts
+    equality on the planted corpus).
 
     The input Dataset is consumed three times (bands, candidate-doc
     signatures, cluster assign); each pass streams from the source —
@@ -287,6 +424,28 @@ def minhash_clusters(
     )
 
     from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
+
+    if candidate_path not in ("broadcast", "shuffle"):
+        raise ValueError(
+            f"minhash_clusters: unknown candidate_path {candidate_path!r}"
+        )
+    if candidate_path == "shuffle":
+        if cc != "distributed":
+            raise ValueError(
+                "minhash_clusters: candidate_path='shuffle' requires "
+                "cc='distributed' (a driver union-find would defeat the "
+                "zero-driver-state point of the shuffle join)"
+            )
+        from .graph import assign_components, component_pairs
+
+        edges_ds = _verify_shuffle_join(
+            docs, cand_ds.materialize(), text_col, id_col, threshold, n_buckets
+        ).materialize()
+        comp_ds = component_pairs(edges_ds, "id_a", "id_b").materialize()
+        ids_ds = docs.map_batches(
+            lambda t: t.select([id_col]), batch_format="pyarrow"
+        )
+        return assign_components(ids_ds, comp_ds, id_col=id_col)
 
     cap = edge_cap or DEFAULT_EDGE_CAP
     pair_set: set[tuple[int, int]] = set()

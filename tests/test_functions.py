@@ -1246,3 +1246,31 @@ def test_bpe_segment_corpus_matches_apply(ray_session):
     ]:
         exp = bpe.apply_bpe(row["text"], merges)
         assert out[row["doc_id"]] == (exp, len(exp))
+
+
+def test_minhash_shuffle_join_candidate_path_identical(ray_session):
+    """candidate_path="shuffle" (zero driver-side collections:
+    candidates -> shuffle-join verify -> CC -> shuffle assign) produces
+    bit-identical clusters to the default broadcast path on the
+    planted fixture."""
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(200)
+    docs = ray.data.from_arrow(tabs["documents_nd"])
+    key = lambda rows: sorted((r["doc_id"], r["cluster_id"]) for r in rows)
+    via_shuffle = key(
+        dedup_docs.minhash_clusters(
+            docs, threshold=0.8, cc="distributed", candidate_path="shuffle"
+        ).take_all()
+    )
+    assert via_shuffle == key(tabs["expected_minhash_clusters"].to_pylist())
+
+
+def test_minhash_shuffle_join_requires_distributed_cc(ray_session):
+    import ray.data
+
+    docs = ray.data.from_items([{"doc_id": 1, "text": "a b c"}])
+    with pytest.raises(ValueError, match="requires"):
+        dedup_docs.minhash_clusters(docs, candidate_path="shuffle")
