@@ -24,6 +24,8 @@ Commands
                    (bucket-partitioned postings, probe-pruned reads)
 - ``lookup``       term lookup against a materialized index
 - ``topterms``     documents parquet -> per-doc top-k distinctive terms
+- ``ann-build``    embeddings parquet -> materialized ANN index
+- ``ann-query``    top-k cosine probe of a materialized ANN index
 - ``dedup-paras``  documents parquet -> keep-first paragraph dedup
 - ``bpe``          documents parquet -> trained BPE merge table
 
@@ -273,6 +275,58 @@ def cmd_topterms(args) -> None:
     print(json.dumps({"command": "topterms", "out": args.out, "k": args.k}))
 
 
+def cmd_ann_build(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .functions.similarity import build_ann_index
+
+    emb = ray.data.read_parquet(args.embeddings, columns=[args.id_col, args.vec_col])
+    meta = build_ann_index(
+        emb,
+        args.out,
+        kind=args.kind,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        n_centroids=args.n_centroids,
+    )
+    print(
+        json.dumps(
+            {
+                "command": "ann-build",
+                "out": args.out,
+                "kind": meta["kind"],
+                "n_partitions": meta.get("n_partitions"),
+            }
+        )
+    )
+
+
+def cmd_ann_query(args) -> None:
+    _ensure_ray()
+    from .functions.similarity import ann_probe_partitions, knn_indexed
+
+    query = [float(x) for x in args.query.split(",")]
+    tbl = knn_indexed(
+        args.index, query, k=args.k, n_probe=args.n_probe,
+        multiprobe=args.multiprobe,
+    )
+    print(
+        json.dumps(
+            {
+                "command": "ann-query",
+                "n_partitions_read": len(
+                    ann_probe_partitions(
+                        args.index, query, n_probe=args.n_probe,
+                        multiprobe=args.multiprobe,
+                    )
+                ),
+                "rows": tbl.to_pylist(),
+            }
+        )
+    )
+
+
 def cmd_dedup_paras(args) -> None:
     _ensure_ray()
     import pyarrow.parquet as _pq
@@ -424,6 +478,25 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--min-df", dest="min_df", type=int, default=1)
     p.set_defaults(fn=cmd_topterms)
+
+    p = sub.add_parser(
+        "ann-build", help="embeddings -> materialized partition-pruned ANN index"
+    )
+    p.add_argument("--embeddings", required=True, help="embeddings parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--kind", default="ivf", choices=("ivf", "lsh"))
+    p.add_argument("--id-col", dest="id_col", default="vec_id")
+    p.add_argument("--vec-col", dest="vec_col", default="embedding")
+    p.add_argument("--n-centroids", dest="n_centroids", type=int, default=16)
+    p.set_defaults(fn=cmd_ann_build)
+
+    p = sub.add_parser("ann-query", help="top-k cosine probe of an ANN index")
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", required=True, help="comma-separated floats")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-probe", dest="n_probe", type=int, default=2)
+    p.add_argument("--multiprobe", type=int, default=0)
+    p.set_defaults(fn=cmd_ann_query)
 
     p = sub.add_parser(
         "dedup-paras", help="documents -> keep-first paragraph dedup"

@@ -315,3 +315,41 @@ def test_cli_index_lookup_topterms(ray_session, tmp_path, capsys):
         zip(*[got.column(c).to_pylist() for c in ["doc_id", "term", "tf", "df", "rank"]])
     )
     assert rows == sorted(tuple(r) for r in _duckdb_top_terms(3, 1))
+
+
+def test_cli_ann_build_and_query(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jamie_ray.__main__ import main
+
+    emb = str(tmp_path / "emb.parquet")
+    vecs = [
+        {"vec_id": 0, "embedding": [1.0, 0.0]},
+        {"vec_id": 1, "embedding": [0.9, 0.1]},
+        {"vec_id": 2, "embedding": [0.0, 1.0]},
+        {"vec_id": 3, "embedding": [-1.0, 0.0]},
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v["vec_id"] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v["embedding"] for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        emb,
+    )
+    idx = str(tmp_path / "annidx")
+    main(["ann-build", "--embeddings", emb, "--out", idx, "--n-centroids", "2"])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["kind"] == "ivf"
+
+    main(["ann-query", "--index", idx, "--query", "1.0,0.0", "--k", "2",
+          "--n-probe", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"][0]["vec_id"] == 0
+    assert out["n_partitions_read"] == 1
