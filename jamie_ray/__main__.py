@@ -27,6 +27,8 @@ Commands
 - ``ann-build``    embeddings parquet -> materialized ANN index
 - ``ann-query``    top-k cosine probe of a materialized ANN index
 - ``dedup-paras``  documents parquet -> keep-first paragraph dedup
+- ``clean``        composite cleaning: quality gate + exact dedup +
+                   paragraph dedup + near-dup collapse
 - ``bpe``          documents parquet -> trained BPE merge table
 
 Every command guards ``ray.init`` with ``is_initialized`` so it works
@@ -358,6 +360,25 @@ def cmd_dedup_paras(args) -> None:
     )
 
 
+def cmd_clean(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .pipelines.clean import clean_corpus
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    cleaned, stats = clean_corpus(
+        docs,
+        args.spill,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_tokens=args.min_tokens,
+        near_dup_threshold=args.near_dup_threshold,
+    )
+    cleaned.write_parquet(args.out)
+    print(json.dumps({"command": "clean", "out": args.out, **stats}))
+
+
 def cmd_bpe(args) -> None:
     _ensure_ray()
     import pyarrow.parquet as _pq
@@ -506,6 +527,21 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
     p.set_defaults(fn=cmd_dedup_paras)
+
+    p = sub.add_parser(
+        "clean",
+        help="documents -> quality gate + exact/paragraph/near-dup cleaned corpus",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--spill", required=True, help="parquet scratch dir")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.add_argument("--min-tokens", dest="min_tokens", type=int, default=5)
+    p.add_argument(
+        "--near-dup-threshold", dest="near_dup_threshold", type=float, default=0.8
+    )
+    p.set_defaults(fn=cmd_clean)
 
     p = sub.add_parser("bpe", help="documents -> trained BPE merge table")
     p.add_argument("--docs", required=True, help="documents parquet path/dir")

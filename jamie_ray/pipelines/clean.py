@@ -1,0 +1,183 @@
+"""Composite corpus-cleaning pipeline — the canonical training-data
+preparation chain (cf. Gopher/C4/RefinedWeb-style pipelines in the
+public literature), composed from this engine's first-class operators:
+
+1. **quality gate** (vectorized ``map_batches``): drop docs below a
+   token floor, above a repetition ceiling (``repetition_batch``), or
+   below a quality-score floor (``quality_score_batch``);
+2. **exact dedup**: keep only each distinct text's minimum doc id
+   (``exact_dedup``; the broadcast hash->winner map covers only
+   DUPLICATED texts — bounded by duplicate mass);
+3. **paragraph dedup**: cross-corpus keep-first boilerplate removal
+   (``paragraph_dedup``) rewriting the surviving texts;
+4. **near-dup collapse**: minhash-LSH clusters over the cleaned text
+   (``minhash_clusters``), keeping each cluster's representative
+   (``cluster_id == doc_id`` — the min id, the engine-wide rule).
+
+Returns the cleaned Dataset plus a stats dict of per-stage drop
+counts. Every stage streams; the only driver state is the exact-dup
+winner map and the near-dup LOSER id set, both duplicate-mass-bounded
+and loudly capped (``state/collect.py``). Each stage's output text is
+spilled to parquet once (``spill_dir``) because the downstream dedup
+operators are multi-pass — the ``link_triples(spill_dir=...)``
+pattern.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+DEFAULT_MIN_TOKENS = 5
+DEFAULT_MAX_DUP3GRAM = 500_000  # micro units: >50% repeated 3-grams
+DEFAULT_MIN_QUALITY = 0  # micro units; 0 = disabled
+
+
+def clean_corpus(
+    docs,
+    spill_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    max_dup3gram_micro: int = DEFAULT_MAX_DUP3GRAM,
+    min_quality_micro: int = DEFAULT_MIN_QUALITY,
+    near_dup_threshold: float = 0.8,
+):
+    """documents -> (cleaned Dataset ``(doc_id, text)``, stats dict).
+
+    ``spill_dir`` (required): parquet scratch for the post-paragraph
+    text, re-read by the multi-pass near-dup stage. Stats fields:
+    ``n_input``, ``n_after_quality``, ``n_after_exact``,
+    ``n_after_near_dup`` (paragraph dedup rewrites text but never
+    drops documents, so it has no count of its own).
+    """
+    import os
+
+    from ..functions.dedup_docs import (
+        exact_dedup,
+        minhash_clusters,
+        paragraph_dedup,
+    )
+    from ..functions.text_analysis import (
+        quality_score_batch,
+        repetition_batch,
+        token_count_batch,
+    )
+    from ..state.collect import iter_capped_batches
+    from ..state.worker_cache import cached_get
+
+    n_input = docs.count()
+
+    def quality_gate(b: pa.Table) -> pa.Table:
+        b = repetition_batch(quality_score_batch(token_count_batch(b)))
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(b.column("n_tokens"), min_tokens),
+                pc.less_equal(b.column("dup3gram_micro"), max_dup3gram_micro),
+            ),
+            pc.greater_equal(b.column("quality_micro"), min_quality_micro),
+        )
+        return b.filter(keep).select([id_col, text_col])
+
+    from ..functions.dedup_docs import _spill_input
+
+    # downstream stages are multi-pass: spill the gated text once
+    gated = _spill_input(
+        docs.map_batches(quality_gate, batch_format="pyarrow"),
+        os.path.join(spill_dir, "gated"),
+        [id_col, text_col],
+    )
+    n_after_quality = gated.count()
+
+    # exact dedup: the broadcast must distinguish "unique text" (keep)
+    # from "losing duplicate" (drop), so it carries the winner id PER
+    # duplicated HASH — only groups with n_dups > 1 enter the map, so
+    # its size is bounded by duplicate mass, not corpus size.
+    win_by_hash: dict[str, int] = {}
+    for b in iter_capped_batches(
+        exact_dedup(gated, text_col=text_col, id_col=id_col),
+        context="clean_corpus exact-dup winner map",
+    ):
+        for h, i, n in zip(
+            b.column("text_hash").to_pylist(),
+            b.column(id_col).to_pylist(),
+            b.column("n_dups").to_pylist(),
+        ):
+            if n > 1:
+                win_by_hash[h] = i
+    win_ref = ray.put(win_by_hash)
+
+    def drop_losing_dups(b: pa.Table) -> pa.Table:
+        from ..functions.text_analysis import fingerprint_batch
+
+        wins = cached_get(win_ref, "clean_exact_win_map")
+        b2 = fingerprint_batch(b, text_col)
+        mask = [
+            (w is None) or (w == i)
+            for i, w in (
+                (i, wins.get(h))
+                for i, h in zip(
+                    b2.column(id_col).to_pylist(),
+                    b2.column("text_hash").to_pylist(),
+                )
+            )
+        ]
+        return b.filter(pa.array(mask, pa.bool_()))
+
+    exact_kept = _spill_input(
+        gated.map_batches(drop_losing_dups, batch_format="pyarrow"),
+        os.path.join(spill_dir, "exact"),
+        [id_col, text_col],
+    )
+    n_after_exact = exact_kept.count()
+
+    # paragraph dedup rewrites text (never drops docs)
+    cleaned = _spill_input(
+        paragraph_dedup(exact_kept, text_col=text_col, id_col=id_col).map_batches(
+            lambda b: pa.table(
+                {id_col: b.column(id_col), text_col: b.column("clean_text")}
+            ),
+            batch_format="pyarrow",
+        ),
+        os.path.join(spill_dir, "para"),
+        [id_col, text_col],
+    )
+
+    # near-dup collapse: keep cluster representatives. Collect only
+    # the NON-representatives (doc_id != cluster_id) — bounded by
+    # near-dup mass, unlike the representative set, which is
+    # corpus-scale (every singleton represents itself). The filter
+    # runs distributed-side so the capped collection never streams
+    # the full per-doc cluster table through the driver.
+    clusters = minhash_clusters(
+        cleaned, text_col=text_col, id_col=id_col, threshold=near_dup_threshold
+    )
+    losers_ds = clusters.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.equal(b.column(id_col), b.column("cluster_id")))
+        ).select([id_col]),
+        batch_format="pyarrow",
+    )
+    drop_ids: set[int] = set()
+    for b in iter_capped_batches(
+        losers_ds, context="clean_corpus near-dup losers"
+    ):
+        drop_ids.update(b.column(id_col).to_pylist())
+    drop_ref = ray.put(drop_ids)
+
+    def drop_near_dups(b: pa.Table) -> pa.Table:
+        drops = cached_get(drop_ref, "clean_near_dup_drops")
+        mask = [i not in drops for i in b.column(id_col).to_pylist()]
+        return b.filter(pa.array(mask, pa.bool_()))
+
+    final = cleaned.map_batches(drop_near_dups, batch_format="pyarrow")
+    stats = {
+        "n_input": n_input,
+        "n_after_quality": n_after_quality,
+        "n_after_exact": n_after_exact,
+        "n_after_near_dup": n_after_exact - len(drop_ids),
+    }
+    return final, stats

@@ -1274,3 +1274,74 @@ def test_minhash_shuffle_join_requires_distributed_cc(ray_session):
     docs = ray.data.from_items([{"doc_id": 1, "text": "a b c"}])
     with pytest.raises(ValueError, match="requires"):
         dedup_docs.minhash_clusters(docs, candidate_path="shuffle")
+
+
+def test_clean_corpus_stage_semantics(ray_session, tmp_path):
+    """Each cleaning stage drops exactly the docs its rule names:
+    too-short (quality gate), losing exact duplicates, shared
+    paragraphs rewritten, near-dup cluster losers."""
+    import ray.data
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    near = "the quick brown fox jumps over the lazy dog and keeps running"
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "too short"},                       # quality
+            {"doc_id": 2, "text": near},                               # rep
+            {"doc_id": 3, "text": near},                               # exact dup
+            {"doc_id": 4, "text": near + " again today"},              # near dup
+            {"doc_id": 5, "text": "shared boiler one two three\nunique five six seven eight nine"},
+            {"doc_id": 6, "text": "shared boiler one two three\nother totally different text here ok"},
+        ]
+    )
+    cleaned, stats = clean_corpus(
+        docs, str(tmp_path / "spill"), min_tokens=5, near_dup_threshold=0.5
+    )
+    rows = {r["doc_id"]: r["text"] for r in cleaned.take_all()}
+    assert stats["n_input"] == 6
+    assert stats["n_after_quality"] == 5            # doc 1 gone
+    assert stats["n_after_exact"] == 4              # doc 3 gone
+    assert stats["n_after_near_dup"] == 3           # doc 4 gone
+    assert set(rows) == {2, 5, 6}
+    assert rows[2] == near
+    # doc 6 lost the shared boiler paragraph to doc 5 (keep-first)
+    assert rows[5].startswith("shared boiler")
+    assert rows[6] == "other totally different text here ok"
+
+
+def test_cli_clean(ray_session, tmp_path, capsys):
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from jamie_ray.__main__ import main
+
+    docs = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "tiny",
+                    "a perfectly reasonable document with enough tokens",
+                    "a perfectly reasonable document with enough tokens",
+                ],
+            }
+        ),
+        docs,
+    )
+    out = str(tmp_path / "cleaned")
+    main([
+        "clean", "--docs", docs, "--out", out,
+        "--spill", str(tmp_path / "spill"), "--min-tokens", "3",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_input"] == 3 and stats["n_after_near_dup"] == 1
+    rows = [
+        r
+        for f in sorted(glob.glob(f"{out}/*.parquet"))
+        for r in pq.read_table(f).to_pylist()
+    ]
+    assert [r["doc_id"] for r in rows] == [2]
