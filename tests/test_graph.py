@@ -132,3 +132,15 @@ def test_cc_empty_edges(ray_session):
         )
     )
     assert connected_components(empty, n_buckets=4).take_all() == []
+
+
+def test_cc_matches_union_find_moderate_graph(ray_session):
+    """3,000 random edges over 1,500 nodes (many mid-size components,
+    heavy duplicate edges) — distributed CC equals UnionFind exactly."""
+    rng = np.random.default_rng(42)
+    pairs = [
+        (int(a), int(b)) for a, b in rng.integers(0, 1500, size=(3000, 2))
+    ]
+    assert _cc_components(pairs, ray_session, n_buckets=64) == _uf_components(
+        pairs
+    )
