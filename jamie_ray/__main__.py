@@ -394,11 +394,15 @@ def cmd_bpe(args) -> None:
         min_freq=args.min_freq,
     )
     _pq.write_table(merges, args.out)
-    print(
-        json.dumps(
-            {"command": "bpe", "out": args.out, "n_merges": merges.num_rows}
+    out = {"command": "bpe", "out": args.out, "n_merges": merges.num_rows}
+    if args.apply_out:
+        from .functions.bpe import segment_corpus
+
+        segment_corpus(docs, merges, text_col=args.text_col).write_parquet(
+            args.apply_out
         )
-    )
+        out["apply_out"] = args.apply_out
+    print(json.dumps(out))
 
 
 def cmd_synth(args) -> None:
@@ -550,6 +554,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--text-col", dest="text_col", default="text")
     p.add_argument("--merges", type=int, default=200)
     p.add_argument("--min-freq", dest="min_freq", type=int, default=2)
+    p.add_argument(
+        "--apply-out", dest="apply_out", default=None,
+        help="also segment the corpus with the trained merges -> parquet dir",
+    )
     p.set_defaults(fn=cmd_bpe)
 
     p = sub.add_parser("synth", help="deterministic synthetic pages corpus")

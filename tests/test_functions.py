@@ -1206,12 +1206,20 @@ def test_cli_dedup_paras_and_bpe(ray_session, tmp_path, capsys):
     assert rows[2] == "other text"
 
     merges_out = str(tmp_path / "merges.parquet")
-    main(["bpe", "--docs", docs, "--out", merges_out, "--merges", "2"])
+    seg_out = str(tmp_path / "segmented")
+    main(["bpe", "--docs", docs, "--out", merges_out, "--merges", "2",
+          "--apply-out", seg_out])
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["n_merges"] == 2
     got = pq.read_table(merges_out).to_pylist()
     # (e,r) appears in boiler x2 + lower + other = 4, the corpus max
     assert got[0]["lhs"] == "e" and got[0]["rhs"] == "r" and got[0]["freq"] == 4
+    seg = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for f in sorted(glob.glob(f"{seg_out}/*.parquet"))
+        for r in pq.read_table(f).to_pylist()
+    }
+    assert set(seg) == {1, 2} and all(n > 0 for n in seg.values())
 
 
 def test_bpe_segment_corpus_matches_apply(ray_session):
