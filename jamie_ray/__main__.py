@@ -283,6 +283,8 @@ def cmd_ann_build(args) -> None:
 
     from .functions.similarity import build_ann_index
 
+    import os
+
     emb = ray.data.read_parquet(args.embeddings, columns=[args.id_col, args.vec_col])
     meta = build_ann_index(
         emb,
@@ -292,13 +294,19 @@ def cmd_ann_build(args) -> None:
         vec_col=args.vec_col,
         n_centroids=args.n_centroids,
     )
+    # occupied partition dirs on disk — accurate for both index kinds
+    n_partitions = sum(
+        1
+        for d in os.listdir(args.out)
+        if os.path.isdir(os.path.join(args.out, d))
+    )
     print(
         json.dumps(
             {
                 "command": "ann-build",
                 "out": args.out,
                 "kind": meta["kind"],
-                "n_partitions": meta.get("n_partitions"),
+                "n_partitions": n_partitions,
             }
         )
     )
@@ -309,20 +317,19 @@ def cmd_ann_query(args) -> None:
     from .functions.similarity import ann_probe_partitions, knn_indexed
 
     query = [float(x) for x in args.query.split(",")]
+    # probe plan computed ONCE and shared with the query
+    paths = ann_probe_partitions(
+        args.index, query, n_probe=args.n_probe, multiprobe=args.multiprobe
+    )
     tbl = knn_indexed(
         args.index, query, k=args.k, n_probe=args.n_probe,
-        multiprobe=args.multiprobe,
+        multiprobe=args.multiprobe, paths=paths,
     )
     print(
         json.dumps(
             {
                 "command": "ann-query",
-                "n_partitions_read": len(
-                    ann_probe_partitions(
-                        args.index, query, n_probe=args.n_probe,
-                        multiprobe=args.multiprobe,
-                    )
-                ),
+                "n_partitions_read": len(paths),
                 "rows": tbl.to_pylist(),
             }
         )

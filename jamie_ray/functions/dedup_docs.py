@@ -438,10 +438,16 @@ def minhash_clusters(
             )
         from .graph import assign_components, component_pairs
 
-        edges_ds = _verify_shuffle_join(
-            docs, cand_ds.materialize(), text_col, id_col, threshold, n_buckets
+        # no materialize here: cand_ds and the verified edge Dataset
+        # are each consumed exactly once (component_pairs materializes
+        # the canonicalized edges itself before iterating)
+        comp_ds = component_pairs(
+            _verify_shuffle_join(
+                docs, cand_ds, text_col, id_col, threshold, n_buckets
+            ),
+            "id_a",
+            "id_b",
         ).materialize()
-        comp_ds = component_pairs(edges_ds, "id_a", "id_b").materialize()
         ids_ds = docs.map_batches(
             lambda t: t.select([id_col]), batch_format="pyarrow"
         )
@@ -611,9 +617,11 @@ def minhash_clusters(
             from .graph import assign_components, component_pairs
 
             # the lean CC variant: map-assignment tolerates duplicate
-            # (node, root) rows and absent singletons (.get(i, i))
+            # (node, root) rows and absent singletons (.get(i, i)).
+            # No materialize on the edge Dataset — component_pairs
+            # consumes it once into its own materialized canonical set
             comp_ds = component_pairs(
-                verified_edges_ds().materialize(), "id_a", "id_b"
+                verified_edges_ds(), "id_a", "id_b"
             ).materialize()
             try:
                 for b in iter_capped_batches(

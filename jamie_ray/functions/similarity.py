@@ -702,6 +702,7 @@ def knn_indexed(
     n_probe: int = 2,
     multiprobe: int = 0,
     round_to: int = 6,
+    paths: list[str] | None = None,
 ) -> pa.Table:
     """Partition-pruned approximate cosine top-k against a
     :func:`build_ann_index` directory: ``read_parquet`` of ONLY the
@@ -712,13 +713,16 @@ def knn_indexed(
     with the same quantizer and probe count.
 
     ``n_probe`` applies to IVF indexes, ``multiprobe`` to LSH ones.
+    ``paths`` lets a caller that already computed the probe plan
+    (:func:`ann_probe_partitions`) pass it in instead of recomputing.
     """
     meta = _ann_meta(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     q = np.asarray(query, dtype=np.float64)
-    paths = ann_probe_partitions(
-        index_dir, query, n_probe=n_probe, multiprobe=multiprobe
-    )
+    if paths is None:
+        paths = ann_probe_partitions(
+            index_dir, query, n_probe=n_probe, multiprobe=multiprobe
+        )
     # expand probed dirs to explicit file lists (read_parquet on a
     # mixed list of directories trips pyarrow's file-open path)
     import glob

@@ -69,10 +69,21 @@ def clean_corpus(
     from ..state.collect import iter_capped_batches
     from ..state.worker_cache import cached_get
 
+    from ..functions.dedup_docs import _spill_input
+
+    # spill the raw input FIRST: a derived upstream executes exactly
+    # once (the repo-wide spill contract), n_input reads from parquet
+    # metadata, and every later pass is source-backed
+    docs = _spill_input(docs, os.path.join(spill_dir, "input"), [id_col, text_col])
     n_input = docs.count()
 
     def quality_gate(b: pa.Table) -> pa.Table:
-        b = repetition_batch(quality_score_batch(token_count_batch(b)))
+        b = repetition_batch(
+            quality_score_batch(
+                token_count_batch(b, text_col=text_col), text_col=text_col
+            ),
+            text_col=text_col,
+        )
         keep = pc.and_(
             pc.and_(
                 pc.greater_equal(b.column("n_tokens"), min_tokens),
@@ -81,8 +92,6 @@ def clean_corpus(
             pc.greater_equal(b.column("quality_micro"), min_quality_micro),
         )
         return b.filter(keep).select([id_col, text_col])
-
-    from ..functions.dedup_docs import _spill_input
 
     # downstream stages are multi-pass: spill the gated text once
     gated = _spill_input(
@@ -94,20 +103,27 @@ def clean_corpus(
 
     # exact dedup: the broadcast must distinguish "unique text" (keep)
     # from "losing duplicate" (drop), so it carries the winner id PER
-    # duplicated HASH — only groups with n_dups > 1 enter the map, so
-    # its size is bounded by duplicate mass, not corpus size.
+    # duplicated HASH. The n_dups > 1 filter runs DISTRIBUTED-side so
+    # the capped driver collection sees only duplicated groups —
+    # bounded by duplicate mass, never one row per distinct text.
+    dup_winners_ds = exact_dedup(
+        gated, text_col=text_col, id_col=id_col
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b.column("n_dups"), 1)).select(
+            ["text_hash", id_col]
+        ),
+        batch_format="pyarrow",
+    )
     win_by_hash: dict[str, int] = {}
     for b in iter_capped_batches(
-        exact_dedup(gated, text_col=text_col, id_col=id_col),
-        context="clean_corpus exact-dup winner map",
+        dup_winners_ds, context="clean_corpus exact-dup winner map"
     ):
-        for h, i, n in zip(
-            b.column("text_hash").to_pylist(),
-            b.column(id_col).to_pylist(),
-            b.column("n_dups").to_pylist(),
-        ):
-            if n > 1:
-                win_by_hash[h] = i
+        win_by_hash.update(
+            zip(
+                b.column("text_hash").to_pylist(),
+                b.column(id_col).to_pylist(),
+            )
+        )
     win_ref = ray.put(win_by_hash)
 
     def drop_losing_dups(b: pa.Table) -> pa.Table:

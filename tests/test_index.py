@@ -353,3 +353,32 @@ def test_cli_ann_build_and_query(ray_session, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"][0]["vec_id"] == 0
     assert out["n_partitions_read"] == 1
+
+
+def test_cli_ann_build_reports_real_partition_count(ray_session, tmp_path, capsys):
+    """n_partitions in the ann-build output counts occupied partition
+    dirs on disk (the review found the old meta key was always null)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jamie_ray.__main__ import main
+
+    emb = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [-1.0, 0.0]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        emb,
+    )
+    idx = str(tmp_path / "annidx2")
+    main(["ann-build", "--embeddings", emb, "--out", idx, "--n-centroids", "2"])
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_partitions"] == 2
