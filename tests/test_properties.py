@@ -35,8 +35,17 @@ _text = st.text(
     max_size=120,
 )
 
+# words starting with the literal WordPiece continuation marker "##"
+# are excluded: a surface token "##" is indistinguishable from a
+# continuation piece — the classic WordPiece ambiguity, which the
+# reference inherits from its tokenizer (utils.py WordPiece path), so
+# the subword<->word roundtrip contract does not cover them
 _words = st.lists(
-    st.text(alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E), min_size=1, max_size=9),
+    st.text(
+        alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+        min_size=1,
+        max_size=9,
+    ).filter(lambda w: not w.startswith("##")),
     min_size=1,
     max_size=10,
 )
