@@ -513,6 +513,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _dtt(docs, k=5)
 
+    def doc_decontaminate(sf_dir: str):
+        """Benchmark decontamination (Brown et al. 2020 app. C shape):
+        the ``source = 'src0'`` slice plays the held-out benchmark; its
+        distinct word-4-grams are collected once under the edge cap and
+        broadcast (``ray.put``) to a streaming flag pass over the rest
+        of the corpus — no shuffle, no join on the corpus side. Grams
+        use the RE2-exact ``\\s+`` tokenization so the DuckDB twin
+        (explode + join + count) matches integer-exact."""
+        import pyarrow.compute as pc
+
+        from jamie_ray.functions.decontam import benchmark_ngram_set, decontaminate
+
+        bench = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        ).map_batches(
+            lambda b: b.filter(pc.equal(b.column("source"), "src0")).drop_columns(
+                ["source"]
+            ),
+            batch_format="pyarrow",
+        )
+        grams = benchmark_ngram_set(bench, n=4)
+        corpus = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        ).map_batches(
+            lambda b: b.filter(
+                pc.not_equal(b.column("source"), "src0")
+            ).drop_columns(["source"]),
+            batch_format="pyarrow",
+        )
+        return decontaminate(corpus, grams, n=4)
+
     def kg_writers_out(sf_dir: str):
         """All three writer sinks (XML / brat / pmhs) in one
         registration: the tagged chunks are scored ONCE (materialized —
@@ -928,8 +959,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": events_hopping_window,
         "events_sketches": events_sketches,
         "top_orders": rel.top_orders,
-        "filter_docs": rel.filter_docs,
-        "union_docs": rel.union_docs,
+        # filter_docs + union_docs folded into one slot (two tagged
+        # views) to free the window slot doc_decontaminate now uses
+        "docs_filter_union": rel.filter_union_docs,
+        "doc_decontaminate": doc_decontaminate,
         "segment_revenue": rel.segment_revenue,
         "nation_revenue": rel.nation_revenue,
         "shipping_priority": rel.shipping_priority,
@@ -1219,11 +1252,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
         """,
-        "filter_docs": "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 200 AND lang = 'en'",
-        "union_docs": """
-            SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+        "docs_filter_union": """
+            SELECT doc_id, lang, n_chars, 'filtered' AS view
+            FROM documents WHERE n_chars >= 200 AND lang = 'en'
             UNION ALL
-            SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en' AND n_chars < 100
+            SELECT doc_id, lang, n_chars, 'union' AS view
+            FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT doc_id, lang, n_chars, 'union' AS view
+            FROM documents WHERE lang <> 'en' AND n_chars < 100
+        """,
+        "doc_decontaminate": r"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, source,
+                     CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                          WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(w) - 2),
+                                 i -> array_to_string(w[i:i+3], ' ')))
+                     END AS g
+              FROM tok
+            ), bench AS (
+              SELECT DISTINCT unnest(g) AS g FROM grams WHERE source = 'src0'
+            ), corpus AS (
+              SELECT doc_id, g FROM grams WHERE source <> 'src0'
+            ), hits AS (
+              SELECT e.doc_id, count(*) AS n_hits
+              FROM (SELECT doc_id, unnest(g) AS g FROM corpus) e
+              JOIN bench b USING (g)
+              GROUP BY e.doc_id
+            )
+            SELECT c.doc_id,
+                   len(c.g) AS n_grams,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+            FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
         """,
         "segment_revenue": """
             SELECT c.c_mktsegment,

@@ -132,6 +132,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "doc_analysis",
         "doc_top_terms",
         "dedup_docs_exact",
+        "doc_decontaminate",
         "docs_paragraph_dedup",
         "bpe_merges",
         "docs_minhash_clusters",

@@ -27,6 +27,8 @@ Commands
 - ``ann-build``    embeddings parquet -> materialized ANN index
 - ``ann-query``    top-k cosine probe of a materialized ANN index
 - ``dedup-paras``  documents parquet -> keep-first paragraph dedup
+- ``decontam``     flag corpus docs sharing word n-grams with a
+                   benchmark parquet (broadcast set, no shuffle)
 - ``clean``        composite cleaning: quality gate + exact dedup +
                    paragraph dedup + near-dup collapse
 - ``bpe``          documents parquet -> trained BPE merge table
@@ -367,6 +369,39 @@ def cmd_dedup_paras(args) -> None:
     )
 
 
+def cmd_decontam(args) -> None:
+    _ensure_ray()
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from .functions.decontam import benchmark_ngram_set, decontaminate
+
+    bench = ray.data.read_parquet(args.bench, columns=[args.text_col])
+    grams = benchmark_ngram_set(bench, n=args.n)
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    decontaminate(
+        docs, grams, n=args.n, text_col=args.text_col, hashed=args.hashed
+    ).write_parquet(args.out)
+    import glob as _glob
+
+    n_docs = n_flagged = 0
+    for f in sorted(_glob.glob(f"{args.out}/*.parquet")):
+        t = _pq.read_table(f, columns=["contaminated"])
+        n_docs += t.num_rows
+        n_flagged += sum(t.column("contaminated").to_pylist())
+    print(
+        json.dumps(
+            {
+                "command": "decontam",
+                "out": args.out,
+                "n_bench_grams": len(grams),
+                "n_docs": n_docs,
+                "n_contaminated": n_flagged,
+            }
+        )
+    )
+
+
 def cmd_clean(args) -> None:
     _ensure_ray()
     import ray.data
@@ -538,6 +573,23 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
     p.set_defaults(fn=cmd_dedup_paras)
+
+    p = sub.add_parser(
+        "decontam",
+        help="flag corpus docs sharing word n-grams with a benchmark parquet",
+    )
+    p.add_argument("--docs", required=True, help="corpus documents parquet")
+    p.add_argument("--bench", required=True, help="benchmark documents parquet")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n", type=int, default=8)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument(
+        "--hashed",
+        action="store_true",
+        help="broadcast 64-bit gram hashes instead of strings (big benchmarks)",
+    )
+    p.set_defaults(fn=cmd_decontam)
 
     p = sub.add_parser(
         "clean",

@@ -325,6 +325,23 @@ def union_docs(sf_dir: str) -> ray.data.Dataset:
     return en.union(short)
 
 
+def filter_union_docs(sf_dir: str) -> ray.data.Dataset:
+    """Folded driver registration of M12 (``filter_docs``) and O7
+    (``union_docs``): one slot in the 50-query check window, two
+    value-checked views distinguished by a ``view`` tag column. Both
+    per-view functions remain public API."""
+
+    def tag(ds: ray.data.Dataset, view: str) -> ray.data.Dataset:
+        return ds.map_batches(
+            lambda b, v=view: b.append_column(
+                "view", pa.array([v] * b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+    return tag(filter_docs(sf_dir), "filtered").union(tag(union_docs(sf_dir), "union"))
+
+
 # ---------------------------------------------------------------------------
 # joins (broadcast pattern)
 # ---------------------------------------------------------------------------
