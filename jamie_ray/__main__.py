@@ -377,7 +377,7 @@ def cmd_decontam(args) -> None:
     from .functions.decontam import benchmark_ngram_set, decontaminate
 
     bench = ray.data.read_parquet(args.bench, columns=[args.text_col])
-    grams = benchmark_ngram_set(bench, n=args.n)
+    grams = benchmark_ngram_set(bench, n=args.n, text_col=args.text_col)
     docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
     decontaminate(
         docs, grams, n=args.n, text_col=args.text_col, hashed=args.hashed

@@ -23,10 +23,14 @@ canonical broadcast pattern, never a shuffle join:
 Exactness: grams are compared as strings built from the RE2-exact
 ``\\s+`` tokenization (:func:`~jamie_ray.functions.text_analysis.ws_tokens`),
 bit-exact with the DuckDB ``string_split_regex(text, '\\s+')`` twin in
-``__ray_entry__.oracle_sql``. ``hashed=True`` broadcasts 64-bit stable
-hashes instead of strings (8 B/gram — the shape for a very large
-benchmark) at a documented ~|bench|·|doc grams|/2^64 false-positive
-collision risk; the default stays exact.
+``__ray_entry__.oracle_sql``. ``hashed=True`` hashes the benchmark
+ONCE on the driver and broadcasts a sorted ``uint64`` array (8 B/gram
+— the shape for a very large benchmark) at a documented
+~|bench|·|doc grams|/2^64 false-positive collision risk; the default
+stays exact. Corpus-side gram hashing goes through a per-worker
+vocabulary cache (the ``dedup_docs._SHINGLE_HASH_CACHE`` argument
+applies verbatim: real text repeats grams heavily, so the blake2b
+cost is vocabulary-sized, not occurrence-sized).
 
 n-gram convention matches ``doc_ngram_jaccard`` (and its SQL twin):
 empty text -> no grams; <= n tokens -> the whole doc as one gram;
@@ -42,10 +46,38 @@ import pyarrow as pa
 import ray
 
 from ..hashing import stable_hash64
-from ..state.collect import DEFAULT_EDGE_CAP, EdgeCapExceeded, iter_capped_batches
+from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
 from .text_analysis import ws_tokens
 
-__all__ = ["doc_grams", "benchmark_ngram_set", "decontaminate"]
+__all__ = ["doc_grams", "benchmark_ngram_set", "decontaminate", "gram_hash"]
+
+# per-worker gram-hash cache (vocabulary-sized, capped)
+_GRAM_HASH_CACHE: dict[str, int] = {}
+_GRAM_CACHE_CAP = 1 << 20
+
+
+def gram_hash(g: str) -> int:
+    """``stable_hash64`` of a gram string through the per-worker cache
+    — the SAME function on the benchmark and corpus sides, so hashed
+    membership is exactly string membership minus 2^-64 collisions."""
+    h = _GRAM_HASH_CACHE.get(g)
+    if h is None:
+        h = stable_hash64(g)
+        if len(_GRAM_HASH_CACHE) < _GRAM_CACHE_CAP:
+            _GRAM_HASH_CACHE[g] = h
+    return h
+
+
+def _to_hash_array(grams) -> np.ndarray:
+    """Sorted uint64 hash array from gram strings or precomputed 64-bit
+    ints (``int`` or ``np.integer`` — e.g. ``hash_str_array`` output)."""
+    arr = np.fromiter(
+        (g if isinstance(g, (int, np.integer)) else gram_hash(g) for g in grams),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+    arr.sort()
+    return arr
 
 
 def doc_grams(text: str | None, n: int = 3) -> set[str]:
@@ -78,15 +110,10 @@ def benchmark_ngram_set(
 
     per_block = bench_ds.map_batches(block_grams, batch_format="pyarrow")
     out: set[str] = set()
+    # iter_capped_batches bounds streamed (pre-union) rows, and the
+    # union is never larger, so no separate post-union check is needed
     for batch in iter_capped_batches(per_block, cap, context="benchmark n-gram set"):
         out.update(batch.column("g").to_pylist())
-        if len(out) > cap:  # the streamed row cap bounds PRE-union rows;
-            # the union can only be smaller, but check anyway for clarity
-            raise EdgeCapExceeded(
-                f"benchmark n-gram set: {len(out)} distinct grams > cap "
-                f"{cap}. A benchmark this large is a misconfigured input "
-                "— pass cap= explicitly if intentional."
-            )
     return frozenset(out)
 
 
@@ -100,14 +127,12 @@ class _FlagContaminated:
             ray.get(grams_ref) if isinstance(grams_ref, ray.ObjectRef) else grams_ref
         )
         if hashed:
-            # frozenset of ints (or precomputed ndarray) -> sorted array
-            # for O(log n) vectorized membership via searchsorted
-            arr = np.fromiter(
-                (g if isinstance(g, int) else stable_hash64(g) for g in grams),
-                dtype=np.uint64,
-                count=len(grams),
+            # decontaminate() already ships a sorted uint64 array;
+            # normalize here too for callers passing a pre-put ref of
+            # raw grams. Sorted for O(log n) searchsorted membership.
+            self.bench_hashes = (
+                np.sort(grams) if isinstance(grams, np.ndarray) else _to_hash_array(grams)
             )
-            self.bench_hashes = np.sort(arr)
             self.bench = None
         else:
             self.bench = grams if isinstance(grams, frozenset) else frozenset(grams)
@@ -121,7 +146,7 @@ class _FlagContaminated:
         if not grams:
             return 0
         h = np.fromiter(
-            (stable_hash64(g) for g in grams), dtype=np.uint64, count=len(grams)
+            (gram_hash(g) for g in grams), dtype=np.uint64, count=len(grams)
         )
         idx = np.searchsorted(self.bench_hashes, h)
         in_range = idx < len(self.bench_hashes)
@@ -162,12 +187,21 @@ def decontaminate(
     observable.
 
     ``benchmark`` may be a plain set/iterable of gram strings, an
-    ``ObjectRef`` from a prior ``ray.put`` (re-used across calls), or —
-    with ``hashed=True`` — a set of 64-bit ``stable_hash64`` ints.
+    ``ObjectRef`` from a prior ``ray.put`` (shipped verbatim, re-used
+    across calls), or — with ``hashed=True`` — gram strings OR 64-bit
+    ``stable_hash64`` ints (``int``/``np.integer``); either way the
+    hashed path broadcasts ONE sorted uint64 array, hashed on the
+    driver, so the 8 B/gram object-store footprint is realized and
+    actors never re-hash the benchmark.
     """
-    ref = benchmark if isinstance(benchmark, ray.ObjectRef) else ray.put(
-        benchmark if isinstance(benchmark, frozenset) else frozenset(benchmark)
-    )
+    if isinstance(benchmark, ray.ObjectRef):
+        ref = benchmark
+    elif hashed:
+        ref = ray.put(_to_hash_array(benchmark))
+    else:
+        ref = ray.put(
+            benchmark if isinstance(benchmark, frozenset) else frozenset(benchmark)
+        )
     return docs_ds.map_batches(
         _FlagContaminated,
         fn_constructor_args=(ref, n, text_col, hashed),

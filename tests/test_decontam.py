@@ -77,6 +77,11 @@ def test_decontaminate_planted(ray_session):
     assert "text" not in out.column_names  # text never leaves the stage
 
 
+def _rows(t: pa.Table):
+    cols = sorted(t.column_names)
+    return sorted(map(tuple, zip(*[t.column(c).to_pylist() for c in cols])))
+
+
 def test_hashed_path_matches_exact(ray_session):
     grams = benchmark_ngram_set(_bench_ds(), n=3)
     exact = pa.Table.from_pylist(
@@ -85,8 +90,26 @@ def test_hashed_path_matches_exact(ray_session):
     hashed = pa.Table.from_pylist(
         decontaminate(_corpus_ds(), grams, n=3, hashed=True).take_all()
     )
-    key = lambda t: sorted(map(tuple, zip(*[t.column(c).to_pylist() for c in sorted(t.column_names)])))
-    assert key(exact) == key(hashed)
+    assert _rows(exact) == _rows(hashed)
+
+
+def test_hashed_accepts_precomputed_int_hashes(ray_session):
+    import numpy as np
+
+    from jamie_ray.functions.decontam import gram_hash
+
+    grams = benchmark_ngram_set(_bench_ds(), n=3)
+    # both plain ints and np.uint64 (e.g. hash_str_array output) work
+    as_ints = {gram_hash(g) for g in grams}
+    as_np = {np.uint64(h) for h in as_ints}
+    exact = pa.Table.from_pylist(
+        decontaminate(_corpus_ds(), grams, n=3, hashed=False).take_all()
+    )
+    for bench in (as_ints, as_np):
+        got = pa.Table.from_pylist(
+            decontaminate(_corpus_ds(), bench, n=3, hashed=True).take_all()
+        )
+        assert _rows(got) == _rows(exact)
 
 
 def test_objectref_benchmark_reused(ray_session):
@@ -108,21 +131,26 @@ def test_cli_decontam(ray_session, tmp_path, capsys):
 
     from jamie_ray.__main__ import main
 
+    # non-default text column: regression for the benchmark pass
+    # dropping --text-col (review finding)
     docs = str(tmp_path / "docs.parquet")
     pq.write_table(
         pa.table(
             {
                 "doc_id": pa.array([c[0] for c in CORPUS], pa.int64()),
-                "text": pa.array([c[1] for c in CORPUS], pa.string()),
+                "body": pa.array([c[1] for c in CORPUS], pa.string()),
             }
         ),
         docs,
     )
     bench = str(tmp_path / "bench.parquet")
-    pq.write_table(pa.table({"text": pa.array(BENCH_DOCS)}), bench)
+    pq.write_table(pa.table({"body": pa.array(BENCH_DOCS)}), bench)
 
     out = str(tmp_path / "flags")
-    main(["decontam", "--docs", docs, "--bench", bench, "--out", out, "--n", "3"])
+    main(
+        ["decontam", "--docs", docs, "--bench", bench, "--out", out,
+         "--n", "3", "--text-col", "body"]
+    )
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["n_docs"] == len(CORPUS)
     assert stats["n_contaminated"] == sum(_EXPECTED.values())
