@@ -369,6 +369,40 @@ def cmd_dedup_paras(args) -> None:
     )
 
 
+def cmd_url_dedup(args) -> None:
+    _ensure_ray()
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from .functions.urlnorm import url_dedup
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.url_col])
+    url_dedup(
+        docs,
+        url_col=args.url_col,
+        id_col=args.id_col,
+        strip_www=not args.keep_www,
+    ).write_parquet(args.out)
+    import glob as _glob
+
+    n_urls = n_rows = 0
+    for f in sorted(_glob.glob(f"{args.out}/*.parquet")):
+        t = _pq.read_table(f, columns=["n_dups"])
+        n_urls += t.num_rows
+        n_rows += sum(t.column("n_dups").to_pylist())
+    print(
+        json.dumps(
+            {
+                "command": "url-dedup",
+                "out": args.out,
+                "n_canonical_urls": n_urls,
+                "n_input_rows": n_rows,
+                "n_dropped": n_rows - n_urls,
+            }
+        )
+    )
+
+
 def cmd_decontam(args) -> None:
     _ensure_ray()
     import pyarrow.parquet as _pq
@@ -573,6 +607,20 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
     p.set_defaults(fn=cmd_dedup_paras)
+
+    p = sub.add_parser(
+        "url-dedup", help="pages -> keep-first dedup by canonical URL"
+    )
+    p.add_argument("--docs", required=True, help="pages parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--url-col", dest="url_col", default="url")
+    p.add_argument(
+        "--keep-www",
+        action="store_true",
+        help="do not strip a leading www. from hosts",
+    )
+    p.set_defaults(fn=cmd_url_dedup)
 
     p = sub.add_parser(
         "decontam",

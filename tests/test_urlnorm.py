@@ -1,0 +1,159 @@
+"""URL canonicalization: golden forms, idempotence property,
+keep-first dedup combiner vs a driver-side replay."""
+
+import pyarrow as pa
+import ray
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jamie_ray.functions.urlnorm import (
+    add_canonical_url,
+    canonicalize_url,
+    url_dedup,
+)
+
+# (raw, canonical) — one line per rule
+GOLDENS = [
+    # scheme + host lowercase
+    ("HTTPS://Example.COM/a", "https://example.com/a"),
+    # www. stripped (default)
+    ("https://www.example.com/a", "https://example.com/a"),
+    # bare www.<tld> NOT stripped (host would lose its registrable part)
+    ("https://www.com/a", "https://www.com/a"),
+    # default port dropped, non-default kept
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    # fragment dropped
+    ("https://example.com/a#sec-2", "https://example.com/a"),
+    # tracking params dropped, survivors sorted by (key, value)
+    (
+        "https://example.com/a?utm_source=x&b=2&a=1&fbclid=zz&a=0",
+        "https://example.com/a?a=0&a=1&b=2",
+    ),
+    # blank values survive; ref is tracking
+    ("https://example.com/a?q=&ref=home", "https://example.com/a?q="),
+    # empty path -> /, trailing slash stripped on non-root
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/a/b/", "https://example.com/a/b"),
+    ("https://example.com/", "https://example.com/"),
+    # userinfo dropped
+    ("https://user:pw@example.com/a", "https://example.com/a"),
+    # junk passes through unchanged
+    ("not a url", "not a url"),
+    ("/relative/only", "/relative/only"),
+]
+
+
+def test_goldens():
+    for raw, want in GOLDENS:
+        assert canonicalize_url(raw) == want, raw
+
+
+def test_none_and_strip_www_flag():
+    assert canonicalize_url(None) is None
+    assert (
+        canonicalize_url("https://www.example.com/a", strip_www=False)
+        == "https://www.example.com/a"
+    )
+
+
+_seg = st.text(
+    alphabet=st.sampled_from("abcXYZ09-._~%"), min_size=0, max_size=6
+)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HtTpS"]))
+    host = ".".join(
+        draw(
+            st.lists(
+                st.text(st.sampled_from("abcWWW09-"), min_size=1, max_size=5),
+                min_size=1,
+                max_size=4,
+            )
+        )
+    )
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = "/".join([""] + draw(st.lists(_seg, max_size=4)))
+    keys = st.sampled_from(["a", "b", "utm_source", "ref", "pk_vid", "Q"])
+    q = "&".join(
+        f"{draw(keys)}={draw(_seg)}"
+        for _ in range(draw(st.integers(0, 4)))
+    )
+    frag = draw(st.sampled_from(["", "#x", "#frag-2"]))
+    return f"{scheme}://{host}{port}{path}" + (f"?{q}" if q else "") + frag
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls())
+def test_canonicalize_idempotent(url):
+    once = canonicalize_url(url)
+    assert canonicalize_url(once) == once
+
+
+def _corpus():
+    # planted: ids 1-4 are one page under four cosmetic disguises;
+    # 5-6 a second page; 7 junk; 8 distinct page
+    rows = [
+        (1, "https://www.Example.com/p/01/?utm_source=feed&b=2&a=1"),
+        (2, "https://example.com:443/p/01?a=1&b=2&fbclid=x#top"),
+        (3, "HTTPS://EXAMPLE.COM/p/01/?b=2&a=1"),
+        (4, "https://example.com/p/01?b=2&a=1&utm_medium=rss"),
+        (5, "http://site.org/home#s1"),
+        (6, "http://site.org:80/home"),
+        (7, "not a url"),
+        (8, "https://example.com/p/02?a=1&b=2"),
+    ]
+    return rows
+
+
+def test_add_canonical_url_column(ray_session):
+    rows = _corpus()
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r["canonical_url"]
+        for r in add_canonical_url(ds).take_all()
+    }
+    for doc_id, raw in rows:
+        assert out[doc_id] == canonicalize_url(raw)
+    assert out[1] == out[2] == out[3] == out[4]
+    assert out[5] == out[6]
+
+
+def test_url_dedup_matches_driver_replay(ray_session):
+    rows = _corpus()
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(4)  # force the combiner to actually merge partials
+
+    got = sorted(
+        (r["canonical_url"], r["doc_id"], r["n_dups"])
+        for r in url_dedup(ds).take_all()
+    )
+
+    # independent driver-side replay of the keep-first rule
+    expected: dict[str, list[int]] = {}
+    for doc_id, raw in rows:
+        expected.setdefault(canonicalize_url(raw), []).append(doc_id)
+    want = sorted(
+        (curl, min(ids), len(ids)) for curl, ids in expected.items()
+    )
+    assert got == want
+    # the planted 4-way collapse actually collapsed
+    by_url = {c: (i, n) for c, i, n in got}
+    assert by_url[canonicalize_url(rows[0][1])] == (1, 4)
+    assert by_url[canonicalize_url(rows[4][1])] == (5, 2)
