@@ -442,7 +442,8 @@ def cmd_clean(args) -> None:
 
     from .pipelines.clean import clean_corpus
 
-    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    cols = [args.id_col, args.text_col] + ([args.url_col] if args.url_col else [])
+    docs = ray.data.read_parquet(args.docs, columns=cols)
     cleaned, stats = clean_corpus(
         docs,
         args.spill,
@@ -450,6 +451,7 @@ def cmd_clean(args) -> None:
         id_col=args.id_col,
         min_tokens=args.min_tokens,
         near_dup_threshold=args.near_dup_threshold,
+        url_col=args.url_col,
     )
     cleaned.write_parquet(args.out)
     print(json.dumps({"command": "clean", "out": args.out, **stats}))
@@ -651,6 +653,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--min-tokens", dest="min_tokens", type=int, default=5)
     p.add_argument(
         "--near-dup-threshold", dest="near_dup_threshold", type=float, default=0.8
+    )
+    p.add_argument(
+        "--url-col",
+        dest="url_col",
+        default=None,
+        help="enable canonical-URL keep-first dedup as stage 0",
     )
     p.set_defaults(fn=cmd_clean)
 

@@ -2,6 +2,9 @@
 preparation chain (cf. Gopher/C4/RefinedWeb-style pipelines in the
 public literature), composed from this engine's first-class operators:
 
+0. **URL dedup** (opt-in, ``url_col=``): keep-first by canonical URL
+   (``urlnorm.url_dedup``) — the cheap crawl-level pass that removes
+   re-crawls under cosmetic URL variants before any content hashing;
 1. **quality gate** (vectorized ``map_batches``): drop docs below a
    token floor, above a repetition ceiling (``repetition_batch``), or
    below a quality-score floor (``quality_score_batch``);
@@ -45,6 +48,7 @@ def clean_corpus(
     max_dup3gram_micro: int = DEFAULT_MAX_DUP3GRAM,
     min_quality_micro: int = DEFAULT_MIN_QUALITY,
     near_dup_threshold: float = 0.8,
+    url_col: str | None = None,
 ):
     """documents -> (cleaned Dataset ``(doc_id, text)``, stats dict).
 
@@ -52,7 +56,9 @@ def clean_corpus(
     text, re-read by the multi-pass near-dup stage. Stats fields:
     ``n_input``, ``n_after_quality``, ``n_after_exact``,
     ``n_after_near_dup`` (paragraph dedup rewrites text but never
-    drops documents, so it has no count of its own).
+    drops documents, so it has no count of its own), plus
+    ``n_after_url`` when ``url_col`` is given (keep-first by
+    canonical URL, default ``strip_www`` canonicalization).
     """
     import os
 
@@ -74,8 +80,60 @@ def clean_corpus(
     # spill the raw input FIRST: a derived upstream executes exactly
     # once (the repo-wide spill contract), n_input reads from parquet
     # metadata, and every later pass is source-backed
-    docs = _spill_input(docs, os.path.join(spill_dir, "input"), [id_col, text_col])
+    input_cols = [id_col, text_col] + ([url_col] if url_col else [])
+    docs = _spill_input(docs, os.path.join(spill_dir, "input"), input_cols)
     n_input = docs.count()
+
+    n_after_url: int | None = None
+    if url_col is not None:
+        # stage 0: keep-first by canonical URL. Same broadcast shape as
+        # the exact-dup stage: the n_dups > 1 filter runs distributed-
+        # side so the capped driver map covers only DUPLICATED canonical
+        # URLs — bounded by re-crawl mass, never one row per page.
+        from ..functions.urlnorm import canonicalize_url, url_dedup
+
+        url_winners_ds = url_dedup(
+            docs, url_col=url_col, id_col=id_col
+        ).map_batches(
+            lambda b: b.filter(pc.greater(b.column("n_dups"), 1)).select(
+                ["canonical_url", id_col]
+            ),
+            batch_format="pyarrow",
+        )
+        win_by_url: dict[str, int] = {}
+        for b in iter_capped_batches(
+            url_winners_ds, context="clean_corpus url-dup winner map"
+        ):
+            win_by_url.update(
+                zip(
+                    b.column("canonical_url").to_pylist(),
+                    b.column(id_col).to_pylist(),
+                )
+            )
+        url_win_ref = ray.put(win_by_url)
+
+        def drop_losing_urls(b: pa.Table) -> pa.Table:
+            wins = cached_get(url_win_ref, "clean_url_win_map")
+            mask = [
+                (w is None) or (w == i)
+                for i, w in (
+                    (i, wins.get(canonicalize_url(u)))
+                    for i, u in zip(
+                        b.column(id_col).to_pylist(),
+                        b.column(url_col).to_pylist(),
+                    )
+                )
+            ]
+            return b.filter(pa.array(mask, pa.bool_())).select(
+                [id_col, text_col]
+            )
+
+        docs = _spill_input(
+            docs.map_batches(drop_losing_urls, batch_format="pyarrow"),
+            os.path.join(spill_dir, "url"),
+            [id_col, text_col],
+        )
+        n_after_url = docs.count()
 
     def quality_gate(b: pa.Table) -> pa.Table:
         b = repetition_batch(
@@ -196,4 +254,6 @@ def clean_corpus(
         "n_after_exact": n_after_exact,
         "n_after_near_dup": n_after_exact - len(drop_ids),
     }
+    if n_after_url is not None:
+        stats["n_after_url"] = n_after_url
     return final, stats

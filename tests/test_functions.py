@@ -1318,6 +1318,43 @@ def test_clean_corpus_stage_semantics(ray_session, tmp_path):
     assert rows[6] == "other totally different text here ok"
 
 
+def test_clean_corpus_url_stage(ray_session, tmp_path):
+    """url_col= enables keep-first canonical-URL dedup as stage 0:
+    a re-crawl under a cosmetic URL variant is dropped even though
+    its TEXT differs (so no later stage would catch it)."""
+    import ray.data
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    docs = ray.data.from_items(
+        [
+            {
+                "doc_id": 1,
+                "url": "https://www.Example.com/p/1/?utm_source=x",
+                "text": "first crawl of the page body with many tokens",
+            },
+            {
+                # same canonical URL, different text: only stage 0 drops it
+                "doc_id": 2,
+                "url": "https://example.com:443/p/1#frag",
+                "text": "second crawl body that drifted slightly over time",
+            },
+            {
+                "doc_id": 3,
+                "url": "https://example.com/p/2",
+                "text": "a completely different page kept as is today",
+            },
+        ]
+    )
+    cleaned, stats = clean_corpus(
+        docs, str(tmp_path / "spill"), min_tokens=3, url_col="url"
+    )
+    assert stats["n_input"] == 3
+    assert stats["n_after_url"] == 2  # doc 2 lost to doc 1 (keep-first)
+    assert stats["n_after_near_dup"] == 2
+    assert {r["doc_id"] for r in cleaned.take_all()} == {1, 3}
+
+
 def test_cli_clean(ray_session, tmp_path, capsys):
     import glob
     import json
