@@ -403,6 +403,26 @@ def cmd_url_dedup(args) -> None:
     )
 
 
+def cmd_pii(args) -> None:
+    _ensure_ray()
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from .functions.pii import mask_pii
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    mask_pii(docs, text_col=args.text_col).write_parquet(args.out)
+    import glob as _glob
+
+    totals = {"n_docs": 0, "n_emails": 0, "n_ips": 0, "n_phones": 0}
+    for f in sorted(_glob.glob(f"{args.out}/*.parquet")):
+        t = _pq.read_table(f, columns=["n_emails", "n_ips", "n_phones"])
+        totals["n_docs"] += t.num_rows
+        for c in ("n_emails", "n_ips", "n_phones"):
+            totals[c] += sum(t.column(c).to_pylist())
+    print(json.dumps({"command": "pii", "out": args.out, **totals}))
+
+
 def cmd_decontam(args) -> None:
     _ensure_ray()
     import pyarrow.parquet as _pq
@@ -623,6 +643,15 @@ def main(argv: list[str] | None = None) -> None:
         help="do not strip a leading www. from hosts",
     )
     p.set_defaults(fn=cmd_url_dedup)
+
+    p = sub.add_parser(
+        "pii", help="documents -> PII-masked corpus (<EMAIL>/<IP>/<PHONE>)"
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.set_defaults(fn=cmd_pii)
 
     p = sub.add_parser(
         "decontam",
