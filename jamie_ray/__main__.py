@@ -423,6 +423,33 @@ def cmd_pii(args) -> None:
     print(json.dumps({"command": "pii", "out": args.out, **totals}))
 
 
+def cmd_lm(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .functions.lm import score_perplexity, train_ngram_lm
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    train = (
+        ray.data.read_parquet(args.train, columns=[args.id_col, args.text_col])
+        if args.train
+        else docs
+    )
+    lm = train_ngram_lm(train, text_col=args.text_col, min_freq=args.min_freq)
+    score_perplexity(docs, lm, text_col=args.text_col).write_parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "command": "lm",
+                "out": args.out,
+                "vocab_unigrams": len(lm.uni),
+                "vocab_bigrams": len(lm.bi),
+                "total_tokens": lm.total,
+            }
+        )
+    )
+
+
 def cmd_decontam(args) -> None:
     _ensure_ray()
     import pyarrow.parquet as _pq
@@ -472,6 +499,7 @@ def cmd_clean(args) -> None:
         min_tokens=args.min_tokens,
         near_dup_threshold=args.near_dup_threshold,
         url_col=args.url_col,
+        pii=args.pii,
     )
     cleaned.write_parquet(args.out)
     print(json.dumps({"command": "clean", "out": args.out, **stats}))
@@ -654,6 +682,20 @@ def main(argv: list[str] | None = None) -> None:
     p.set_defaults(fn=cmd_pii)
 
     p = sub.add_parser(
+        "lm",
+        help="train an n-gram LM (optionally on --train) and score each doc's perplexity",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir to score")
+    p.add_argument(
+        "--train", default=None, help="training corpus parquet (default: --docs itself)"
+    )
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.add_argument("--min-freq", dest="min_freq", type=int, default=1)
+    p.set_defaults(fn=cmd_lm)
+
+    p = sub.add_parser(
         "decontam",
         help="flag corpus docs sharing word n-grams with a benchmark parquet",
     )
@@ -688,6 +730,11 @@ def main(argv: list[str] | None = None) -> None:
         dest="url_col",
         default=None,
         help="enable canonical-URL keep-first dedup as stage 0",
+    )
+    p.add_argument(
+        "--pii",
+        action="store_true",
+        help="append the PII-masking pass (<EMAIL>/<IP>/<PHONE>) as the last stage",
     )
     p.set_defaults(fn=cmd_clean)
 

@@ -49,6 +49,7 @@ def clean_corpus(
     min_quality_micro: int = DEFAULT_MIN_QUALITY,
     near_dup_threshold: float = 0.8,
     url_col: str | None = None,
+    pii: bool = False,
 ):
     """documents -> (cleaned Dataset ``(doc_id, text)``, stats dict).
 
@@ -59,6 +60,13 @@ def clean_corpus(
     drops documents, so it has no count of its own), plus
     ``n_after_url`` when ``url_col`` is given (keep-first by
     canonical URL, default ``strip_www`` canonicalization).
+
+    ``pii=True`` appends the PII-masking pass (``functions/pii.py``:
+    email/IPv4/phone sentinels) as the LAST stage — after dedup, so
+    masking can't merge documents that differed only in their PII,
+    and streaming, so it adds no pass over the spill. Output keeps
+    the ``(doc_id, text)`` contract (per-doc counts are available via
+    the standalone ``mask_pii``).
     """
     import os
 
@@ -248,6 +256,15 @@ def clean_corpus(
         return b.filter(pa.array(mask, pa.bool_()))
 
     final = cleaned.map_batches(drop_near_dups, batch_format="pyarrow")
+    if pii:
+        from ..functions.pii import pii_mask_batch
+
+        final = final.map_batches(
+            lambda b: pii_mask_batch(b, text_col=text_col).select(
+                [id_col, text_col]
+            ),
+            batch_format="pyarrow",
+        )
     stats = {
         "n_input": n_input,
         "n_after_quality": n_after_quality,

@@ -1355,6 +1355,34 @@ def test_clean_corpus_url_stage(ray_session, tmp_path):
     assert {r["doc_id"] for r in cleaned.take_all()} == {1, 3}
 
 
+def test_clean_corpus_pii_stage(ray_session, tmp_path):
+    """pii=True masks AFTER dedup: two docs that differ only in their
+    email survive as two docs (masking can't merge them), and the
+    survivors' text carries sentinels."""
+    import ray.data
+
+    from jamie_ray.functions.pii import MASK_EMAIL
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "contact alice@example.com for the quarterly report details"},
+            {"doc_id": 2, "text": "contact bob@example.com for the quarterly report details"},
+            {"doc_id": 3, "text": "a completely different page kept as is today"},
+        ]
+    )
+    cleaned, stats = clean_corpus(
+        docs, str(tmp_path / "spill"), min_tokens=3, near_dup_threshold=0.99, pii=True
+    )
+    rows = {r["doc_id"]: r["text"] for r in cleaned.take_all()}
+    assert stats["n_after_exact"] == 3  # masking runs after dedup
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == f"contact {MASK_EMAIL} for the quarterly report details"
+    assert rows[2] == rows[1]
+    assert "@" not in rows[1]
+    assert rows[3] == "a completely different page kept as is today"
+
+
 def test_cli_clean(ray_session, tmp_path, capsys):
     import glob
     import json
