@@ -114,12 +114,40 @@ def _minhash_direct(sf_dir: str, cc: str):
     return dedup_docs.minhash_clusters(docs, threshold=0.8, cc=cc)
 
 
+def _lm_perplexity(sf_dir: str):
+    """Train the bigram LM on the documents table and score the same
+    table (self-perplexity — the CCNet shape with train == score for
+    benchmarking; both passes timed as one line)."""
+    import ray.data
+
+    from jamie_ray.functions.lm import score_perplexity, train_ngram_lm
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    lm = train_ngram_lm(docs, min_freq=2)
+    return score_perplexity(docs, lm)
+
+
+def _pii_mask(sf_dir: str):
+    import ray.data
+
+    from jamie_ray.functions.pii import mask_pii
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return mask_pii(docs)
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
     qs["docs_minhash_clusters"] = lambda d: _minhash_direct(d, "driver")
     qs["docs_minhash_clusters_cc"] = lambda d: _minhash_direct(d, "distributed")
+    qs["lm_perplexity"] = _lm_perplexity
+    qs["pii_mask"] = _pii_mask
     picks = [
         "kg_triples",
         "agg_pricing_summary",
@@ -135,6 +163,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "doc_decontaminate",
         "docs_paragraph_dedup",
         "bpe_merges",
+        "lm_perplexity",
+        "pii_mask",
         "docs_minhash_clusters",
         "docs_minhash_clusters_cc",
         "docs_simhash_pairs",

@@ -423,6 +423,53 @@ def cmd_pii(args) -> None:
     print(json.dumps({"command": "pii", "out": args.out, **totals}))
 
 
+def cmd_pack(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .functions.packing import pack_sequences
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    assignments, n_seq = pack_sequences(
+        docs,
+        args.max_len,
+        spill_dir=args.spill,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        drop_remainder=args.drop_remainder,
+    )
+    assignments.write_parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "command": "pack",
+                "out": args.out,
+                "max_len": args.max_len,
+                "n_sequences": n_seq,
+            }
+        )
+    )
+
+
+def cmd_sample(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .functions.sampling import hash_sample
+
+    docs = ray.data.read_parquet(args.docs)
+    kept = hash_sample(docs, args.rate, id_col=args.id_col, salt=args.salt)
+    kept.write_parquet(args.out)
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_table(args.out, columns=[args.id_col]).num_rows
+    print(
+        json.dumps(
+            {"command": "sample", "out": args.out, "rate": args.rate, "n_kept": n}
+        )
+    )
+
+
 def cmd_lm(args) -> None:
     _ensure_ray()
     import ray.data
@@ -680,6 +727,33 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
     p.set_defaults(fn=cmd_pii)
+
+    p = sub.add_parser(
+        "pack",
+        help="documents -> fixed-token-budget training-sequence assignments",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--spill", required=True, help="parquet scratch dir")
+    p.add_argument("--max-len", dest="max_len", type=int, required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.add_argument(
+        "--drop-remainder", dest="drop_remainder", action="store_true",
+        help="drop the final partial sequence",
+    )
+    p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser(
+        "sample",
+        help="deterministic hash sample of a parquet corpus (reproducible, nested)",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--rate", type=float, required=True, help="keep probability in [0,1]")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--salt", default="", help="hash-family salt (same salt => nested samples)")
+    p.set_defaults(fn=cmd_sample)
 
     p = sub.add_parser(
         "lm",

@@ -1,0 +1,134 @@
+"""Deterministic corpus sampling and weighted mixture — the
+data-mixing step of every large-scale training-data pipeline (public
+recipes: The Pile, Gao et al. 2020 table 1 epoch weights; LLaMA,
+Touvron et al. 2023 table 1 sampling proportions; DoReMi, Xie et al.
+2023 domain reweighting).
+
+No RNG state anywhere (repo determinism rule): a row is kept iff
+``uniform01(mix64(hash(id), seed)) < rate`` — a pure function of the
+row id and the salt. Consequences, all pinned by ``test_sampling.py``:
+
+- **reproducible**: the same call yields the same sample on any block
+  layout, any cluster size, any run;
+- **nested**: at one salt, the sample at rate ``r1 <= r2`` is a SUBSET
+  of the sample at ``r2`` (both threshold the same per-id uniform), so
+  growing a data budget never churns already-selected documents;
+- **independent across salts**: different salts draw from independent
+  hash families (``mix64`` seed separation).
+
+Scale shape: sampling is a stateless vectorized ``map_batches`` filter
+(integer ids never leave numpy; string ids hash per-batch) — no
+shuffle, no driver state, nothing materialized. Mixing is a lazy
+``union`` of per-source streams; oversampling (weight > 1) emits
+``floor(w)`` full passes tagged ``epoch`` plus a fractional hash
+sample, which is how public mixtures express "2.5 epochs of source X".
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import hash_str_array, stable_hash64, uniform01
+
+__all__ = ["hash_sample", "mix_corpora"]
+
+
+def _id_uniform(ids: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
+    """Per-id deterministic uniform in [0, 1). Integer ids stay in
+    numpy end to end; strings hash per batch (vocabulary-sized work).
+    Null ids are rejected loudly — a sample keyed on null is a bug."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if ids.null_count:
+        raise ValueError("hash_sample: id column contains nulls")
+    if pa.types.is_integer(ids.type):
+        base = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        base = hash_str_array([str(v) for v in ids.to_pylist()])
+    return uniform01(base, seed)
+
+
+def hash_sample(
+    ds,
+    rate: float,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+):
+    """Keep each row with probability ``rate`` — deterministically, as
+    a pure function of ``(salt, row id)``. ``rate`` outside [0, 1]
+    raises. See the module docstring for the nesting / reproducibility
+    guarantees."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"hash_sample: rate {rate} outside [0, 1]")
+    seed = stable_hash64("hash_sample", salt) & ((1 << 32) - 1)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if rate >= 1.0:
+            return batch
+        if rate <= 0.0:
+            return batch.slice(0, 0)
+        mask = _id_uniform(batch.column(id_col), seed) < rate
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _tag(ds, source: str, epoch: int):
+    def add(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.append_column(
+            "source", pa.array([source] * n, pa.string())
+        )
+        return batch.append_column(
+            "epoch", pa.array(np.full(n, epoch, dtype=np.int32), pa.int32())
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def mix_corpora(
+    sources: list[tuple[str, "object", float]],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+):
+    """Weighted mixture of corpora: ``sources`` is a list of
+    ``(name, dataset, weight)``. Weight semantics follow the public
+    mixture tables: ``w <= 1`` downsamples to that fraction; ``w > 1``
+    emits ``floor(w)`` FULL passes over the source plus a fractional
+    hash sample of the remainder. Every output row carries ``source``
+    (the given name) and ``epoch`` (0-based; the fractional sample is
+    epoch ``floor(w)``). All sources must share a schema (including
+    ``id_col``); the result is a lazy union — nothing materializes.
+
+    The fractional sample's salt is ``{salt}:{name}`` so each source
+    draws an independent family and re-weighting one source never
+    perturbs another's selection."""
+    if not sources:
+        raise ValueError("mix_corpora: no sources")
+    parts = []
+    for name, ds, w in sources:
+        if w < 0:
+            raise ValueError(f"mix_corpora: negative weight for {name!r}")
+        full = math.floor(w)
+        frac = w - full
+        for e in range(full):
+            parts.append(_tag(ds, name, e))
+        if frac > 0:
+            parts.append(
+                _tag(
+                    hash_sample(
+                        ds, frac, id_col=id_col, salt=f"{salt}:{name}"
+                    ),
+                    name,
+                    full,
+                )
+            )
+    if not parts:
+        raise ValueError("mix_corpora: all weights are zero")
+    first, *rest = parts
+    return first.union(*rest) if rest else first

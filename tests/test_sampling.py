@@ -1,0 +1,109 @@
+"""Deterministic sampling / corpus mixing: edge rates, nesting,
+layout determinism, salt independence, rate accuracy, mixture
+epochs/tags, string ids, null rejection."""
+
+import pyarrow as pa
+import pytest
+import ray
+
+from jamie_ray.functions.sampling import hash_sample, mix_corpora
+
+N = 1000
+
+
+def _ids_ds(n=N):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([f"doc {i}" for i in range(n)], pa.string()),
+            }
+        )
+    )
+
+
+def _kept(ds):
+    return {r["doc_id"] for r in ds.take_all()}
+
+
+def test_edge_rates(ray_session):
+    ds = _ids_ds(50)
+    assert len(_kept(hash_sample(ds, 1.0))) == 50
+    assert len(_kept(hash_sample(ds, 0.0))) == 0
+    with pytest.raises(ValueError):
+        hash_sample(ds, 1.5)
+    with pytest.raises(ValueError):
+        hash_sample(ds, -0.1)
+
+
+def test_nesting_and_rate_accuracy(ray_session):
+    ds = _ids_ds()
+    k2 = _kept(hash_sample(ds, 0.2, salt="s"))
+    k5 = _kept(hash_sample(ds, 0.5, salt="s"))
+    k8 = _kept(hash_sample(ds, 0.8, salt="s"))
+    assert k2 <= k5 <= k8  # nested at one salt
+    # binomial sanity (N=1000; ~4 sigma windows)
+    assert 140 <= len(k2) <= 260
+    assert 440 <= len(k5) <= 560
+    assert 740 <= len(k8) <= 860
+
+
+def test_layout_determinism_and_salt_independence(ray_session):
+    ds = _ids_ds()
+    a = _kept(hash_sample(ds, 0.4, salt="a"))
+    a2 = _kept(hash_sample(ds.repartition(7), 0.4, salt="a"))
+    assert a == a2
+    b = _kept(hash_sample(ds, 0.4, salt="b"))
+    assert a != b  # different family
+    # overlap of two independent 0.4 samples ~ 0.16*N
+    assert 60 <= len(a & b) <= 280
+
+
+def test_string_ids_and_null_rejection(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([f"u{i}" for i in range(200)], pa.string())})
+    )
+    k = {r["doc_id"] for r in hash_sample(ds, 0.5).take_all()}
+    assert 40 <= len(k) <= 160
+    k2 = {
+        r["doc_id"]
+        for r in hash_sample(ds.repartition(3), 0.5).take_all()
+    }
+    assert k == k2
+    bad = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, None], pa.int64())})
+    )
+    with pytest.raises(Exception, match="nulls"):
+        hash_sample(bad, 0.5).take_all()
+
+
+def test_mix_corpora_epochs_and_tags(ray_session):
+    a = _ids_ds(100)
+    b = _ids_ds(100)
+    mixed = mix_corpora([("a", a, 2.5), ("b", b, 0.5)])
+    rows = mixed.take_all()
+    by = {}
+    for r in rows:
+        by.setdefault((r["source"], r["epoch"]), set()).add(r["doc_id"])
+    # two FULL epochs of a: identical complete id sets
+    assert by[("a", 0)] == by[("a", 1)] == set(range(100))
+    # fractional epoch 2 of a: proper subset, ~50
+    assert by[("a", 2)] < set(range(100))
+    assert 20 <= len(by[("a", 2)]) <= 80
+    # b: single fractional epoch 0
+    assert set(e for s, e in by if s == "b") == {0}
+    assert 20 <= len(by[("b", 0)]) <= 80
+    # re-weighting a never perturbs b's selection (independent salts)
+    again = mix_corpora([("a", a, 0.1), ("b", b, 0.5)]).take_all()
+    b_again = {r["doc_id"] for r in again if r["source"] == "b"}
+    assert b_again == by[("b", 0)]
+
+
+def test_mix_corpora_validation(ray_session):
+    ds = _ids_ds(10)
+    with pytest.raises(ValueError):
+        mix_corpora([])
+    with pytest.raises(ValueError):
+        mix_corpora([("a", ds, -1.0)])
+    with pytest.raises(ValueError):
+        mix_corpora([("a", ds, 0.0)])
