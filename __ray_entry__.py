@@ -441,27 +441,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(tag("distributed_cc"), batch_format="pyarrow")
         return via_driver.union(via_cc)
 
-    def docs_simhash(sf_dir: str):
-        """SimHash signatures, value-checked against the generator's
-        independent scalar implementation (fixtures._simhash_expected)."""
+    def docs_simhash_suite(sf_dir: str):
+        """SimHash signatures AND hamming-banded pairs, folded into one
+        kind-tagged registration (the ``kg_writers_out`` pattern) so
+        both value oracles ride one driver slot: ``kind='sig'`` rows are
+        ``(doc_id, simhash, -1)`` checked against the generator's
+        independent scalar implementation (fixtures._simhash_expected);
+        ``kind='pair'`` rows are ``(id_a, id_b, hamming)`` checked
+        against a banding-free brute force over all pairs, so the
+        pigeonhole blocking's recall is value-checked."""
+        import pyarrow as pa
+
         corpus = _kg_dir(sf_dir)
         docs = ray.data.read_parquet(
             f"{corpus}/documents_nd.parquet", columns=["doc_id", "text"]
-        )
-        return docs.map_batches(
-            lambda b: dedup_docs.simhash_batch(b).select(["doc_id", "simhash"]),
-            batch_format="pyarrow",
         )
 
-    def docs_simhash_pairs(sf_dir: str):
-        """SimHash hamming-banded pairs over the fixture documents;
-        the oracle is a banding-free brute force over all pairs, so
-        the pigeonhole blocking's recall is value-checked."""
-        corpus = _kg_dir(sf_dir)
-        docs = ray.data.read_parquet(
-            f"{corpus}/documents_nd.parquet", columns=["doc_id", "text"]
+        def sig_view(b: pa.Table) -> pa.Table:
+            b = dedup_docs.simhash_batch(b)
+            n = b.num_rows
+            return pa.table(
+                {
+                    "kind": pa.array(["sig"] * n, pa.string()),
+                    "a": b.column("doc_id"),
+                    "b": b.column("simhash"),
+                    "c": pa.array([-1] * n, pa.int64()),
+                }
+            )
+
+        def pair_view(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "kind": pa.array(["pair"] * n, pa.string()),
+                    "a": b.column("id_a"),
+                    "b": b.column("id_b"),
+                    "c": b.column("hamming"),
+                }
+            )
+
+        sigs = docs.map_batches(sig_view, batch_format="pyarrow")
+        pairs = dedup_docs.simhash_pairs(docs, max_hamming=8).map_batches(
+            pair_view, batch_format="pyarrow"
         )
-        return dedup_docs.simhash_pairs(docs, max_hamming=8)
+        return sigs.union(pairs)
+
+    def doc_pack_assignments(sf_dir: str):
+        """Sequence packing over the documents table (max_len=32 so
+        docs span sequences): per-(doc, sequence) token-span
+        assignments of the concatenated id-ordered token stream. The
+        oracle is PURE SQL: DuckDB recomputes the prefix sum with a
+        window function and explodes overlaps via generate_series."""
+        import os
+
+        from jamie_ray.functions.packing import pack_sequences
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        spill = (
+            f"/tmp/jamie_ray_pack_spill_{os.path.basename(os.path.normpath(sf_dir))}"
+        )
+        assignments, _ = pack_sequences(docs, 32, spill_dir=spill)
+        return assignments
 
     def doc_winnow(sf_dir: str):
         """Rolling-hash winnowing fingerprints per document, exploded
@@ -939,8 +981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_exact": dedup_docs_exact,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "docs_minhash_clusters": docs_minhash_clusters,
-        "docs_simhash": docs_simhash,
-        "docs_simhash_pairs": docs_simhash_pairs,
+        "docs_simhash_suite": docs_simhash_suite,
+        "doc_pack_assignments": doc_pack_assignments,
         # text analysis
         "doc_analysis": rel.doc_analysis,
         "doc_winnow": doc_winnow,
@@ -1482,10 +1524,39 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{d}/expected_minhash_clusters.parquet')
             """
         )(_kg_dir("/root/testdata/sf0.01")),
-        "docs_simhash_pairs": kg_sql(
-            "expected_simhash_pairs", "id_a, id_b, hamming"
-        ),
-        "docs_simhash": kg_sql("expected_simhash_sigs", "doc_id, simhash"),
+        "docs_simhash_suite": (
+            lambda d: f"""
+            SELECT 'sig' AS kind, doc_id AS a, simhash AS b, -1::BIGINT AS c
+            FROM read_parquet('{d}/expected_simhash_sigs.parquet')
+            UNION ALL
+            SELECT 'pair', id_a, id_b, hamming
+            FROM read_parquet('{d}/expected_simhash_pairs.parquet')
+            """
+        )(_kg_dir("/root/testdata/sf0.01")),
+        "doc_pack_assignments": """
+            WITH toks AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '')) AS n
+              FROM documents
+            ), offs AS (
+              SELECT doc_id, n,
+                     CAST(COALESCE(SUM(n) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS f
+              FROM toks WHERE n > 0
+            ), ex AS (
+              SELECT doc_id, f, n,
+                     unnest(generate_series(f // 32, (f + n - 1) // 32)) AS seq_id
+              FROM offs
+            )
+            SELECT seq_id, doc_id,
+                   GREATEST(f, seq_id * 32) - f AS tok_start,
+                   LEAST(f + n, (seq_id + 1) * 32) - f AS tok_end,
+                   GREATEST(f, seq_id * 32) - seq_id * 32 AS seq_tok_start
+            FROM ex
+        """,
         "doc_winnow": kg_sql("expected_winnow", "doc_id, pos, fingerprint"),
         "multimodal_suite": f"""
             SELECT 'image' AS modality, media_id, -1::BIGINT AS frame_idx,

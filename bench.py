@@ -129,6 +129,22 @@ def _lm_perplexity(sf_dir: str):
     return score_perplexity(docs, lm)
 
 
+def _simhash_pairs(sf_dir: str):
+    """Direct simhash-pair path so the bench line stays comparable
+    round-over-round after the driver registration folded sigs+pairs
+    into docs_simhash_suite."""
+    import ray.data
+
+    import __ray_entry__ as entrymod
+    from jamie_ray.functions import dedup_docs
+
+    corpus = entrymod._kg_dir(sf_dir)
+    docs = ray.data.read_parquet(
+        f"{corpus}/documents_nd.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_docs.simhash_pairs(docs, max_hamming=8)
+
+
 def _pii_mask(sf_dir: str):
     import ray.data
 
@@ -148,6 +164,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     qs["docs_minhash_clusters_cc"] = lambda d: _minhash_direct(d, "distributed")
     qs["lm_perplexity"] = _lm_perplexity
     qs["pii_mask"] = _pii_mask
+    qs["docs_simhash_pairs"] = _simhash_pairs
     picks = [
         "kg_triples",
         "agg_pricing_summary",

@@ -82,8 +82,7 @@ def test_rows_only_queries_run(name, ray_session):
     assert got.num_rows >= 0
     if name in (
         "docs_minhash_clusters",
-        "docs_simhash",
-        "docs_simhash_pairs",
+        "docs_simhash_suite",
         "doc_winnow",
         "multimodal_suite",
     ):
