@@ -182,6 +182,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "bpe_merges",
         "lm_perplexity",
         "pii_mask",
+        "doc_pack_assignments",
         "docs_minhash_clusters",
         "docs_minhash_clusters_cc",
         "docs_simhash_pairs",

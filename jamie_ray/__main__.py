@@ -423,6 +423,55 @@ def cmd_pii(args) -> None:
     print(json.dumps({"command": "pii", "out": args.out, **totals}))
 
 
+def cmd_ingest(args) -> None:
+    """JSONL / CSV / parquet corpus -> normalized documents parquet
+    (`doc_id`, `text`, passthrough extras) — the webtext interchange
+    front door; every downstream operator consumes the result."""
+    _ensure_ray()
+    import pyarrow as pa
+    import ray.data
+
+    fmt = args.format
+    if fmt == "auto":
+        low = args.inp.lower()
+        fmt = (
+            "jsonl"
+            if low.endswith((".jsonl", ".json", ".ndjson"))
+            else "csv"
+            if low.endswith((".csv", ".tsv"))
+            else "parquet"
+        )
+    if fmt == "jsonl":
+        ds = ray.data.read_json(args.inp)
+    elif fmt == "csv":
+        ds = ray.data.read_csv(args.inp)
+    elif fmt == "parquet":
+        ds = ray.data.read_parquet(args.inp)
+    else:
+        raise SystemExit(f"ingest: unknown format {fmt!r}")
+
+    id_col, text_col = args.id_col, args.text_col
+
+    def normalize(b: pa.Table) -> pa.Table:
+        for col in (id_col, text_col):
+            if col not in b.column_names:
+                raise ValueError(
+                    f"ingest: column {col!r} missing from input "
+                    f"(have {b.column_names})"
+                )
+        out = {"doc_id": b.column(id_col), "text": b.column(text_col)}
+        for c in b.column_names:
+            if c not in (id_col, text_col):
+                out[c] = b.column(c)
+        return pa.table(out)
+
+    ds.map_batches(normalize, batch_format="pyarrow").write_parquet(args.out)
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_table(args.out, columns=["doc_id"]).num_rows
+    print(json.dumps({"command": "ingest", "out": args.out, "format": fmt, "n_docs": n}))
+
+
 def cmd_pack(args) -> None:
     _ensure_ray()
     import ray.data
@@ -727,6 +776,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
     p.set_defaults(fn=cmd_pii)
+
+    p = sub.add_parser(
+        "ingest",
+        help="JSONL/CSV/parquet corpus -> normalized documents parquet",
+    )
+    p.add_argument("--in", dest="inp", required=True, help="input path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument(
+        "--format", default="auto", choices=["auto", "jsonl", "csv", "parquet"]
+    )
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser(
         "pack",

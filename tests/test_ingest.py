@@ -1,0 +1,52 @@
+"""ingest CLI: JSONL and CSV corpora -> normalized documents parquet
+(column renaming, extras passthrough, missing-column failure)."""
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from jamie_ray.__main__ import main
+
+
+def _run(capsys, *argv):
+    main(list(argv))
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_ingest_jsonl(ray_session, tmp_path, capsys):
+    src = tmp_path / "corpus.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps({"id": i, "body": f"doc {i} text", "lang": "en"})
+            for i in range(5)
+        )
+    )
+    out = str(tmp_path / "docs")
+    res = _run(
+        capsys,
+        "ingest", "--in", str(src), "--out", out,
+        "--id-col", "id", "--text-col", "body",
+    )
+    assert res["n_docs"] == 5 and res["format"] == "jsonl"
+    t = pq.read_table(out)
+    assert {"doc_id", "text", "lang"} <= set(t.column_names)
+    rows = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    assert rows[3] == "doc 3 text"
+
+
+def test_ingest_csv_and_missing_column(ray_session, tmp_path, capsys):
+    src = tmp_path / "corpus.csv"
+    src.write_text("doc_id,text\n1,alpha\n2,beta\n")
+    out = str(tmp_path / "docs_csv")
+    res = _run(capsys, "ingest", "--in", str(src), "--out", out)
+    assert res["n_docs"] == 2 and res["format"] == "csv"
+    t = pq.read_table(out)
+    assert sorted(t.column("text").to_pylist()) == ["alpha", "beta"]
+    with pytest.raises(Exception, match="missing"):
+        _run(
+            capsys,
+            "ingest", "--in", str(src), "--out", str(tmp_path / "bad"),
+            "--text-col", "nope",
+        )
