@@ -423,6 +423,37 @@ def cmd_pii(args) -> None:
     print(json.dumps({"command": "pii", "out": args.out, **totals}))
 
 
+def cmd_dedup_spans(args) -> None:
+    _ensure_ray()
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from .functions.dedup_docs import span_dedup
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    span_dedup(
+        docs, text_col=args.text_col, id_col=args.id_col, min_len=args.min_len
+    ).write_parquet(args.out)
+    import glob as _glob
+
+    n_docs = n_cut = 0
+    for f in sorted(_glob.glob(f"{args.out}/*.parquet")):
+        t = _pq.read_table(f, columns=["n_cut_tokens"])
+        n_docs += t.num_rows
+        n_cut += sum(t.column("n_cut_tokens").to_pylist())
+    print(
+        json.dumps(
+            {
+                "command": "dedup-spans",
+                "out": args.out,
+                "min_len": args.min_len,
+                "n_docs": n_docs,
+                "n_cut_tokens": n_cut,
+            }
+        )
+    )
+
+
 def cmd_ingest(args) -> None:
     """JSONL / CSV / parquet corpus -> normalized documents parquet
     (`doc_id`, `text`, passthrough extras) — the webtext interchange
@@ -776,6 +807,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
     p.set_defaults(fn=cmd_pii)
+
+    p = sub.add_parser(
+        "dedup-spans",
+        help="cut verbatim-repeated token runs (>= min-len) keeping first occurrence",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.add_argument("--min-len", dest="min_len", type=int, default=50)
+    p.set_defaults(fn=cmd_dedup_spans)
 
     p = sub.add_parser(
         "ingest",

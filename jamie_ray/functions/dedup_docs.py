@@ -981,3 +981,179 @@ def paragraph_dedup(
         )
 
     return docs.map_batches(rebuild, batch_format="pyarrow")
+
+
+def span_dedup(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_len: int = 50,
+    edge_cap: int | None = None,
+    n_buckets: int = 1024,
+    spill_dir: str | None = None,
+):
+    """Cross-corpus exact-substring dedup at token granularity — the
+    ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better" §4.1 — public literature; they use a
+    suffix array on one machine, this is the distributed window-hash
+    equivalent).
+
+    Rule: any run of ``>= min_len`` tokens (RE2-exact ``ws_tokens``)
+    that occurs verbatim elsewhere in the corpus survives only at its
+    FIRST occurrence, ordered by ``(doc_id, token position)``. Every
+    length-``min_len`` token window is keyed by two independently
+    seeded 64-bit hashes of its joined tokens (128-bit identity, the
+    ``paragraph_dedup`` convention); a non-winner occurrence of a
+    duplicated window cuts its ``[pos, pos+min_len)`` token interval,
+    and overlapping cuts merge — so a shared run of length M >= L is
+    matched at starts ``s..s+M-L`` and excised as exactly ``[s, s+M)``.
+
+    Output: one row per document — ``(doc_id, clean_text, n_tokens,
+    n_cut_tokens)``. ``clean_text`` is the SINGLE-SPACE join of
+    surviving tokens (token-level dedup is whitespace-normalizing by
+    construction; run it before, not after, byte-exact stages).
+
+    Physical plan (the 100-TB shape): the explode ships
+    ``(bucket, h1, h2, doc_id, pos)`` — 40 bytes per token occurrence,
+    never text — through ONE bucketed shuffle; only DUPLICATED windows
+    leave the groupby; the winner map is capped by duplicate mass and
+    broadcast; a second streaming pass rebuilds documents. Window
+    hashing is O(tokens x min_len) chars per doc (a Karp-Rabin rolling
+    hash is the constant-factor upgrade; ``winnow_batch`` shows the
+    rolling machinery). Input is consumed twice — pass a source-backed
+    Dataset or ``spill_dir``.
+    """
+    from ..hashing import hash_str_array
+    from ..runs import iter_key_runs
+    from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
+    from ..state.worker_cache import cached_get
+    from .text_analysis import ws_tokens
+
+    if min_len < 2:
+        raise ValueError(f"span_dedup: min_len {min_len} must be >= 2")
+    if spill_dir is not None:
+        docs = _spill_input(docs, spill_dir, [id_col, text_col])
+    cap = edge_cap or DEFAULT_EDGE_CAP
+
+    def _window_hashes(toks: list[str]):
+        n = len(toks)
+        if n < min_len:
+            return None, None
+        wins = [
+            "\x1f".join(toks[i : i + min_len]) for i in range(n - min_len + 1)
+        ]
+        return (
+            hash_str_array(wins, seed=3).astype(np.int64),
+            hash_str_array(wins, seed=4).astype(np.int64),
+        )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_h1: list[np.ndarray] = []
+        out_h2: list[np.ndarray] = []
+        out_doc: list[int] = []
+        out_pos: list[int] = []
+        for d, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            h1, h2 = _window_hashes(ws_tokens(t))
+            if h1 is None:
+                continue
+            out_h1.append(h1)
+            out_h2.append(h2)
+            out_doc.extend([d] * len(h1))
+            out_pos.extend(range(len(h1)))
+        h1a = (
+            np.concatenate(out_h1) if out_h1 else np.empty(0, dtype=np.int64)
+        )
+        h2a = (
+            np.concatenate(out_h2) if out_h2 else np.empty(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.mod(h1a, np.int64(n_buckets)), pa.int64()
+                ),
+                "h1": pa.array(h1a, pa.int64()),
+                "h2": pa.array(h2a, pa.int64()),
+                "doc": pa.array(out_doc, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+            }
+        )
+
+    def winners(group: pa.Table) -> pa.Table:
+        group = group.sort_by(
+            [
+                ("h1", "ascending"),
+                ("h2", "ascending"),
+                ("doc", "ascending"),
+                ("pos", "ascending"),
+            ]
+        )
+        out_h1: list[int] = []
+        out_h2: list[int] = []
+        out_doc: list[int] = []
+        out_pos: list[int] = []
+        for run in iter_key_runs(group, "h1"):
+            for sub in iter_key_runs(run, "h2"):
+                if sub.num_rows > 1:
+                    out_h1.append(sub.column("h1")[0].as_py())
+                    out_h2.append(sub.column("h2")[0].as_py())
+                    out_doc.append(sub.column("doc")[0].as_py())
+                    out_pos.append(sub.column("pos")[0].as_py())
+        return pa.table(
+            {
+                "h1": pa.array(out_h1, pa.int64()),
+                "h2": pa.array(out_h2, pa.int64()),
+                "doc": pa.array(out_doc, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+            }
+        )
+
+    win_ds = (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(winners, batch_format="pyarrow")
+    )
+    win_map: dict[tuple[int, int], tuple[int, int]] = {}
+    for b in iter_capped_batches(win_ds, cap=cap, context="span dedup winners"):
+        for h1, h2, d, p in zip(
+            b.column("h1").to_pylist(),
+            b.column("h2").to_pylist(),
+            b.column("doc").to_pylist(),
+            b.column("pos").to_pylist(),
+        ):
+            win_map[(h1, h2)] = (d, p)
+    win_ref = ray.put(win_map)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        wm = cached_get(win_ref, "span_dedup_winners")
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_text: list[str] = []
+        out_n: list[int] = []
+        out_cut: list[int] = []
+        for d, t in zip(ids, texts):
+            toks = ws_tokens(t)
+            h1, h2 = _window_hashes(toks)
+            cut = np.zeros(len(toks), dtype=bool)
+            if h1 is not None:
+                for p in range(len(h1)):
+                    w = wm.get((int(h1[p]), int(h2[p])))
+                    if w is not None and w != (d, p):
+                        cut[p : p + min_len] = True
+            kept = [tok for tok, c in zip(toks, cut) if not c]
+            out_text.append(" ".join(kept))
+            out_n.append(len(toks))
+            out_cut.append(int(cut.sum()))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "n_cut_tokens": pa.array(out_cut, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(rebuild, batch_format="pyarrow")
