@@ -69,10 +69,12 @@ def _overlap_rows(
     import pyarrow.parquet as pq
 
     seq_ids, doc_ids, starts, ends, seq_offs = [], [], [], [], []
+    id_type = pa.int64()
     for path, off in zip(
         batch.column("path").to_pylist(), batch.column("offset").to_pylist()
     ):
         t = pq.read_table(path, columns=[id_col, text_col])
+        id_type = t.schema.field(id_col).type
         pos = off
         for did, text in zip(
             t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
@@ -94,7 +96,9 @@ def _overlap_rows(
     return pa.table(
         {
             "seq_id": pa.array(seq_ids, pa.int64()),
-            "doc_id": pa.array(doc_ids),
+            # explicit type: an all-empty-docs file emits zero rows and
+            # bare pa.array([]) would infer null, breaking the schema
+            "doc_id": pa.array(doc_ids, id_type),
             "tok_start": pa.array(starts, pa.int64()),
             "tok_end": pa.array(ends, pa.int64()),
             "seq_tok_start": pa.array(seq_offs, pa.int64()),

@@ -140,6 +140,18 @@ def test_fullness_and_partition_invariants(ray_session, tmp_path):
         assert spans[-1][1] == len(DOCS[did].split())
 
 
+def test_all_empty_leading_block(ray_session, tmp_path):
+    """A spill file holding only empty docs emits zero rows — its
+    empty doc_id array must keep int64 (bare inference gives null and
+    breaks cross-block schema)."""
+    docs = {i: "" for i in range(40)}
+    docs.update({100 + i: f"word{i} alpha beta gamma" for i in range(4)})
+    ds = _docs_ds(docs).repartition(8)
+    got, n_seq = pack_sequences(ds, 4, spill_dir=str(tmp_path / "eb"))
+    assert _rows(got) == _expected(docs, 4)
+    assert n_seq == 4
+
+
 def test_empty_and_validation(ray_session, tmp_path):
     empty = ray.data.from_arrow(
         pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
