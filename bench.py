@@ -145,6 +145,17 @@ def _simhash_pairs(sf_dir: str):
     return dedup_docs.simhash_pairs(docs, max_hamming=8)
 
 
+def _span_dedup(sf_dir: str):
+    import ray.data
+
+    from jamie_ray.functions.dedup_docs import span_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return span_dedup(docs, min_len=20)
+
+
 def _pii_mask(sf_dir: str):
     import ray.data
 
@@ -165,6 +176,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     qs["lm_perplexity"] = _lm_perplexity
     qs["pii_mask"] = _pii_mask
     qs["docs_simhash_pairs"] = _simhash_pairs
+    qs["doc_span_dedup"] = _span_dedup
     picks = [
         "kg_triples",
         "agg_pricing_summary",
@@ -183,6 +195,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "lm_perplexity",
         "pii_mask",
         "doc_pack_assignments",
+        "doc_span_dedup",
         "docs_minhash_clusters",
         "docs_minhash_clusters_cc",
         "docs_simhash_pairs",
