@@ -492,7 +492,10 @@ def cmd_ingest(args) -> None:
                 )
         out = {"doc_id": b.column(id_col), "text": b.column(text_col)}
         for c in b.column_names:
-            if c not in (id_col, text_col):
+            # skip the source columns AND any input column whose name
+            # collides with the normalized targets (an extra literally
+            # named doc_id/text would silently clobber them)
+            if c not in (id_col, text_col, "doc_id", "text"):
                 out[c] = b.column(c)
         return pa.table(out)
 

@@ -1040,8 +1040,11 @@ def span_dedup(
         n = len(toks)
         if n < min_len:
             return None, None
+        # single-space join is INJECTIVE on ws_tokens (RE2 \s is
+        # [\t\n\f\r ], so a token can never contain a space); \x1f can
+        # occur inside tokens and would alias distinct windows
         wins = [
-            "\x1f".join(toks[i : i + min_len]) for i in range(n - min_len + 1)
+            " ".join(toks[i : i + min_len]) for i in range(n - min_len + 1)
         ]
         return (
             hash_str_array(wins, seed=3).astype(np.int64),

@@ -110,9 +110,10 @@ def ngram_counts(
             c2.update(
                 toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
             )
-        grams = sorted(c1) + sorted(c2)
-        orders = [1] * len(c1) + [2] * len(c2)
-        ns = [c1[g] for g in sorted(c1)] + [c2[g] for g in sorted(c2)]
+        k1, k2 = sorted(c1), sorted(c2)
+        grams = k1 + k2
+        orders = [1] * len(k1) + [2] * len(k2)
+        ns = [c1[g] for g in k1] + [c2[g] for g in k2]
         h = hash_str_array(grams, seed=11).astype(np.int64)
         return pa.table(
             {

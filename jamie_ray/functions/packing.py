@@ -162,10 +162,19 @@ def pack_sequences(
     total = int(sum(counts))
     n_sequences = total // max_len if drop_remainder else -(-total // max_len)
     if not files or total == 0:
+        # keep the id type consistent with the non-empty path (the
+        # spill files carry the real type; int64 only when nothing was
+        # written at all)
+        if files:
+            import pyarrow.parquet as pq
+
+            empty_id_type = pq.read_schema(files[0]).field(id_col).type
+        else:
+            empty_id_type = pa.int64()
         empty = pa.table(
             {
                 "seq_id": pa.array([], pa.int64()),
-                "doc_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], empty_id_type),
                 "tok_start": pa.array([], pa.int64()),
                 "tok_end": pa.array([], pa.int64()),
                 "seq_tok_start": pa.array([], pa.int64()),

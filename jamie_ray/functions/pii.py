@@ -5,8 +5,10 @@ tokens, and count what was masked per document.
 
 Heuristic by design (documented): the phone pattern trades recall for
 a low false-positive rate — it requires 7+ digits in separator-joined
-groups and explicitly refuses ISO dates (``2026-08-18``) and bare
-4-digit years. Masking is idempotent (sentinels contain no maskable
+groups and explicitly refuses ISO dates (``2026-08-18``), date+time
+stamps (``2026-08-18 12:30`` keeps both the date and the re-judged
+time tail), and bare 4-digit years; date refusal range-validates
+month/day so 4-2-2-shaped phone numbers still mask. Masking is idempotent (sentinels contain no maskable
 substring — property-tested), so a re-run over an already-masked
 corpus is a no-op.
 
@@ -30,32 +32,60 @@ MASK_PHONE = "<PHONE>"
 _EMAIL_RE = re.compile(
     r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 )
-# dotted quad with per-octet range check, not preceded/followed by
-# more dots/digits (rejects version strings like 1.2.3.4.5)
+# dotted quad with per-octet range check, not preceded by more
+# dots/digits; the trailing guard rejects only a dot FOLLOWED BY A
+# DIGIT (version strings like 1.2.3.4.5) — a bare sentence-final
+# period after an IP must still mask ("attacker at 10.1.2.3.")
 _IPV4_RE = re.compile(
     r"(?<![\d.])"
     r"(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
     r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
-    r"(?![\d.])"
+    r"(?!\.?\d)"
 )
 # 2-4 digit groups joined by -, ., space or (), optional +CC prefix,
-# 7+ digits total (checked post-hoc), not butted against other digits
+# 7+ digits total (checked post-hoc), not butted against other digits.
+# Up to 5 chained groups so a leading ISO date PLUS a full phone fits
+# in one match — the date-prefix recursion then re-judges the tail
+# ("2026-08-18 555-123-4567" keeps the date, masks the phone).
 _PHONE_RE = re.compile(
     r"(?<!\d)"
     r"(?:\+\d{1,3}[-. ]?)?"
     r"(?:\(\d{2,4}\)[-. ]?)?"
-    r"\d{2,4}(?:[-. ]\d{2,4}){1,4}"
+    r"\d{2,4}(?:[-. ]\d{2,4}){1,5}"
     r"(?!\d)"
 )
-_ISO_DATE_RE = re.compile(r"^\d{4}[-.]\d{1,2}[-.]\d{1,2}$")
+# yyyy-mm-dd / yyyy.mm.dd PREFIX with range-validated month/day (a
+# 4-2-2 digit shape with month 45 is a phone, not a date) followed by
+# a non-digit or end — prefix, not full-match, so "2026-08-18 12:30"
+# keeps its date AND the remainder is re-scanned independently
+_ISO_DATE_PREFIX_RE = re.compile(
+    r"^(\d{4})[-.](\d{1,2})[-.](\d{1,2})(?=$|\D)"
+)
 
 
-def _phone_sub(m: re.Match) -> str:
-    s = m.group(0)
-    digits = sum(ch.isdigit() for ch in s)
-    if digits < 7 or _ISO_DATE_RE.match(s):
-        return s
-    return MASK_PHONE
+def _is_date_prefix(m: re.Match) -> bool:
+    return 1 <= int(m.group(2)) <= 12 and 1 <= int(m.group(3)) <= 31
+
+
+def _mask_phones(s: str) -> tuple[str, int]:
+    count = 0
+
+    def sub(m: re.Match) -> str:
+        nonlocal count
+        g = m.group(0)
+        dm = _ISO_DATE_PREFIX_RE.match(g)
+        if dm and _is_date_prefix(dm):
+            # keep the date; the tail (e.g. a trailing time "12:30")
+            # is judged on its own
+            rest, c = _mask_phones(g[dm.end() :])
+            count += c
+            return g[: dm.end()] + rest
+        if sum(ch.isdigit() for ch in g) < 7:
+            return g
+        count += 1
+        return MASK_PHONE
+
+    return _PHONE_RE.sub(sub, s), count
 
 
 def pii_mask(text: str | None) -> tuple[str | None, int, int, int]:
@@ -69,16 +99,7 @@ def pii_mask(text: str | None) -> tuple[str | None, int, int, int]:
         return None, 0, 0, 0
     masked, n_email = _EMAIL_RE.subn(MASK_EMAIL, text)
     masked, n_ip = _IPV4_RE.subn(MASK_IP, masked)
-    n_phone = 0
-
-    def sub(m: re.Match) -> str:
-        nonlocal n_phone
-        out = _phone_sub(m)
-        if out == MASK_PHONE:
-            n_phone += 1
-        return out
-
-    masked = _PHONE_RE.sub(sub, masked)
+    masked, n_phone = _mask_phones(masked)
     return masked, n_email, n_ip, n_phone
 
 

@@ -79,6 +79,14 @@ def hash_sample(
 
 def _tag(ds, source: str, epoch: int):
     def add(batch: pa.Table) -> pa.Table:
+        for col in ("source", "epoch"):
+            if col in batch.column_names:
+                # appending a second same-named column silently
+                # corrupts downstream row conversion — fail loudly
+                # (re-mixing a mixture should rename/drop tags first)
+                raise ValueError(
+                    f"mix_corpora: input already has a {col!r} column"
+                )
         n = batch.num_rows
         batch = batch.append_column(
             "source", pa.array([source] * n, pa.string())

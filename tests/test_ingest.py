@@ -36,6 +36,31 @@ def test_ingest_jsonl(ray_session, tmp_path, capsys):
     assert rows[3] == "doc 3 text"
 
 
+def test_ingest_name_collision_with_targets(ray_session, tmp_path, capsys):
+    """An input that carries BOTH a custom text column and a field
+    literally named 'text' must not let the latter clobber the
+    normalized column."""
+    src = tmp_path / "c.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps({"id": i, "body": f"real {i}", "text": "WRONG", "doc_id": 999})
+            for i in range(3)
+        )
+    )
+    out = str(tmp_path / "docs2")
+    res = _run(
+        capsys,
+        "ingest", "--in", str(src), "--out", out,
+        "--id-col", "id", "--text-col", "body",
+    )
+    assert res["n_docs"] == 3
+    t = pq.read_table(out)
+    assert t.column_names.count("text") == 1
+    assert t.column_names.count("doc_id") == 1
+    assert sorted(t.column("text").to_pylist()) == ["real 0", "real 1", "real 2"]
+    assert sorted(t.column("doc_id").to_pylist()) == [0, 1, 2]
+
+
 def test_ingest_csv_and_missing_column(ray_session, tmp_path, capsys):
     src = tmp_path / "corpus.csv"
     src.write_text("doc_id,text\n1,alpha\n2,beta\n")

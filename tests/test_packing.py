@@ -152,6 +152,23 @@ def test_all_empty_leading_block(ray_session, tmp_path):
     assert n_seq == 4
 
 
+def test_empty_string_id_corpus_keeps_id_type(ray_session, tmp_path):
+    """The total==0 early return must carry the spill's real id type
+    (string here), not a hardcoded int64."""
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["u1", "u2"], pa.string()),
+                "text": pa.array(["", "  "], pa.string()),
+            }
+        )
+    )
+    got, n_seq = pack_sequences(ds, 4, spill_dir=str(tmp_path / "sid"))
+    assert n_seq == 0
+    tab = pa.Table.from_pylist(got.take_all(), schema=got.schema().base_schema)
+    assert tab.schema.field("doc_id").type == pa.string()
+
+
 def test_empty_and_validation(ray_session, tmp_path):
     empty = ray.data.from_arrow(
         pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})

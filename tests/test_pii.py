@@ -34,6 +34,19 @@ GOLDENS = [
     ("a1234567@example.com or 555-123-4567",
      f"{MASK_EMAIL} or {MASK_PHONE}", 1, 0, 1),
     ("", "", 0, 0, 0),
+    # sentence-final IP: trailing period must not suppress the mask
+    ("attacker at 10.1.2.3.", f"attacker at {MASK_IP}.", 0, 1, 0),
+    # date+time stamp: the greedy phone match starts with a valid ISO
+    # date -> date kept, time tail re-judged (and too short to mask)
+    ("posted 2026-08-18 12:30 by admin",
+     "posted 2026-08-18 12:30 by admin", 0, 0, 0),
+    # date followed by a REAL phone: date kept, phone masked
+    ("meet 2026-08-18 555-123-4567 ok",
+     f"meet 2026-08-18 {MASK_PHONE} ok", 0, 0, 1),
+    # 4-2-2/4-2-4 digit shapes with impossible month are PHONES:
+    # date refusal is range-validated, not shape-only
+    ("fax 0123-45-6789 now", f"fax {MASK_PHONE} now", 0, 0, 1),
+    ("old fax 0123-45-67 here", f"old fax {MASK_PHONE} here", 0, 0, 1),
 ]
 
 

@@ -107,3 +107,11 @@ def test_mix_corpora_validation(ray_session):
         mix_corpora([("a", ds, -1.0)])
     with pytest.raises(ValueError):
         mix_corpora([("a", ds, 0.0)])
+
+
+def test_mix_corpora_rejects_pretagged_input(ray_session):
+    """Re-mixing a mixture would append duplicate source/epoch columns
+    and silently corrupt the tags — must fail loudly instead."""
+    mixed = mix_corpora([("a", _ids_ds(10), 1.0)])
+    with pytest.raises(Exception, match="source"):
+        mix_corpora([("b", mixed, 1.0)]).take_all()

@@ -108,6 +108,19 @@ def test_layout_determinism(ray_session):
         assert SHARED not in a[i][0]
 
 
+def test_no_window_aliasing_across_separator_bytes(ray_session):
+    """Tokens may contain \\x1f (RE2 whitespace is only [\\t\\n\\f\\r ]);
+    the window join must stay injective — 'x a\\x1fb y z' and
+    'x a b\\x1fy z' are DIFFERENT windows and neither may be cut."""
+    docs = {
+        1: "x a\x1fb y z lead padding words one",
+        2: "x a b\x1fy z other padding words two",
+    }
+    got = _got(span_dedup(_ds(docs), min_len=4))
+    assert got == _expected(docs, 4)
+    assert got[1][2] == 0 and got[2][2] == 0
+
+
 def test_cap_and_validation(ray_session):
     from jamie_ray.state.collect import EdgeCapExceeded
 
