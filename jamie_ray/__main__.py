@@ -423,6 +423,37 @@ def cmd_pii(args) -> None:
     print(json.dumps({"command": "pii", "out": args.out, **totals}))
 
 
+def cmd_dedup_inc(args) -> None:
+    _ensure_ray()
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from .functions.dedup_docs import incremental_dedup
+
+    new = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    old = ray.data.read_parquet(args.prev, columns=[args.id_col, args.text_col])
+    incremental_dedup(
+        new, old, text_col=args.text_col, id_col=args.id_col
+    ).write_parquet(args.out)
+    import glob as _glob
+
+    n_docs = n_prev = 0
+    for f in sorted(_glob.glob(f"{args.out}/*.parquet")):
+        t = _pq.read_table(f, columns=["in_previous"])
+        n_docs += t.num_rows
+        n_prev += sum(t.column("in_previous").to_pylist())
+    print(
+        json.dumps(
+            {
+                "command": "dedup-inc",
+                "out": args.out,
+                "n_docs": n_docs,
+                "n_in_previous": n_prev,
+            }
+        )
+    )
+
+
 def cmd_dedup_spans(args) -> None:
     _ensure_ray()
     import pyarrow.parquet as _pq
@@ -810,6 +841,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
     p.set_defaults(fn=cmd_pii)
+
+    p = sub.add_parser(
+        "dedup-inc",
+        help="flag new-corpus docs whose exact text exists in a previous snapshot",
+    )
+    p.add_argument("--docs", required=True, help="NEW documents parquet path/dir")
+    p.add_argument("--prev", required=True, help="previous-snapshot parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.set_defaults(fn=cmd_dedup_inc)
 
     p = sub.add_parser(
         "dedup-spans",

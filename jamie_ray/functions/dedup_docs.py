@@ -102,6 +102,90 @@ def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def incremental_dedup(
+    new_docs,
+    old_docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    edge_cap: int | None = None,
+):
+    """Cross-snapshot exact dedup — the incremental-crawl workflow
+    (monthly Common-Crawl-style snapshots: drop new documents whose
+    text already exists in the PREVIOUS corpus; cf. the CC-index dedup
+    step in public pipeline writeups, e.g. CCNet §3).
+
+    Output: the NEW docs' non-text columns + ``in_previous`` (0/1
+    int64). Filtering is the caller's one-liner so the overlap count
+    stays observable. Intra-new duplicates are NOT collapsed here —
+    compose with :func:`exact_dedup` for that; the two concerns stay
+    orthogonal.
+
+    Physical plan (the 100-TB shape): both corpora reduce to per-block
+    DISTINCT ``(text_hash, side)`` rows (16 B/distinct text — the old
+    side ships no ids at all), ONE co-grouped shuffle emits only the
+    hashes present on BOTH sides (bounded by overlap mass, not corpus
+    size), the overlap set is collected under ``edge_cap`` and
+    broadcast, and a streaming pass flags the new corpus. Both inputs
+    are consumed once; the new corpus twice (hash pass + flag pass) —
+    pass source-backed Datasets.
+    """
+    from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
+    from ..state.worker_cache import cached_get
+    from .text_analysis import fingerprint_batch
+
+    cap = edge_cap or DEFAULT_EDGE_CAP
+
+    def hashes(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            batch = fingerprint_batch(batch, text_col)
+            gb = batch.group_by(["text_hash"]).aggregate([])
+            n = gb.num_rows
+            return pa.table(
+                {
+                    "text_hash": gb.column("text_hash"),
+                    "side": pa.array([side] * n, pa.int8()),
+                }
+            )
+
+        return f
+
+    both = new_docs.map_batches(hashes(1), batch_format="pyarrow").union(
+        old_docs.map_batches(hashes(0), batch_format="pyarrow")
+    )
+
+    def overlap(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        gb = group.group_by(["text_hash"]).aggregate(
+            [("side", "min"), ("side", "max")]
+        )
+        hit = pc.and_(
+            pc.equal(gb.column("side_min"), 0), pc.equal(gb.column("side_max"), 1)
+        )
+        return pa.table({"text_hash": gb.filter(hit).column("text_hash")})
+
+    seen: set[str] = set()
+    for b in iter_capped_batches(
+        both.groupby("text_hash").map_groups(overlap, batch_format="pyarrow"),
+        cap=cap,
+        context="incremental dedup overlap",
+    ):
+        seen.update(b.column("text_hash").to_pylist())
+    seen_ref = ray.put(frozenset(seen))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        prev = cached_get(seen_ref, "incremental_dedup_overlap")
+        b2 = fingerprint_batch(batch, text_col)
+        flags = [
+            1 if h in prev else 0 for h in b2.column("text_hash").to_pylist()
+        ]
+        out = batch.drop_columns([text_col])
+        return out.append_column("in_previous", pa.array(flags, pa.int64()))
+
+    return new_docs.map_batches(flag, batch_format="pyarrow")
+
+
 def _spill_input(docs, spill_dir: str, cols: list[str]):
     """Write a DERIVED input's needed columns to parquet ONCE and
     return a source-backed Dataset over them — so a multi-pass operator
