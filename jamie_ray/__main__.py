@@ -661,6 +661,7 @@ def cmd_clean(args) -> None:
         near_dup_threshold=args.near_dup_threshold,
         url_col=args.url_col,
         pii=args.pii,
+        span_min_len=args.span_min_len,
     )
     cleaned.write_parquet(args.out)
     print(json.dumps({"command": "clean", "out": args.out, **stats}))
@@ -958,6 +959,13 @@ def main(argv: list[str] | None = None) -> None:
         "--pii",
         action="store_true",
         help="append the PII-masking pass (<EMAIL>/<IP>/<PHONE>) as the last stage",
+    )
+    p.add_argument(
+        "--span-min-len",
+        dest="span_min_len",
+        type=int,
+        default=None,
+        help="enable exact-substring dedup of verbatim runs >= N tokens",
     )
     p.set_defaults(fn=cmd_clean)
 

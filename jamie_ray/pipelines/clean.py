@@ -50,6 +50,7 @@ def clean_corpus(
     near_dup_threshold: float = 0.8,
     url_col: str | None = None,
     pii: bool = False,
+    span_min_len: int | None = None,
 ):
     """documents -> (cleaned Dataset ``(doc_id, text)``, stats dict).
 
@@ -67,6 +68,13 @@ def clean_corpus(
     and streaming, so it adds no pass over the spill. Output keeps
     the ``(doc_id, text)`` contract (per-doc counts are available via
     the standalone ``mask_pii``).
+
+    ``span_min_len=N`` enables the exact-substring pass
+    (``dedup_docs.span_dedup``) between paragraph dedup and near-dup:
+    verbatim-repeated runs of >= N tokens survive only at their first
+    occurrence. Note it whitespace-normalizes the surviving text
+    (single-space join) — leave it off when byte-exact text matters
+    downstream.
     """
     import os
 
@@ -227,6 +235,27 @@ def clean_corpus(
         os.path.join(spill_dir, "para"),
         [id_col, text_col],
     )
+
+    if span_min_len is not None:
+        # opt-in exact-substring pass (also rewrites, never drops):
+        # after paragraph dedup (coarse boilerplate first, so spans
+        # only pay for what paragraphs missed), before near-dup
+        # (minhash shingles are token-based, so the space-joined
+        # rewrite is transparent to it)
+        from ..functions.dedup_docs import span_dedup
+
+        cleaned = _spill_input(
+            span_dedup(
+                cleaned, text_col=text_col, id_col=id_col, min_len=span_min_len
+            ).map_batches(
+                lambda b: pa.table(
+                    {id_col: b.column(id_col), text_col: b.column("clean_text")}
+                ),
+                batch_format="pyarrow",
+            ),
+            os.path.join(spill_dir, "span"),
+            [id_col, text_col],
+        )
 
     # near-dup collapse: keep cluster representatives. Collect only
     # the NON-representatives (doc_id != cluster_id) — bounded by

@@ -1355,6 +1355,35 @@ def test_clean_corpus_url_stage(ray_session, tmp_path):
     assert {r["doc_id"] for r in cleaned.take_all()} == {1, 3}
 
 
+def test_clean_corpus_span_stage(ray_session, tmp_path):
+    """span_min_len= enables exact-substring excision between
+    paragraph dedup and near-dup: a verbatim run shared by two
+    otherwise-distinct docs survives only in the first."""
+    import ray.data
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    shared = "this exact legal disclaimer sentence repeats everywhere online"
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": f"first article body {shared} unique ending one"},
+            {"doc_id": 2, "text": f"second piece totally different start {shared} other closing words"},
+        ]
+    )
+    cleaned, stats = clean_corpus(
+        docs,
+        str(tmp_path / "spill"),
+        min_tokens=3,
+        near_dup_threshold=0.95,
+        span_min_len=5,
+    )
+    rows = {r["doc_id"]: r["text"] for r in cleaned.take_all()}
+    assert set(rows) == {1, 2}
+    assert shared in rows[1]
+    assert shared not in rows[2]
+    assert rows[2].startswith("second piece totally different start")
+
+
 def test_clean_corpus_pii_stage(ray_session, tmp_path):
     """pii=True masks AFTER dedup: two docs that differ only in their
     email survive as two docs (masking can't merge them), and the
