@@ -77,6 +77,19 @@ def test_masking_idempotent(text):
     assert (ne, ni, np_) == (0, 0, 0)
 
 
+@settings(max_examples=300, deadline=None)
+@given(_text)
+def test_no_residual_email_or_ip(text):
+    """The core guarantee: after masking, nothing email- or IP-shaped
+    survives (phones are heuristic by documented design; email/IP are
+    not)."""
+    from jamie_ray.functions.pii import _EMAIL_RE, _IPV4_RE
+
+    masked, *_ = pii_mask(text)
+    assert _EMAIL_RE.search(masked) is None
+    assert _IPV4_RE.search(masked) is None
+
+
 def test_mask_pii_dataset(ray_session):
     ds = ray.data.from_arrow(
         pa.table(
