@@ -30,10 +30,11 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 from ..hashing import hash_str_array, stable_hash64, uniform01
 
-__all__ = ["hash_sample", "mix_corpora"]
+__all__ = ["hash_sample", "mix_corpora", "group_sample"]
 
 
 def _id_uniform(ids: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
@@ -140,3 +141,96 @@ def mix_corpora(
         raise ValueError("mix_corpora: all weights are zero")
     first, *rest = parts
     return first.union(*rest) if rest else first
+
+
+def group_sample(
+    ds,
+    k: int,
+    key_col: str,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_buckets: int = 1024,
+    edge_cap: int | None = None,
+):
+    """Balanced per-group sample: for each distinct ``key_col`` value,
+    keep the ``k`` rows whose per-id uniform (same
+    ``uniform01(mix64(hash(id)))`` family as :func:`hash_sample`) is
+    smallest — e.g. "5,000 documents per language". Deterministic, and
+    NESTED in ``k`` at one salt: the k1-sample is a subset of the
+    k2-sample for k1 <= k2, so growing a per-group budget never churns
+    already-selected rows.
+
+    Physical plan: a per-block combiner keeps at most ``k`` candidates
+    per (block, key) — the one bucketed shuffle carries
+    ``(bucket, key, id, u)`` short rows bounded by blocks x groups x k,
+    never the corpus; the per-bucket merge re-selects the global k per
+    key; winners (k x n_groups rows, capped loudly) broadcast; one
+    streaming filter pass returns the original rows intact. The input
+    is consumed twice — pass a source-backed Dataset.
+    """
+    if k <= 0:
+        raise ValueError(f"group_sample: k {k} must be positive")
+    from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
+    from ..state.worker_cache import cached_get
+
+    cap = edge_cap or DEFAULT_EDGE_CAP
+    seed = stable_hash64("group_sample", salt) & ((1 << 32) - 1)
+
+    def _select_k(keys: list, ids: list, us: np.ndarray):
+        """Per distinct key, indexes of the k smallest (u, id)."""
+        by_key: dict = {}
+        for i, key in enumerate(keys):
+            by_key.setdefault(key, []).append(i)
+        out: list[int] = []
+        for idxs in by_key.values():
+            idxs.sort(key=lambda i: (us[i], ids[i]))
+            out.extend(idxs[:k])
+        return sorted(out)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        us = _id_uniform(batch.column(id_col), seed)
+        picked = _select_k(keys, ids, us)
+        key_hash = hash_str_array([str(keys[i]) for i in picked])
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (key_hash % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "key": pa.array([keys[i] for i in picked]),
+                "id": pa.array([ids[i] for i in picked]),
+                "u": pa.array(us[picked], pa.float64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        keys = group.column("key").to_pylist()
+        ids = group.column("id").to_pylist()
+        us = group.column("u").to_numpy(zero_copy_only=False)
+        picked = _select_k(keys, ids, us)
+        return pa.table(
+            {
+                "key": pa.array([keys[i] for i in picked]),
+                "id": pa.array([ids[i] for i in picked]),
+            }
+        )
+
+    winners = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    selected: set = set()
+    for b in iter_capped_batches(winners, cap=cap, context="group sample winners"):
+        selected.update(b.column("id").to_pylist())
+    sel_ref = ray.put(frozenset(selected))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        sel = cached_get(sel_ref, "group_sample_selected")
+        mask = [i in sel for i in batch.column(id_col).to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

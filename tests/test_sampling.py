@@ -109,6 +109,70 @@ def test_mix_corpora_validation(ray_session):
         mix_corpora([("a", ds, 0.0)])
 
 
+def _lang_ds(n=300):
+    langs = ["en", "ja", "de"]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "lang": pa.array([langs[i % 3] for i in range(n)], pa.string()),
+                "text": pa.array([f"doc {i}" for i in range(n)], pa.string()),
+            }
+        )
+    )
+
+
+def test_group_sample_counts_and_selection(ray_session):
+    from jamie_ray.functions.sampling import group_sample
+    from jamie_ray.hashing import stable_hash64, uniform01
+    import numpy as np
+
+    ds = _lang_ds()
+    rows = group_sample(ds, 7, "lang", salt="s").take_all()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {len(v) for v in by_lang.values()} == {7}
+    # exact selection: the 7 smallest uniforms per group (same public
+    # hash family as hash_sample)
+    seed = stable_hash64("group_sample", "s") & ((1 << 32) - 1)
+    u = uniform01(np.arange(300, dtype=np.uint64), seed)
+    langs = ["en", "ja", "de"]
+    for li, lang in enumerate(langs):
+        ids = [i for i in range(300) if i % 3 == li]
+        want = set(sorted(ids, key=lambda i: (u[i], i))[:7])
+        assert by_lang[lang] == want, lang
+    # full original rows survive the filter pass
+    assert all("text" in r for r in rows)
+
+
+def test_group_sample_nested_and_small_groups(ray_session):
+    from jamie_ray.functions.sampling import group_sample
+
+    ds = _lang_ds(9)  # 3 docs per lang
+    all_rows = group_sample(ds, 10, "lang").take_all()
+    assert len(all_rows) == 9  # k > group size keeps everything
+    k2 = {r["doc_id"] for r in group_sample(_lang_ds(), 2, "lang", salt="x").take_all()}
+    k5 = {r["doc_id"] for r in group_sample(_lang_ds(), 5, "lang", salt="x").take_all()}
+    assert k2 <= k5
+    a = {r["doc_id"] for r in group_sample(_lang_ds(), 4, "lang").take_all()}
+    b = {
+        r["doc_id"]
+        for r in group_sample(_lang_ds().repartition(7), 4, "lang").take_all()
+    }
+    assert a == b
+
+
+def test_group_sample_validation_and_cap(ray_session):
+    from jamie_ray.functions.sampling import group_sample
+    from jamie_ray.state.collect import EdgeCapExceeded
+
+    with pytest.raises(ValueError):
+        group_sample(_lang_ds(), 0, "lang")
+    with pytest.raises(EdgeCapExceeded):
+        group_sample(_lang_ds(), 50, "lang", edge_cap=10).take_all()
+
+
 def test_mix_corpora_rejects_pretagged_input(ray_session):
     """Re-mixing a mixture would append duplicate source/epoch columns
     and silently corrupt the tags — must fail loudly instead."""
