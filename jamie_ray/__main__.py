@@ -431,7 +431,8 @@ def cmd_dedup_inc(args) -> None:
     from .functions.dedup_docs import incremental_dedup
 
     new = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
-    old = ray.data.read_parquet(args.prev, columns=[args.id_col, args.text_col])
+    # the algorithm never uses old-side ids: read only the text column
+    old = ray.data.read_parquet(args.prev, columns=[args.text_col])
     incremental_dedup(
         new, old, text_col=args.text_col, id_col=args.id_col
     ).write_parquet(args.out)

@@ -109,44 +109,90 @@ def incremental_dedup(
     id_col: str = "doc_id",
     *,
     edge_cap: int | None = None,
+    flag_path: str = "broadcast",
+    n_buckets: int = 1024,
 ):
     """Cross-snapshot exact dedup — the incremental-crawl workflow
     (monthly Common-Crawl-style snapshots: drop new documents whose
     text already exists in the PREVIOUS corpus; cf. the CC-index dedup
     step in public pipeline writeups, e.g. CCNet §3).
 
-    Output: the NEW docs' non-text columns + ``in_previous`` (0/1
-    int64). Filtering is the caller's one-liner so the overlap count
-    stays observable. Intra-new duplicates are NOT collapsed here —
-    compose with :func:`exact_dedup` for that; the two concerns stay
-    orthogonal.
+    NULL text never matches (SQL ``NULL != NULL`` semantics): null-text
+    rows are always ``in_previous = 0``. Intra-new duplicates are NOT
+    collapsed here — compose with :func:`exact_dedup`; the two concerns
+    stay orthogonal.
 
-    Physical plan (the 100-TB shape): both corpora reduce to per-block
-    DISTINCT ``(text_hash, side)`` rows (16 B/distinct text — the old
-    side ships no ids at all), ONE co-grouped shuffle emits only the
-    hashes present on BOTH sides (bounded by overlap mass, not corpus
-    size), the overlap set is collected under ``edge_cap`` and
-    broadcast, and a streaming pass flags the new corpus. Both inputs
-    are consumed once; the new corpus twice (hash pass + flag pass) —
-    pass source-backed Datasets.
+    Two flag paths (the minhash ``candidate_path`` convention):
+
+    - ``flag_path="broadcast"`` (default): both corpora reduce to
+      per-block DISTINCT ``(bucket, text_hash, side)`` rows (~33 B per
+      block-distinct text), ONE bucketed shuffle (coarse ``% 1024``
+      buckets — never one dispatch per near-singleton hash group)
+      emits only hashes present on BOTH sides, the overlap set is
+      collected under ``edge_cap`` and broadcast, and a streaming pass
+      returns the NEW docs' non-text columns + ``in_previous`` (0/1
+      int64). Right when overlap is small (a genuinely-fresh crawl);
+      for monthly snapshots where MOST text persists, the overlap is
+      corpus-scale and this path fails loudly on the cap — use:
+    - ``flag_path="shuffle"``: the new side ships one ``(bucket,
+      text_hash, id)`` row per document (old side stays per-block
+      distinct with a typed null id), and the SAME bucketed shuffle
+      emits ``(id_col, in_previous)`` directly — ZERO driver-side
+      collections at any overlap mass. Output schema is narrower
+      (id + flag only); join back on ``id_col`` if other columns are
+      needed.
+
+    Both inputs are consumed once (broadcast additionally re-reads the
+    new corpus for the flag pass) — pass source-backed Datasets.
     """
+    import pyarrow.compute as pc
+
+    from ..hashing import hash_str_array
     from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
     from ..state.worker_cache import cached_get
     from .text_analysis import fingerprint_batch
 
+    if flag_path not in ("broadcast", "shuffle"):
+        raise ValueError(f"incremental_dedup: unknown flag_path {flag_path!r}")
     cap = edge_cap or DEFAULT_EDGE_CAP
+    ship_ids = flag_path == "shuffle"
+    id_type = (
+        new_docs.schema().base_schema.field(id_col).type
+        if ship_ids
+        else pa.int64()
+    )
+
+    def _bucket(hashes_col: list[str]) -> pa.Array:
+        h = hash_str_array(hashes_col, seed=7)
+        return pa.array(
+            (h % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+        )
 
     def hashes(side: int):
         def f(batch: pa.Table) -> pa.Table:
             batch = fingerprint_batch(batch, text_col)
+            # null text never matches: drop it from the shuffle
+            batch = batch.filter(pc.is_valid(batch.column("text_hash")))
+            if side == 1 and ship_ids:
+                hs = batch.column("text_hash").to_pylist()
+                return pa.table(
+                    {
+                        "bucket": _bucket(hs),
+                        "text_hash": batch.column("text_hash"),
+                        "side": pa.array([1] * len(hs), pa.int8()),
+                        "id": batch.column(id_col),
+                    }
+                )
             gb = batch.group_by(["text_hash"]).aggregate([])
-            n = gb.num_rows
-            return pa.table(
-                {
-                    "text_hash": gb.column("text_hash"),
-                    "side": pa.array([side] * n, pa.int8()),
-                }
-            )
+            hs = gb.column("text_hash").to_pylist()
+            out = {
+                "bucket": _bucket(hs),
+                "text_hash": gb.column("text_hash"),
+                "side": pa.array([side] * len(hs), pa.int8()),
+            }
+            if ship_ids:
+                out["id"] = pa.nulls(len(hs), id_type)
+            return pa.table(out)
 
         return f
 
@@ -155,8 +201,6 @@ def incremental_dedup(
     )
 
     def overlap(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         gb = group.group_by(["text_hash"]).aggregate(
             [("side", "min"), ("side", "max")]
         )
@@ -165,9 +209,29 @@ def incremental_dedup(
         )
         return pa.table({"text_hash": gb.filter(hit).column("text_hash")})
 
+    if ship_ids:
+
+        def flag_group(group: pa.Table) -> pa.Table:
+            prev = set(overlap(group).column("text_hash").to_pylist())
+            new_rows = group.filter(pc.equal(group.column("side"), 1))
+            flags = [
+                1 if h in prev else 0
+                for h in new_rows.column("text_hash").to_pylist()
+            ]
+            return pa.table(
+                {
+                    id_col: new_rows.column("id"),
+                    "in_previous": pa.array(flags, pa.int64()),
+                }
+            )
+
+        return both.groupby("bucket").map_groups(
+            flag_group, batch_format="pyarrow"
+        )
+
     seen: set[str] = set()
     for b in iter_capped_batches(
-        both.groupby("text_hash").map_groups(overlap, batch_format="pyarrow"),
+        both.groupby("bucket").map_groups(overlap, batch_format="pyarrow"),
         cap=cap,
         context="incremental dedup overlap",
     ):
@@ -178,7 +242,8 @@ def incremental_dedup(
         prev = cached_get(seen_ref, "incremental_dedup_overlap")
         b2 = fingerprint_batch(batch, text_col)
         flags = [
-            1 if h in prev else 0 for h in b2.column("text_hash").to_pylist()
+            1 if (h is not None and h in prev) else 0
+            for h in b2.column("text_hash").to_pylist()
         ]
         out = batch.drop_columns([text_col])
         return out.append_column("in_previous", pa.array(flags, pa.int64()))

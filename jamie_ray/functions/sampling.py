@@ -165,9 +165,12 @@ def group_sample(
     per (block, key) — the one bucketed shuffle carries
     ``(bucket, key, id, u)`` short rows bounded by blocks x groups x k,
     never the corpus; the per-bucket merge re-selects the global k per
-    key; winners (k x n_groups rows, capped loudly) broadcast; one
-    streaming filter pass returns the original rows intact. The input
-    is consumed twice — pass a source-backed Dataset.
+    key; winners (k x n_groups ``(key, id)`` pairs, capped loudly)
+    broadcast; one streaming filter pass returns the original rows
+    intact. The input is consumed twice — pass a source-backed
+    Dataset. Precondition: at most one row per ``(key_col, id_col)``
+    pair (duplicate rows of one id inside a group each consume a slot
+    of ``k`` and both survive the filter).
     """
     if k <= 0:
         raise ValueError(f"group_sample: k {k} must be positive")
@@ -223,14 +226,25 @@ def group_sample(
         .groupby("bucket")
         .map_groups(merge, batch_format="pyarrow")
     )
+    # membership is (key, id) PAIRS, not bare ids: an id appearing
+    # under several keys (a doc replicated per group) must only keep
+    # the rows of the groups where it actually won
     selected: set = set()
     for b in iter_capped_batches(winners, cap=cap, context="group sample winners"):
-        selected.update(b.column("id").to_pylist())
+        selected.update(
+            zip(b.column("key").to_pylist(), b.column("id").to_pylist())
+        )
     sel_ref = ray.put(frozenset(selected))
 
     def keep(batch: pa.Table) -> pa.Table:
         sel = cached_get(sel_ref, "group_sample_selected")
-        mask = [i in sel for i in batch.column(id_col).to_pylist()]
+        mask = [
+            (k, i) in sel
+            for k, i in zip(
+                batch.column(key_col).to_pylist(),
+                batch.column(id_col).to_pylist(),
+            )
+        ]
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")

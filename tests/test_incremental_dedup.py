@@ -72,6 +72,54 @@ def test_disjoint_and_empty_old(ray_session):
     assert set(got.values()) == {0}
 
 
+def test_shuffle_path_matches_broadcast(ray_session):
+    """flag_path='shuffle' (zero driver collections) produces the same
+    (id, in_previous) pairs as the broadcast path."""
+    got = {
+        r["doc_id"]: r["in_previous"]
+        for r in incremental_dedup(
+            _new_ds(), _old_ds(), flag_path="shuffle"
+        ).take_all()
+    }
+    assert got == _flags(incremental_dedup(_new_ds(), _old_ds()))
+    # shuffle path survives a tiny edge_cap: nothing is driver-collected
+    got2 = {
+        r["doc_id"]: r["in_previous"]
+        for r in incremental_dedup(
+            _new_ds(), _old_ds(), flag_path="shuffle", edge_cap=1
+        ).take_all()
+    }
+    assert got2 == got
+
+
+def test_null_text_never_matches(ray_session):
+    """SQL NULL != NULL semantics: null text on both sides is not a
+    match."""
+    old = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["real old text", None], pa.string()),
+            }
+        )
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11], pa.int64()),
+                "text": pa.array([None, "real old text"], pa.string()),
+            }
+        )
+    )
+    for path in ("broadcast", "shuffle"):
+        got = {
+            r["doc_id"]: r["in_previous"]
+            for r in incremental_dedup(new, old, flag_path=path).take_all()
+        }
+        assert got[11] == 1, path
+        assert got.get(10, 0) == 0, path  # null never matches
+
+
 def test_cap(ray_session):
     from jamie_ray.state.collect import EdgeCapExceeded
 

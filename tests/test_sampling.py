@@ -163,6 +163,30 @@ def test_group_sample_nested_and_small_groups(ray_session):
     assert a == b
 
 
+def test_group_sample_id_replicated_across_groups(ray_session):
+    """An id appearing under several keys keeps only the rows of the
+    groups where it won — membership is (key, id), not bare id."""
+    from jamie_ray.functions.sampling import group_sample
+
+    rows = [
+        {"doc_id": i, "lang": lang, "text": f"{lang} {i}"}
+        for i in range(60)
+        for lang in ("en", "ja", "de")
+    ]
+    ds = ray.data.from_items(rows)
+    out = group_sample(ds, 5, "lang", salt="r").take_all()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert {len(v) for v in by_lang.values()} == {5}
+    assert len(out) == 15
+    # same id space per group -> same per-id uniforms -> identical
+    # winner ids per group (the expected degenerate case)
+    assert (
+        sorted(by_lang["en"]) == sorted(by_lang["ja"]) == sorted(by_lang["de"])
+    )
+
+
 def test_group_sample_validation_and_cap(ray_session):
     from jamie_ray.functions.sampling import group_sample
     from jamie_ray.state.collect import EdgeCapExceeded
