@@ -653,6 +653,15 @@ def cmd_clean(args) -> None:
 
     cols = [args.id_col, args.text_col] + ([args.url_col] if args.url_col else [])
     docs = ray.data.read_parquet(args.docs, columns=cols)
+    lm = None
+    if args.lm_train:
+        from .functions.lm import train_ngram_lm
+
+        lm = train_ngram_lm(
+            ray.data.read_parquet(args.lm_train, columns=[args.text_col]),
+            text_col=args.text_col,
+            min_freq=2,
+        )
     cleaned, stats = clean_corpus(
         docs,
         args.spill,
@@ -663,6 +672,8 @@ def cmd_clean(args) -> None:
         url_col=args.url_col,
         pii=args.pii,
         span_min_len=args.span_min_len,
+        lm=lm,
+        max_ppl=args.max_ppl,
     )
     cleaned.write_parquet(args.out)
     print(json.dumps({"command": "clean", "out": args.out, **stats}))
@@ -967,6 +978,19 @@ def main(argv: list[str] | None = None) -> None:
         type=int,
         default=None,
         help="enable exact-substring dedup of verbatim runs >= N tokens",
+    )
+    p.add_argument(
+        "--lm-train",
+        dest="lm_train",
+        default=None,
+        help="trusted-corpus parquet: train a bigram LM and gate on --max-ppl",
+    )
+    p.add_argument(
+        "--max-ppl",
+        dest="max_ppl",
+        type=float,
+        default=None,
+        help="drop docs whose per-token perplexity under the --lm-train LM exceeds this",
     )
     p.set_defaults(fn=cmd_clean)
 

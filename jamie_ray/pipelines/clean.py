@@ -51,6 +51,8 @@ def clean_corpus(
     url_col: str | None = None,
     pii: bool = False,
     span_min_len: int | None = None,
+    lm=None,
+    max_ppl: float | None = None,
 ):
     """documents -> (cleaned Dataset ``(doc_id, text)``, stats dict).
 
@@ -75,6 +77,15 @@ def clean_corpus(
     occurrence. Note it whitespace-normalizes the surviving text
     (single-space join) — leave it off when byte-exact text matters
     downstream.
+
+    ``lm=`` + ``max_ppl=`` enable the CCNet-style perplexity gate
+    (Wenzek et al. 2020): pass a trained :class:`~jamie_ray.functions.
+    lm.NgramLM` (or a prior ``ray.put`` ref — typically trained on a
+    TRUSTED corpus, not the one being cleaned) and documents whose
+    per-token perplexity exceeds ``max_ppl`` are dropped right after
+    the heuristic quality gate (broadcast LM, streaming, no extra
+    spill pass). Stats gain ``n_after_lm``. Empty docs (NaN ppl) are
+    dropped by this gate — min_tokens normally removes them first.
     """
     import os
 
@@ -174,6 +185,38 @@ def clean_corpus(
         [id_col, text_col],
     )
     n_after_quality = gated.count()
+
+    if (lm is None) != (max_ppl is None):
+        raise ValueError("clean_corpus: lm and max_ppl must be given together")
+    n_after_lm: int | None = None
+    if lm is not None:
+        # CCNet-style perplexity gate: broadcast the (trusted-corpus)
+        # LM once, drop docs scoring worse than max_ppl — streaming,
+        # per-doc fixed-order sums, no shuffle
+        import math
+
+        from ..functions.text_analysis import ws_tokens
+
+        lm_ref = lm if isinstance(lm, ray.ObjectRef) else ray.put(lm)
+
+        def lm_gate(b: pa.Table) -> pa.Table:
+            model = cached_get(lm_ref, "clean_lm_gate")
+            keep = []
+            for t in b.column(text_col).to_pylist():
+                toks = ws_tokens(t)
+                if not toks:
+                    keep.append(False)
+                    continue
+                lp = model.logprob(toks)
+                keep.append(math.exp(-lp / len(toks)) <= max_ppl)
+            return b.filter(pa.array(keep, pa.bool_()))
+
+        gated = _spill_input(
+            gated.map_batches(lm_gate, batch_format="pyarrow"),
+            os.path.join(spill_dir, "lm"),
+            [id_col, text_col],
+        )
+        n_after_lm = gated.count()
 
     # exact dedup: the broadcast must distinguish "unique text" (keep)
     # from "losing duplicate" (drop), so it carries the winner id PER
@@ -302,4 +345,6 @@ def clean_corpus(
     }
     if n_after_url is not None:
         stats["n_after_url"] = n_after_url
+    if n_after_lm is not None:
+        stats["n_after_lm"] = n_after_lm
     return final, stats

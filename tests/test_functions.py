@@ -1384,6 +1384,43 @@ def test_clean_corpus_span_stage(ray_session, tmp_path):
     assert rows[2].startswith("second piece totally different start")
 
 
+def test_clean_corpus_lm_gate(ray_session, tmp_path):
+    """lm= + max_ppl= drops high-perplexity docs right after the
+    heuristic gate (CCNet shape: LM trained on a trusted corpus)."""
+    import math
+
+    import pytest
+    import ray.data
+
+    from jamie_ray.functions.lm import train_ngram_lm
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    trusted = ray.data.from_items(
+        [
+            {"doc_id": i, "text": "the cat sat on the mat and the dog sat too"}
+            for i in range(3)
+        ]
+    )
+    lm = train_ngram_lm(trusted)
+    good = "the cat sat on the mat and the dog sat too"
+    bad = "zx qv glorp wibble frunk zaxxon blorp quux nine ten"
+    def ppl(t):
+        toks = t.split()
+        return math.exp(-lm.logprob(toks) / len(toks))
+    cut = (ppl(good) + ppl(bad)) / 2
+    docs = ray.data.from_items(
+        [{"doc_id": 1, "text": good}, {"doc_id": 2, "text": bad}]
+    )
+    cleaned, stats = clean_corpus(
+        docs, str(tmp_path / "spill"), min_tokens=3, lm=lm, max_ppl=cut
+    )
+    assert stats["n_after_quality"] == 2
+    assert stats["n_after_lm"] == 1
+    assert {r["doc_id"] for r in cleaned.take_all()} == {1}
+    with pytest.raises(ValueError, match="together"):
+        clean_corpus(docs, str(tmp_path / "spill2"), lm=lm)
+
+
 def test_clean_corpus_pii_stage(ray_session, tmp_path):
     """pii=True masks AFTER dedup: two docs that differ only in their
     email survive as two docs (masking can't merge them), and the
