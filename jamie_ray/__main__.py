@@ -585,6 +585,25 @@ def cmd_sample(args) -> None:
     )
 
 
+def cmd_group_sample(args) -> None:
+    _ensure_ray()
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from .functions.sampling import group_sample
+
+    docs = ray.data.read_parquet(args.docs)
+    group_sample(
+        docs, args.k, args.key_col, id_col=args.id_col, salt=args.salt
+    ).write_parquet(args.out)
+    n = _pq.read_table(args.out, columns=[args.id_col]).num_rows
+    print(
+        json.dumps(
+            {"command": "group-sample", "out": args.out, "k": args.k, "n_kept": n}
+        )
+    )
+
+
 def cmd_lm(args) -> None:
     _ensure_ray()
     import ray.data
@@ -916,6 +935,18 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--salt", default="", help="hash-family salt (same salt => nested samples)")
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser(
+        "group-sample",
+        help="balanced per-group sample: keep k deterministic rows per key value",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--k", type=int, required=True, help="rows kept per group")
+    p.add_argument("--key-col", dest="key_col", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--salt", default="")
+    p.set_defaults(fn=cmd_group_sample)
 
     p = sub.add_parser(
         "lm",
