@@ -1151,12 +1151,13 @@ def span_dedup(
     Rule: any run of ``>= min_len`` tokens (RE2-exact ``ws_tokens``)
     that occurs verbatim elsewhere in the corpus survives only at its
     FIRST occurrence, ordered by ``(doc_id, token position)``. Every
-    length-``min_len`` token window is keyed by two independently
-    seeded 64-bit hashes of its joined tokens (128-bit identity, the
-    ``paragraph_dedup`` convention); a non-winner occurrence of a
-    duplicated window cuts its ``[pos, pos+min_len)`` token interval,
-    and overlapping cuts merge — so a shared run of length M >= L is
-    matched at starts ``s..s+M-L`` and excised as exactly ``[s, s+M)``.
+    length-``min_len`` token window is keyed by two independent
+    Karp-Rabin polynomial hashes over per-token blake2b hashes
+    (128-bit identity, two (seed, base) families); a non-winner
+    occurrence of a duplicated window cuts its ``[pos, pos+min_len)``
+    token interval, and overlapping cuts merge — so a shared run of
+    length M >= L is matched at starts ``s..s+M-L`` and excised as
+    exactly ``[s, s+M)``.
 
     Output: one row per document — ``(doc_id, clean_text, n_tokens,
     n_cut_tokens)``. ``clean_text`` is the SINGLE-SPACE join of
@@ -1168,10 +1169,10 @@ def span_dedup(
     never text — through ONE bucketed shuffle; only DUPLICATED windows
     leave the groupby; the winner map is capped by duplicate mass and
     broadcast; a second streaming pass rebuilds documents. Window
-    hashing is O(tokens x min_len) chars per doc (a Karp-Rabin rolling
-    hash is the constant-factor upgrade; ``winnow_batch`` shows the
-    rolling machinery). Input is consumed twice — pass a source-backed
-    Dataset or ``spill_dir``.
+    hashing is O(tokens) per doc: each token is blake2b-hashed once
+    (8 bytes per token enter the keys, independent of ``min_len``) and
+    the rolling windows come from vectorized prefix sums. Input is
+    consumed twice — pass a source-backed Dataset or ``spill_dir``.
     """
     from ..hashing import hash_str_array
     from ..runs import iter_key_runs
@@ -1185,19 +1186,48 @@ def span_dedup(
         docs = _spill_input(docs, spill_dir, [id_col, text_col])
     cap = edge_cap or DEFAULT_EDGE_CAP
 
+    # Karp-Rabin over per-token blake2b hashes: each token is hashed
+    # ONCE (8 bytes enter the window key, not the token's characters),
+    # and the L-window polynomial H_i = sum_j x_{i+j} * B^(L-1-j)
+    # (wraparound uint64) is computed for ALL positions in O(n) via
+    # prefix sums of x_k * B^(-k) — B odd is invertible mod 2^64. Two
+    # independent (seed, base) families give the 128-bit identity;
+    # window equality == token-hash-sequence equality, so distinct
+    # windows can only alias through a per-family collision.
+    _B1, _B2 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F  # odd constants
+    _INV1 = np.uint64(pow(_B1, -1, 1 << 64))
+    _INV2 = np.uint64(pow(_B2, -1, 1 << 64))
+
+    def _rolling(x: np.ndarray, base: int, inv: np.uint64) -> np.ndarray:
+        n = len(x)
+        m = n - min_len + 1
+        with np.errstate(over="ignore"):
+            pw = np.cumprod(
+                np.full(n, np.uint64(base), dtype=np.uint64), dtype=np.uint64
+            )  # pw[i] = B^(i+1)
+            ipw = np.concatenate(
+                [
+                    [np.uint64(1)],
+                    np.cumprod(
+                        np.full(n - 1, inv, dtype=np.uint64), dtype=np.uint64
+                    ),
+                ]
+            )  # ipw[k] = B^(-k)
+            y = x * ipw
+            s = np.concatenate([[np.uint64(0)], np.cumsum(y, dtype=np.uint64)])
+            win = s[min_len:] - s[:-min_len]  # sum x_k B^(-k), k=i..i+L-1
+            # multiply by B^(i+L-1): pw[i+L-2] = B^(i+L-1)
+            return win * pw[min_len - 2 : min_len - 2 + m]
+
     def _window_hashes(toks: list[str]):
         n = len(toks)
         if n < min_len:
             return None, None
-        # single-space join is INJECTIVE on ws_tokens (RE2 \s is
-        # [\t\n\f\r ], so a token can never contain a space); \x1f can
-        # occur inside tokens and would alias distinct windows
-        wins = [
-            " ".join(toks[i : i + min_len]) for i in range(n - min_len + 1)
-        ]
+        x1 = hash_str_array(toks, seed=3)
+        x2 = hash_str_array(toks, seed=4)
         return (
-            hash_str_array(wins, seed=3).astype(np.int64),
-            hash_str_array(wins, seed=4).astype(np.int64),
+            _rolling(x1, _B1, _INV1).astype(np.int64),
+            _rolling(x2, _B2, _INV2).astype(np.int64),
         )
 
     def explode(batch: pa.Table) -> pa.Table:
