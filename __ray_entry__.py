@@ -1412,8 +1412,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM g2 GROUP BY doc_id, a, b, total_chars
               ), best AS (
                 SELECT doc_id,
-                       c * (length(a) + length(b)) * 1000000
-                         // total_chars AS top2gram_micro,
+                       CAST(c * (length(a) + length(b)) * 1000000
+                            // total_chars AS BIGINT) AS top2gram_micro,
                        row_number() OVER (
                          PARTITION BY doc_id
                          ORDER BY c DESC, a || ' ' || b ASC
