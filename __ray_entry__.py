@@ -499,8 +499,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
-        spill = (
-            f"/tmp/jamie_ray_pack_spill_{os.path.basename(os.path.normpath(sf_dir))}"
+        # per-invocation spill dir: keyed by a hash of the FULL input
+        # path plus pid so concurrent driver runs (or distinct corpora
+        # sharing a basename) never race on each other's spill files
+        import hashlib
+        import tempfile
+
+        tag = hashlib.blake2b(
+            os.path.abspath(sf_dir).encode(), digest_size=8
+        ).hexdigest()
+        spill = tempfile.mkdtemp(
+            prefix=f"jamie_ray_pack_spill_{tag}_{os.getpid()}_"
         )
         assignments, _ = pack_sequences(docs, 32, spill_dir=spill)
         return assignments

@@ -70,7 +70,11 @@ def gram_hash(g: str) -> int:
 
 def _to_hash_array(grams) -> np.ndarray:
     """Sorted uint64 hash array from gram strings or precomputed 64-bit
-    ints (``int`` or ``np.integer`` — e.g. ``hash_str_array`` output)."""
+    ints (``int`` or ``np.integer`` — e.g. ``hash_str_array`` output).
+
+    Accepts any iterable, including len-less generators (materialized
+    once so ``np.fromiter`` can be given an exact count)."""
+    grams = grams if hasattr(grams, "__len__") else list(grams)
     arr = np.fromiter(
         (g if isinstance(g, (int, np.integer)) else gram_hash(g) for g in grams),
         dtype=np.uint64,

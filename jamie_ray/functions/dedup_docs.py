@@ -171,18 +171,28 @@ def incremental_dedup(
     def hashes(side: int):
         def f(batch: pa.Table) -> pa.Table:
             batch = fingerprint_batch(batch, text_col)
-            # null text never matches: drop it from the shuffle
-            batch = batch.filter(pc.is_valid(batch.column("text_hash")))
             if side == 1 and ship_ids:
+                # null text never matches, but its id must still be
+                # flagged (in_previous = 0): keep the row, route it to
+                # bucket 0 with a null hash — flag_group emits 0 for it
                 hs = batch.column("text_hash").to_pylist()
+                buckets = np.zeros(len(hs), dtype=np.int64)
+                valid = [i for i, h in enumerate(hs) if h is not None]
+                if valid:
+                    buckets[valid] = (
+                        hash_str_array([hs[i] for i in valid], seed=7)
+                        % np.uint64(n_buckets)
+                    ).astype(np.int64)
                 return pa.table(
                     {
-                        "bucket": _bucket(hs),
+                        "bucket": pa.array(buckets, pa.int64()),
                         "text_hash": batch.column("text_hash"),
                         "side": pa.array([1] * len(hs), pa.int8()),
                         "id": batch.column(id_col),
                     }
                 )
+            # null text never matches: drop it from the shuffle
+            batch = batch.filter(pc.is_valid(batch.column("text_hash")))
             gb = batch.group_by(["text_hash"]).aggregate([])
             hs = gb.column("text_hash").to_pylist()
             out = {

@@ -130,7 +130,15 @@ def pii_mask_batch(
         ("n_ips", ips),
         ("n_phones", phones),
     ):
-        batch = batch.append_column(name, pa.array(vals, pa.int64()))
+        arr = pa.array(vals, pa.int64())
+        # mirror the masked-text handling: re-running over an
+        # already-scored table must overwrite, never create a second
+        # same-named column (pyarrow allows duplicates, which silently
+        # corrupts downstream row conversion)
+        if name in batch.column_names:
+            batch = batch.set_column(batch.column_names.index(name), name, arr)
+        else:
+            batch = batch.append_column(name, arr)
     return batch
 
 

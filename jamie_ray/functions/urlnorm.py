@@ -28,6 +28,7 @@ from __future__ import annotations
 from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "TRACKING_PARAMS",
@@ -155,6 +156,11 @@ def url_dedup(
     """docs -> (canonical_url, <id_col>=min, n_dups), one row per
     distinct canonical URL.
 
+    Rows whose URL is null are NOT a group: a missing URL identifies
+    nothing, so they are dropped before the shuffle and every null-URL
+    document is always kept by downstream consumers (clean_corpus's
+    URL stage, drop-losers joins).
+
     Same combiner algebra as :func:`dedup_docs.exact_dedup`: per-block
     ``group_by`` pre-reduction (min id + count) so the one shuffle
     carries only short distinct rows; the per-group merge re-reduces
@@ -187,6 +193,8 @@ def url_dedup(
                 "n_dups": pa.array([1] * batch.num_rows, pa.int64()),
             }
         )
+        # null URLs are always-keep, never a dedup group
+        ones = ones.filter(pc.is_valid(ones.column("canonical_url")))
         return reduce_partials(ones)
 
     combined = docs.map_batches(local, batch_format="pyarrow")

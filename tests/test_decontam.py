@@ -160,3 +160,30 @@ def test_cli_decontam(ray_session, tmp_path, capsys):
         for r in pq.read_table(f).to_pylist()
     }
     assert flags == _EXPECTED
+
+
+def test_hashed_accepts_lenless_iterable(ray_session):
+    """decontaminate(hashed=True) advertises Iterable[str]; a len-less
+    generator must work (r4 ADVICE: np.fromiter(count=len(...)) threw
+    TypeError)."""
+    import pyarrow as pa
+
+    from jamie_ray.functions.decontam import decontaminate, gram_hash
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    ["secret bench gram here today", "totally clean text row"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    grams = (g for g in [gram_hash("secret bench gram")])  # generator
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, grams, n=3, hashed=True).take_all()
+    }
+    assert out == {1: 1, 2: 0}

@@ -110,3 +110,28 @@ def test_mask_pii_dataset(ray_session):
     # out_col keeps the raw text
     kept = mask_pii(ds, out_col="masked").take_all()[0]
     assert "bob@x.org" in kept["text"] or kept["doc_id"] == 2
+
+
+def test_rerun_does_not_duplicate_count_columns():
+    """Re-running pii_mask_batch over an already-scored table must
+    overwrite the count columns, not append same-named duplicates
+    (pyarrow allows duplicates, which silently corrupts downstream
+    row conversion — r4 ADVICE)."""
+    import pyarrow as pa
+
+    from jamie_ray.functions.pii import pii_mask_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["mail me at a@b.example from 10.0.0.1"], pa.string()),
+        }
+    )
+    once = pii_mask_batch(t)
+    twice = pii_mask_batch(once)
+    assert twice.column_names == once.column_names  # no duplicates
+    assert len(twice.column_names) == len(set(twice.column_names))
+    # second pass over already-masked text finds nothing new
+    assert twice.column("n_emails").to_pylist() == [0]
+    assert twice.column("n_ips").to_pylist() == [0]
+    assert twice.column("text").to_pylist() == once.column("text").to_pylist()

@@ -157,3 +157,65 @@ def test_url_dedup_matches_driver_replay(ray_session):
     by_url = {c: (i, n) for c, i, n in got}
     assert by_url[canonicalize_url(rows[0][1])] == (1, 4)
     assert by_url[canonicalize_url(rows[4][1])] == (5, 2)
+
+
+def test_url_dedup_null_urls_are_always_keep(ray_session):
+    """Null URLs must never form a dedup 'group': three null-URL rows
+    are three distinct documents, not one canonical-URL cluster
+    (r4-ADVICE: the old behavior grouped them and clean_corpus's URL
+    stage dropped all but the min id — data loss)."""
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "url": pa.array(
+                    [None, None, None, "http://a.example/x", "http://a.example/x"],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(3)
+    out = url_dedup(ds).take_all()
+    # no null-key group in the output at all
+    assert all(r["canonical_url"] is not None for r in out)
+    by_url = {r["canonical_url"]: (r["doc_id"], r["n_dups"]) for r in out}
+    assert by_url == {"http://a.example/x": (4, 2)}
+
+
+def test_clean_corpus_url_stage_keeps_null_url_docs(ray_session, tmp_path):
+    """End-to-end through clean_corpus's opt-in URL stage: null-URL
+    documents all survive; only real canonical-URL losers drop."""
+    import pyarrow.parquet as pq
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "url": pa.array(
+                [None, None, "http://a.example/x?utm_source=z", "http://a.example/x", None],
+                pa.string(),
+            ),
+            "text": pa.array(
+                [
+                    # distinct per-token vocab so the repetition gate
+                    # (dup3gram) and near-dup stage never fire here
+                    " ".join(f"the w{d}x{i} is a v{d}y{i}." for i in range(20))
+                    for d in range(1, 6)
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, str(src))
+    docs = ray.data.read_parquet(str(src))
+    cleaned, report = clean_corpus(
+        docs,
+        spill_dir=str(tmp_path / "spill"),
+        url_col="url",
+        min_tokens=1,
+    )
+    kept = sorted(r["doc_id"] for r in cleaned.take_all())
+    # doc 4 loses to doc 3 on canonical URL; all null-URL docs survive
+    assert kept == [1, 2, 3, 5]
