@@ -2,16 +2,18 @@
 
 Images/audio/video are ``binary`` columns with sibling metadata columns;
 decode / feature-extract / resize / frame-sample run as actor-pool
-``map_batches`` stages. The decode libraries are NOT in this container
-(by design — no pip installs), so the codec boundary is STUBBED two
-ways, both clearly marked:
+``map_batches`` stages. The codec boundary has two modes:
 
-- ``DecodeImage(strict=True)`` raises ``NotImplementedError`` at the
-  exact call that would invoke the codec;
-- ``DecodeImage(strict=False)`` substitutes a deterministic fake decode
-  (hash-derived pixels honoring the declared width/height) so the
-  Ray-side plumbing — schema, batch sizing, actor signature, output
-  layout — is real and testable end to end.
+- ``strict=True`` — REAL decode: the payload is sniffed and decoded by
+  a genuine codec from :mod:`.codecs` — stdlib-real PNG and WAV
+  (always available, live-tested in this container) or the optional
+  PIL / soundfile / PyAV adapters (loud ImportError when the package
+  is missing, never a silent fake). An unrecognized payload raises
+  ``NotImplementedError`` at the exact decode call. Decoded dimensions
+  come from the PAYLOAD, not the metadata columns.
+- ``strict=False`` (default) — deterministic fake decode (hash-derived
+  pixels honoring the declared width/height) so oracle-checked
+  pipelines stay bit-reproducible with zero payload dependencies.
 
 Payload batches are large: size ``batch_size`` small (e.g. 16-64) so a
 batch x concurrency stays inside a worker's heap, and let the object
@@ -78,44 +80,70 @@ def synthetic_media(n: int, kind: str = "image") -> pa.Table:
 class DecodeImage:
     """Actor-pool stage: payload bytes -> pixel tensor column.
 
-    Real deployments: ``__init__`` loads the codec/model once per actor;
-    ``__call__`` decodes a batch. Use
+    ``__init__`` resolves the codec once per actor; ``__call__``
+    decodes a batch. Use
     ``ds.map_batches(DecodeImage, concurrency=N, batch_size=32)``.
+
+    ``codec`` (strict mode only): ``"auto"`` — stdlib-real PNG decode
+    for PNG payloads, PIL adapter for every other recognized image
+    format; ``"png"`` — stdlib only; ``"pil"`` — force PIL. Output is
+    (media_id, width, height, channels, pixels) with the flattened
+    ``(h, w, c)`` tensor and DECODED dims (strict) or the declared
+    metadata dims with channels=1 (fake).
     """
 
-    def __init__(self, strict: bool = False) -> None:
+    def __init__(self, strict: bool = False, codec: str = "auto") -> None:
+        if codec not in ("auto", "png", "pil"):
+            raise ValueError(f"DecodeImage: unknown codec {codec!r}")
         self.strict = strict
-        # real impl: self.codec = load_codec_library()
+        self.codec = codec
+
+    def _decode_real(self, payload: bytes) -> np.ndarray:
+        from . import codecs
+
+        kind = codecs.sniff(payload)
+        if self.codec in ("auto", "png") and kind == "png":
+            return codecs.decode_png(payload)
+        if self.codec == "pil" or (
+            self.codec == "auto" and kind in ("jpeg", "gif", "webp")
+        ):
+            return codecs.decode_image_pil(payload)
+        raise NotImplementedError(
+            f"image decode: payload is {kind or 'unrecognized'}, which no "
+            f"enabled real codec handles (codec={self.codec!r}; stdlib "
+            "covers PNG, the optional PIL adapter covers the rest)"
+        )
 
     def _decode_one(self, payload: bytes, width: int, height: int) -> np.ndarray:
         if self.strict:
-            # STUB: the image codec is not available in this container.
-            raise NotImplementedError(
-                "image decode requires a codec library not present here; "
-                "install one and replace this call"
-            )
+            img = self._decode_real(payload)
+            return img if img.ndim == 3 else img[:, :, None]
         # deterministic fake decode: hash-derived grayscale pixels
         n_px = int(width) * int(height)
         seed = int.from_bytes(payload[:8] or b"\0" * 8, "little")
         px = (mix64(np.arange(n_px, dtype=np.uint64), seed=seed % (1 << 31)) & np.uint64(0xFF)).astype(
             np.uint8
         )
-        return px.reshape(int(height), int(width))
+        return px.reshape(int(height), int(width), 1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        pixels = [
-            self._decode_one(p, w, h).flatten().tolist()
-            for p, w, h in zip(
-                batch.column("payload").to_pylist(),
-                batch.column("width").to_pylist(),
-                batch.column("height").to_pylist(),
-            )
-        ]
+        pixels, ws, hs, chs = [], [], [], []
+        for p, w, h in zip(
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            img = self._decode_one(p, w, h)
+            pixels.append(img.flatten().tolist())
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            chs.append(img.shape[2])
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "width": batch.column("width"),
-                "height": batch.column("height"),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "channels": pa.array(chs, pa.int32()),
                 "pixels": pa.array(pixels, pa.list_(pa.uint8())),
             }
         )
@@ -170,11 +198,12 @@ def explode_features(batch: pa.Table) -> pa.Table:
 class SampleFrames:
     """Actor-pool stage: video payload -> one row per SAMPLED frame.
 
-    Samples every ``stride``-th frame (deterministic; the real codec
-    would seek-decode exactly those frames — the fake decode derives
-    pixels from (payload, frame_idx) so frames differ but reproduce).
-    Output explodes rows: (media_id, frame_idx, width, height, pixels).
-    Same strict/fake codec boundary as :class:`DecodeImage`.
+    Samples every ``stride``-th frame. Fake mode derives pixels from
+    (payload, frame_idx) so frames differ but reproduce; strict mode
+    decodes real containers via the optional PyAV adapter (there is no
+    stdlib video codec, so strict ALWAYS needs it — unrecognized bytes
+    raise, never fake). Output explodes rows:
+    (media_id, frame_idx, width, height, pixels).
     """
 
     def __init__(self, stride: int = 4, strict: bool = False) -> None:
@@ -182,12 +211,6 @@ class SampleFrames:
         self.strict = strict
 
     def _decode_frame(self, payload: bytes, w: int, h: int, idx: int) -> np.ndarray:
-        if self.strict:
-            # STUB: the video codec is not available in this container.
-            raise NotImplementedError(
-                "video frame decode requires a codec library not present "
-                "here; install one and replace this call"
-            )
         seed = (int.from_bytes(payload[:8] or b"\0" * 8, "little") + idx * 1_000_003) % (
             1 << 31
         )
@@ -196,6 +219,21 @@ class SampleFrames:
             np.uint8
         )
         return px.reshape(int(h), int(w))
+
+    def _sample_real(self, payload: bytes) -> list[tuple[int, np.ndarray]]:
+        from . import codecs
+
+        kind = codecs.sniff(payload)
+        if kind in ("mp4", "webp", None):
+            if kind is None:
+                # unrecognized bytes: there is NO stdlib video codec, so
+                # strict mode must refuse rather than fake
+                raise NotImplementedError(
+                    "video frame decode: payload is unrecognized and no "
+                    "stdlib video codec exists; install the optional av "
+                    "package for real containers"
+                )
+        return codecs.sample_frames_pyav(payload, self.stride)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mids, fidx, ws, hs, pixels = [], [], [], [], []
@@ -206,6 +244,14 @@ class SampleFrames:
             batch.column("height").to_pylist(),
             batch.column("n_frames").to_pylist(),
         ):
+            if self.strict:
+                for idx, frame in self._sample_real(payload):
+                    mids.append(mid)
+                    fidx.append(idx)
+                    hs.append(frame.shape[0])
+                    ws.append(frame.shape[1])
+                    pixels.append(frame.flatten().tolist())
+                continue
             for idx in range(0, int(nf), self.stride):
                 mids.append(mid)
                 fidx.append(idx)
@@ -228,33 +274,50 @@ class DecodeAudio:
     [-1, 1], one fake second at the declared sample rate). Strict mode
     marks the codec boundary exactly like :class:`DecodeImage`."""
 
-    def __init__(self, strict: bool = False) -> None:
+    def __init__(self, strict: bool = False, codec: str = "auto") -> None:
+        if codec not in ("auto", "wav", "soundfile"):
+            raise ValueError(f"DecodeAudio: unknown codec {codec!r}")
         self.strict = strict
+        self.codec = codec
 
-    def _decode_one(self, payload: bytes, sample_rate: int) -> np.ndarray:
+    def _decode_real(self, payload: bytes) -> tuple[np.ndarray, int]:
+        from . import codecs
+
+        kind = codecs.sniff(payload)
+        if self.codec in ("auto", "wav") and kind == "wav":
+            return codecs.decode_wav(payload)
+        if self.codec == "soundfile" or (
+            self.codec == "auto" and kind in ("flac", "ogg")
+        ):
+            return codecs.decode_audio_soundfile(payload)
+        raise NotImplementedError(
+            f"audio decode: payload is {kind or 'unrecognized'}, which no "
+            f"enabled real codec handles (codec={self.codec!r}; stdlib "
+            "covers WAV, the optional soundfile adapter covers the rest)"
+        )
+
+    def _decode_one(self, payload: bytes, sample_rate: int) -> tuple[np.ndarray, int]:
         if self.strict:
-            # STUB: the audio codec is not available in this container.
-            raise NotImplementedError(
-                "audio decode requires a codec library not present here; "
-                "install one and replace this call"
-            )
+            return self._decode_real(payload)
         seed = int.from_bytes(payload[:8] or b"\0" * 8, "little") % (1 << 31)
         n = max(int(sample_rate), 1)
         u = mix64(np.arange(n, dtype=np.uint64), seed=seed)
-        return ((u >> np.uint64(11)).astype(np.float32) / float(1 << 53)) * 2.0 - 1.0
+        wav = ((u >> np.uint64(11)).astype(np.float32) / float(1 << 53)) * 2.0 - 1.0
+        return wav, int(sample_rate)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        waves = [
-            self._decode_one(p, sr).tolist()
-            for p, sr in zip(
-                batch.column("payload").to_pylist(),
-                batch.column("sample_rate").to_pylist(),
-            )
-        ]
+        waves, rates = [], []
+        for p, sr in zip(
+            batch.column("payload").to_pylist(),
+            batch.column("sample_rate").to_pylist(),
+        ):
+            wav, real_sr = self._decode_one(p, sr)
+            waves.append(wav.tolist())
+            rates.append(real_sr)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "sample_rate": batch.column("sample_rate"),
+                "sample_rate": pa.array(rates, pa.int32()),
                 "waveform": pa.array(waves, pa.list_(pa.float32())),
             }
         )
@@ -285,23 +348,32 @@ class AudioFeatures:
 
 
 def resize_stub(batch: pa.Table, target: int = 32) -> pa.Table:
-    """Nearest-neighbor resize on the fake pixel tensors (real plumbing,
-    deterministic math; a real codec path would swap in here)."""
+    """Nearest-neighbor resize on decoded pixel tensors (deterministic
+    math, channel-aware: works on both the fake single-channel path and
+    real multi-channel decodes)."""
+    has_ch = "channels" in batch.column_names
+    chans = (
+        batch.column("channels").to_pylist()
+        if has_ch
+        else [1] * batch.num_rows
+    )
     out = []
-    for px, w, h in zip(
+    for px, w, h, c in zip(
         batch.column("pixels").to_pylist(),
         batch.column("width").to_pylist(),
         batch.column("height").to_pylist(),
+        chans,
     ):
-        a = np.asarray(px, dtype=np.uint8).reshape(int(h), int(w))
+        a = np.asarray(px, dtype=np.uint8).reshape(int(h), int(w), int(c))
         ys = (np.arange(target) * h // target).astype(int)
         xs = (np.arange(target) * w // target).astype(int)
         out.append(a[np.ix_(ys, xs)].flatten().tolist())
-    return pa.table(
-        {
-            "media_id": batch.column("media_id"),
-            "width": pa.array([target] * batch.num_rows, pa.int32()),
-            "height": pa.array([target] * batch.num_rows, pa.int32()),
-            "pixels": pa.array(out, pa.list_(pa.uint8())),
-        }
-    )
+    cols = {
+        "media_id": batch.column("media_id"),
+        "width": pa.array([target] * batch.num_rows, pa.int32()),
+        "height": pa.array([target] * batch.num_rows, pa.int32()),
+    }
+    if has_ch:
+        cols["channels"] = batch.column("channels")
+    cols["pixels"] = pa.array(out, pa.list_(pa.uint8()))
+    return pa.table(cols)
