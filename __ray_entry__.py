@@ -685,8 +685,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
         # all three constants imported from fixtures so query and
-        # oracle can never drift (FIXTURES.md §9)
-        return train_bpe(docs, n_merges=BPE_N_MERGES, min_freq=BPE_MIN_FREQ)
+        # oracle can never drift (FIXTURES.md §9); pruning metadata is
+        # stripped so the driver's schema compare sees columns only
+        return train_bpe(
+            docs, n_merges=BPE_N_MERGES, min_freq=BPE_MIN_FREQ
+        ).replace_schema_metadata(None)
 
     def docs_paragraph_dedup(sf_dir: str):
         """Cross-corpus keep-first paragraph dedup over the fixture

@@ -711,9 +711,14 @@ def cmd_bpe(args) -> None:
         text_col=args.text_col,
         n_merges=args.merges,
         min_freq=args.min_freq,
+        word_min_freq=args.word_min_freq,
     )
     _pq.write_table(merges, args.out)
     out = {"command": "bpe", "out": args.out, "n_merges": merges.num_rows}
+    if args.word_min_freq:
+        out["pruned_word_mass"] = int(
+            merges.schema.metadata.get(b"pruned_word_mass", b"0")
+        )
     if args.apply_out:
         from .functions.bpe import segment_corpus
 
@@ -1032,6 +1037,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--text-col", dest="text_col", default="text")
     p.add_argument("--merges", type=int, default=200)
     p.add_argument("--min-freq", dest="min_freq", type=int, default=2)
+    p.add_argument(
+        "--word-min-freq", dest="word_min_freq", type=int, default=None,
+        help="prune word types below this count DISTRIBUTED-side before "
+        "the driver collect (the corpus-scale path; pruned mass is "
+        "recorded in the output metadata)",
+    )
     p.add_argument(
         "--apply-out", dest="apply_out", default=None,
         help="also segment the corpus with the trained merges -> parquet dir",

@@ -31,13 +31,29 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..hashing import hash_str_array
 from .text_analysis import ws_tokens
 
 
-def word_counts(docs, text_col: str = "text", *, n_buckets: int = 1024):
-    """documents -> Dataset ``(word, n)``, one row per distinct word."""
+def word_counts(
+    docs,
+    text_col: str = "text",
+    *,
+    n_buckets: int = 1024,
+    min_freq: int = 1,
+):
+    """documents -> Dataset ``(word, n)``, one row per distinct word.
+
+    ``min_freq > 1`` prunes word types with total count below it
+    INSIDE the bucket merge groups — distributed-side, before anything
+    reaches the driver (the ``lm.py`` summary-row trick). The pruned
+    mass is not silent: each bucket that dropped types emits one
+    summary row with ``word = null`` and ``n = pruned occurrence
+    mass``, so callers can account for exactly how many occurrences
+    the threshold removed.
+    """
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -56,7 +72,26 @@ def word_counts(docs, text_col: str = "text", *, n_buckets: int = 1024):
     def merge(group: pa.Table) -> pa.Table:
         gb = group.group_by(["word"]).aggregate([("n", "sum")])
         # aggregates selected BY NAME (<col>_<agg>), never positionally
-        return pa.table({"word": gb.column("word"), "n": gb.column("n_sum")})
+        t = pa.table({"word": gb.column("word"), "n": gb.column("n_sum")})
+        if min_freq > 1:
+            keep = pc.greater_equal(t.column("n"), min_freq)
+            pruned_mass = pc.sum(
+                t.filter(pc.invert(keep)).column("n")
+            ).as_py()
+            t = t.filter(keep)
+            if pruned_mass:
+                t = pa.concat_tables(
+                    [
+                        t,
+                        pa.table(
+                            {
+                                "word": pa.array([None], pa.string()),
+                                "n": pa.array([pruned_mass], pa.int64()),
+                            }
+                        ),
+                    ]
+                )
+        return t
 
     return (
         docs.map_batches(partial, batch_format="pyarrow")
@@ -101,6 +136,8 @@ def train_bpe(
     min_freq: int = 2,
     *,
     vocab_cap: int | None = None,
+    word_min_freq: int | None = None,
+    n_buckets: int = 1024,
 ) -> pa.Table:
     """Train ``n_merges`` BPE merges over the corpus; returns an Arrow
     table ``(rank, lhs, rhs, freq)`` — ``rank`` is merge order,
@@ -110,15 +147,33 @@ def train_bpe(
     ``vocab_cap`` bounds the driver-side word-frequency collection
     (default ``state.collect.DEFAULT_EDGE_CAP``) — crossing it raises
     ``EdgeCapExceeded`` loudly rather than OOMing the driver.
+
+    ``word_min_freq`` is the 100-TB path: word types with total corpus
+    count below it are pruned DISTRIBUTED-side, inside the bucket
+    merge groups, so the driver only ever holds the frequent types
+    (Heaps'-law tail stays on the cluster; standard subword-trainer
+    vocabulary thresholding, cf. SentencePiece/subword-nmt). Merges
+    are then computed over the surviving types only — an approximation
+    whose per-pair error is bounded by the pruned occurrence mass,
+    which is recorded loudly in the returned table's schema metadata
+    (``pruned_word_mass``) instead of being dropped silently.
     """
     from ..state.collect import DEFAULT_EDGE_CAP, iter_capped_batches
 
     cap = vocab_cap or DEFAULT_EDGE_CAP
     vocab: dict[tuple[str, ...], int] = {}
+    pruned_mass = 0
     for b in iter_capped_batches(
-        word_counts(docs, text_col), cap=cap, context="bpe vocabulary"
+        word_counts(
+            docs, text_col, min_freq=word_min_freq or 1, n_buckets=n_buckets
+        ),
+        cap=cap,
+        context="bpe vocabulary",
     ):
         for w, n in zip(b.column("word").to_pylist(), b.column("n").to_pylist()):
+            if w is None:  # per-bucket pruned-mass summary row
+                pruned_mass += n
+                continue
             vocab[tuple(w)] = vocab.get(tuple(w), 0) + n
 
     ranks: list[int] = []
@@ -138,12 +193,18 @@ def train_bpe(
         rights.append(b)
         freqs.append(freq)
         vocab = _merge_vocab(vocab, (a, b))
-    return pa.table(
+    out = pa.table(
         {
             "rank": pa.array(ranks, pa.int64()),
             "lhs": pa.array(lefts, pa.string()),
             "rhs": pa.array(rights, pa.string()),
             "freq": pa.array(freqs, pa.int64()),
+        }
+    )
+    return out.replace_schema_metadata(
+        {
+            b"word_min_freq": str(word_min_freq or 1).encode(),
+            b"pruned_word_mass": str(pruned_mass).encode(),
         }
     )
 

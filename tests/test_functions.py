@@ -1484,3 +1484,47 @@ def test_cli_clean(ray_session, tmp_path, capsys):
         for r in pq.read_table(f).to_pylist()
     ]
     assert [r["doc_id"] for r in rows] == [2]
+
+
+def test_bpe_word_min_freq_prunes_distributed_side(ray_session):
+    """The 100-TB BPE path (r4 VERDICT item 3): a corpus whose word-TYPE
+    count exceeds the driver cap but whose frequent-type count doesn't
+    trains WITHOUT EdgeCapExceeded when word_min_freq prunes the tail
+    distributed-side, and — because the rare types here are single
+    characters (pair-free) — produces merges identical to the uncapped
+    replay. The pruned occurrence mass is recorded, not silent."""
+    import ray.data
+
+    from jamie_ray.functions import bpe
+    from jamie_ray.state.collect import EdgeCapExceeded
+
+    # 500 distinct single-char rare words (one occurrence each) + a few
+    # frequent multi-char types
+    rare = " ".join(chr(0x4E00 + i) for i in range(500))
+    docs_rows = [
+        {"doc_id": 0, "text": rare},
+        {"doc_id": 1, "text": "banana banana banana bandana bandana"},
+        {"doc_id": 2, "text": "banana banana bandana"},
+    ]
+    CAP = 60  # << 503 word types; >= frequent types + <=16 summary rows
+
+    docs = ray.data.from_items(list(docs_rows))
+    with pytest.raises(EdgeCapExceeded):
+        bpe.train_bpe(docs, vocab_cap=CAP, n_buckets=16)
+
+    pruned = bpe.train_bpe(
+        ray.data.from_items(list(docs_rows)),
+        vocab_cap=CAP,
+        word_min_freq=2,
+        n_buckets=16,
+        n_merges=10,
+    )
+    full = bpe.train_bpe(
+        ray.data.from_items(list(docs_rows)), n_merges=10
+    )
+    assert pruned.select(["rank", "lhs", "rhs", "freq"]).to_pylist() == \
+        full.select(["rank", "lhs", "rhs", "freq"]).to_pylist()
+    assert pruned.num_rows > 0
+    # 500 pruned single-occurrence types -> mass 500, recorded loudly
+    assert int(pruned.schema.metadata[b"pruned_word_mass"]) == 500
+    assert int(full.schema.metadata[b"pruned_word_mass"]) == 0
