@@ -176,8 +176,10 @@ def cmd_convert(args) -> None:
     elif args.from_fmt == "conll":
         from .stages.conll import conll_text_to_tagged_batch
 
+        _merged = bool(getattr(args, "merged", False))
         tagged = ray.data.read_parquet(args.inp).map_batches(
-            conll_text_to_tagged_batch, batch_format="pyarrow"
+            lambda b, _m=_merged: conll_text_to_tagged_batch(b, merged=_m),
+            batch_format="pyarrow",
         )
     elif args.from_fmt == "brat":
         from .stages.brat import brat_to_tagged_batch
@@ -199,7 +201,11 @@ def cmd_convert(args) -> None:
     elif args.to_fmt == "conll":
         from .stages.conll import tagged_to_conll_batch
 
-        out_ds = tagged.map_batches(tagged_to_conll_batch, batch_format="pyarrow")
+        _merged = bool(getattr(args, "merged", False))
+        out_ds = tagged.map_batches(
+            lambda b, _m=_merged: tagged_to_conll_batch(b, merged=_m),
+            batch_format="pyarrow",
+        )
     elif args.to_fmt == "xml":
         from .stages.format_out import tagged_to_xml_batch
 
@@ -803,6 +809,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="input parquet path (or i2b2 data dir)")
     p.add_argument("--out", required=True)
     p.add_argument("--collection", default="beth", help="i2b2 collection name")
+    p.add_argument(
+        "--merged", action="store_true",
+        help="CoNLL merged-label mode (reference read_conll(is_merged=True)): "
+        "read/write B-tag_modality folded labels instead of separate columns",
+    )
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("index", help="documents -> materialized term index")

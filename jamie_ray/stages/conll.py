@@ -21,18 +21,48 @@ import ast
 import pyarrow as pa
 
 
-def chunk_to_conll(url: str, chunk_id: int, tokens, ner, mod, rels, heads) -> str:
-    """One tagged chunk -> multihead CoNLL block (reference row format)."""
+def merge_modality(ner_lab: str, mod_lab: str) -> str:
+    """Merged-label mode (M14): fold the modality into the BIO tag —
+    ``B-d`` + ``positive`` -> ``B-d_positive``; a ``_`` placeholder
+    modality leaves the tag unchanged (reference
+    utils.py:1115-1120's ``merge_modality``, collapsed to this
+    engine's single ``mod`` column)."""
+    return ner_lab if mod_lab == "_" else f"{ner_lab}_{mod_lab}"
+
+
+def split_merged(merged_tag: str, delimiter: str = "_") -> tuple[str, str]:
+    """Inverse of :func:`merge_modality` — QUIRK-PRESERVING port of
+    the reference's ``split_merged`` (utils.py:1421-1426): split on
+    the delimiter and rejoin the head WITHOUT it, so a tag whose BIO
+    part itself contains ``_`` (or a double-merged tag) mangles
+    exactly as the reference mangles it. Do not "fix"."""
+    items = merged_tag.split(delimiter)
+    if len(items) > 1:
+        return "".join(items[:-1]), items[-1]
+    return merged_tag, "_"
+
+
+def chunk_to_conll(
+    url: str, chunk_id: int, tokens, ner, mod, rels, heads, *, merged: bool = False
+) -> str:
+    """One tagged chunk -> multihead CoNLL block (reference row format).
+
+    ``merged=True`` writes the reference's merged-label variant: the
+    NER column carries ``merge_modality(ner, mod)`` and the modality
+    column a ``_`` placeholder (the shape ``read_conll(is_merged=True)``
+    consumers train on)."""
     lines = [f"#doc {url}#{chunk_id}"]
     for i, (t, n, m, r, h) in enumerate(zip(tokens, ner, mod, rels, heads)):
+        if merged:
+            n, m = merge_modality(n, m), "_"
         lines.append(f"{i}\t{t}\t{n}\t{m}\t{list(r)}\t{list(h)}")
     return "\n".join(lines) + "\n"
 
 
-def tagged_to_conll_batch(batch: pa.Table) -> pa.Table:
+def tagged_to_conll_batch(batch: pa.Table, *, merged: bool = False) -> pa.Table:
     """map_batches kernel: tagged_chunks -> (url, chunk_id, conll)."""
     out = [
-        chunk_to_conll(u, c, t, n, m, r, h)
+        chunk_to_conll(u, c, t, n, m, r, h, merged=merged)
         for u, c, t, n, m, r, h in zip(
             batch.column("url").to_pylist(),
             batch.column("chunk_id").to_pylist(),
@@ -60,13 +90,19 @@ def _parse_literal_list(s: str) -> list:
     return v
 
 
-def conll_to_chunks(text: str) -> list[dict]:
+def conll_to_chunks(text: str, *, merged: bool = False) -> list[dict]:
     """Parse multihead CoNLL text -> tagged_chunks-shaped dicts.
 
     Accepts the reference's file layout: ``#doc``/``## line`` comment
     lines delimit sentences (data_objects.py:190-202); blank lines are
     ignored. Comments of the form ``#doc <url>#<chunk_id>`` (our
     writer) recover provenance; other comments get synthetic keys.
+
+    ``merged=True`` reads the merged-label variant (M14): the NER
+    column carries ``B-d_positive``-style tags which are split back to
+    (ner, mod) via :func:`split_merged` — the reference's decode-side
+    inverse (utils.py:1421-1426); the file's modality column (all
+    ``_`` placeholders in that format) is ignored.
     """
     rows: list[dict] = []
     cur: dict | None = None
@@ -118,19 +154,26 @@ def conll_to_chunks(text: str) -> list[dict]:
         if len(items) != 6:
             raise ValueError(f"bad CoNLL row (need 6 cols): {line!r}")
         cur["tokens"].append(items[1])
-        cur["ner"].append(items[2])
-        cur["mod"].append(items[3])
+        if merged:
+            ner_lab, mod_lab = split_merged(items[2])
+            cur["ner"].append(ner_lab)
+            cur["mod"].append(mod_lab)
+        else:
+            cur["ner"].append(items[2])
+            cur["mod"].append(items[3])
         cur["rels"].append([str(x) for x in _parse_literal_list(items[4])])
         cur["heads"].append([int(x) for x in _parse_literal_list(items[5])])
     flush()
     return rows
 
 
-def conll_text_to_tagged_batch(batch: pa.Table, text_col: str = "conll") -> pa.Table:
+def conll_text_to_tagged_batch(
+    batch: pa.Table, text_col: str = "conll", *, merged: bool = False
+) -> pa.Table:
     """map_batches kernel: (.., conll text) -> tagged_chunks rows."""
     rows: list[dict] = []
     for text in batch.column(text_col).to_pylist():
-        rows.extend(conll_to_chunks(text))
+        rows.extend(conll_to_chunks(text, merged=merged))
     return pa.table(
         {
             "url": pa.array([r["url"] for r in rows], pa.string()),

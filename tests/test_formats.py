@@ -176,3 +176,68 @@ def test_pmhs_reader_roundtrip_and_errors():
     rp = parse_pmhs(bad_pred)
     assert rp["anno_errors"] == 2
     assert rp["rels"] == [["N"]] and rp["heads"] == [[0]]
+
+
+def test_conll_merged_mode_roundtrip():
+    """M14: the merged-label variant (reference read_conll(is_merged=True),
+    utils.py:1113-1120) — writer folds modality into the BIO tag, reader
+    splits it back; the round-trip equals the separate-column path."""
+    batch = _tagged_batch()
+    merged_tab = conll.tagged_to_conll_batch(batch, merged=True)
+    text = merged_tab.column("conll")[0].as_py()
+    # merged tag is in the NER column, placeholder in the mod column
+    assert "2\t肺炎\tI-d_positive\t_\t" in text
+    assert "1\t急性\tB-d\t_\t" in text  # '_' modality leaves tag unchanged
+    back = conll.conll_text_to_tagged_batch(merged_tab, merged=True)
+    for col in ("url", "chunk_id", "tokens", "ner", "mod", "rels", "heads"):
+        assert back.column(col).to_pylist() == batch.column(col).to_pylist()
+
+
+def test_conll_merged_triples_equal_separate_path():
+    """Merged-format corpora assemble to the SAME triples as the
+    separate-column format (the M14 'done' gate)."""
+    from jamie_ray.stages import assemble
+
+    # two entities with a relation between them so assembly yields rows
+    batch = pa.table(
+        {
+            "url": pa.array(["https://x/p2"], pa.string()),
+            "chunk_id": pa.array([0], pa.int32()),
+            "tokens": pa.array(
+                [["左", "肺", "に", "急性", "肺炎", "。"]], pa.list_(pa.string())
+            ),
+            "ner": pa.array(
+                [["B-a", "I-a", "O", "B-d", "I-d", "O"]], pa.list_(pa.string())
+            ),
+            "mod": pa.array(
+                [["_", "_", "_", "_", "positive", "_"]], pa.list_(pa.string())
+            ),
+            "rels": pa.array(
+                [[["N"], ["N"], ["N"], ["N"], ["region"], ["N"]]],
+                pa.list_(pa.list_(pa.string())),
+            ),
+            "heads": pa.array(
+                [[[0], [1], [2], [3], [1], [5]]], pa.list_(pa.list_(pa.int32()))
+            ),
+        }
+    )
+    sep = conll.conll_text_to_tagged_batch(conll.tagged_to_conll_batch(batch))
+    mrg = conll.conll_text_to_tagged_batch(
+        conll.tagged_to_conll_batch(batch, merged=True), merged=True
+    )
+    t_sep = assemble.assemble_batch(sep)
+    t_mrg = assemble.assemble_batch(mrg)
+    assert t_mrg.to_pylist() == t_sep.to_pylist()
+    assert t_sep.num_rows > 0
+
+
+def test_split_merged_quirks_match_reference():
+    """Quirk-preserving: the reference's split_merged (utils.py:1421-1426)
+    rejoins the head WITHOUT the delimiter — double-merged or
+    underscore-bearing tags mangle identically here."""
+    assert conll.split_merged("B-d_positive") == ("B-d", "positive")
+    assert conll.split_merged("O") == ("O", "_")
+    # head rejoined without the delimiter — deliberate reference quirk
+    assert conll.split_merged("B-d_positive_general") == ("B-dpositive", "general")
+    assert conll.merge_modality("B-d", "_") == "B-d"
+    assert conll.merge_modality("I-a", "suspicious") == "I-a_suspicious"
