@@ -340,16 +340,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = tab["embedding"].to_pylist()[tab["vec_id"].to_pylist().index(0)]
         return similarity.knn_indexed(idx, q, k=10, n_probe=2)
 
-    def embedding_near_dup(sf_dir: str):
-        """Cosine near-dup pairs over the fixture embeddings, which
-        plant deterministic same-LSH-bucket twins (fixtures.py
-        generate_embeddings) so the operator's output is non-empty and
-        value-checked against the generator's expected-pairs table."""
+    def embedding_dedup_suite(sf_dir: str):
+        """Embedding-space dedup suite, kind-tagged into one driver slot
+        (the ``docs_simhash_suite`` pattern) so both value oracles ride
+        one registration:
+
+        - ``kind='pair'`` — cosine near-dup pairs (LSH-bucketed +
+          exact verify) over the fixture embeddings, which plant
+          deterministic same-LSH-bucket twins (fixtures.py
+          generate_embeddings): ``(id_a, id_b, cosine)``.
+        - ``kind='sem'`` — SemDeDup-shaped semantic dedup (deterministic
+          k-means clusters + within-cluster keep-first by id,
+          ``similarity.semantic_dedup``): ``(vec_id, dup_of, cluster)``
+          checked against the generator's bit-exact single-machine
+          replay of the same expression tree.
+        """
+        import pyarrow as pa
+
         corpus = _kg_dir(sf_dir)
-        ds = ray.data.read_parquet(
-            f"{corpus}/embeddings_nd.parquet", columns=["vec_id", "embedding"]
+        path = f"{corpus}/embeddings_nd.parquet"
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+        def pair_view(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "kind": pa.array(["pair"] * n, pa.string()),
+                    "a": b.column("id_a"),
+                    "b": b.column("id_b"),
+                    "c": b.column("cosine"),
+                }
+            )
+
+        def sem_view(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "kind": pa.array(["sem"] * n, pa.string()),
+                    "a": b.column("vec_id"),
+                    "b": b.column("dup_of"),
+                    "c": b.column("cluster").cast(pa.float64()),
+                }
+            )
+
+        pairs = similarity.embedding_near_dup(ds, threshold=0.9).map_batches(
+            pair_view, batch_format="pyarrow"
         )
-        return similarity.embedding_near_dup(ds, threshold=0.9)
+        # semantic_dedup re-scans its input per Lloyd iteration: give it
+        # its own source-backed Dataset (not a derived pipeline)
+        sem = similarity.semantic_dedup(
+            ray.data.read_parquet(path, columns=["vec_id", "embedding"]),
+            threshold=0.9,
+            n_centroids=16,
+            n_iter=3,
+        ).map_batches(sem_view, batch_format="pyarrow")
+        return pairs.union(sem)
 
     # ---- dedup family over documents ----
 
@@ -987,7 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
         "knn_ivf_indexed": knn_ivf_indexed,
-        "embedding_near_dup": embedding_near_dup,
+        "embedding_dedup_suite": embedding_dedup_suite,
         "multimodal_suite": multimodal_suite,
         # dedup family
         "dedup_docs_exact": dedup_docs_exact,
@@ -1521,7 +1566,12 @@ def oracle_sql() -> dict[str, str]:
         # outputs independently (brute force / component closure over
         # the planted sets) — see fixtures.generate_embeddings /
         # generate_docs_nd for the exactness arguments
-        "embedding_near_dup": kg_sql("expected_near_dup", "id_a, id_b, cosine"),
+        "embedding_dedup_suite": (
+            "SELECT 'pair' AS kind, id_a AS a, id_b AS b, cosine AS c FROM "
+            + kg_sql("expected_near_dup", "*").split(" FROM ")[1]
+            + " UNION ALL SELECT 'sem', vec_id, dup_of, CAST(cluster AS DOUBLE) FROM "
+            + kg_sql("expected_semantic_dedup", "*").split(" FROM ")[1]
+        ),
         "knn_lsh": kg_sql("expected_knn_lsh", "vec_id, score"),
         "knn_ivf": kg_sql("expected_knn_ivf", "vec_id, score"),
         # identical result contract: the indexed probe reads only the

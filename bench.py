@@ -200,7 +200,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "docs_minhash_clusters_cc",
         "docs_simhash_pairs",
         "knn_bruteforce",
-        "embedding_near_dup",
+        "embedding_dedup_suite",
     ]
     out: dict[str, float] = {}
     for name in picks:

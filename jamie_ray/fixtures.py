@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 12
+FIXTURE_VERSION = 13
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -397,11 +397,47 @@ def generate_embeddings(n_vec: int) -> dict[str, pa.Table]:
             "score": pa.array([s for s, _ in ivf_top], pa.float64()),
         }
     )
+
+    # expected semantic_dedup (SemDeDup keep-first) at the near-dup
+    # threshold over the SAME deterministic k-means clusters (`cents`/
+    # `assign` above are bit-identical to the engine's ivf_centroids —
+    # proven by the knn_ivf oracle): replay the engine's within-cluster
+    # id-sorted unit-gram expression exactly. Row index == vec_id.
+    sem_ids: list[int] = []
+    sem_cluster: list[int] = []
+    sem_dup: list[int] = []
+    for c in range(n_cent):
+        members = [j for j in range(n_all) if int(assign[j]) == c]  # ids ascend
+        if not members:
+            continue
+        m = all_vecs[members]
+        mnorms = np.linalg.norm(m, axis=1)
+        mnorms[mnorms == 0.0] = 1.0
+        munit = m / mnorms[:, None]
+        msims = munit @ munit.T
+        for jj, j in enumerate(members):
+            d = -1
+            for ii in range(jj):
+                if msims[ii, jj] >= NEAR_DUP_THRESHOLD:
+                    d = members[ii]
+                    break  # ids ascend: first hit is the minimum
+            sem_ids.append(j)
+            sem_cluster.append(c)
+            sem_dup.append(d)
+    expected_sem = pa.table(
+        {
+            "vec_id": pa.array(sem_ids, pa.int64()),
+            "cluster": pa.array(sem_cluster, pa.int64()),
+            "dup_of": pa.array(sem_dup, pa.int64()),
+        }
+    )
+
     return {
         "embeddings_nd": embeddings,
         "expected_near_dup": expected,
         "expected_knn_lsh": expected_knn,
         "expected_knn_ivf": expected_ivf,
+        "expected_semantic_dedup": expected_sem,
     }
 
 

@@ -8,6 +8,8 @@
   bucket (+ optional multiprobe neighbors); recall < 1 by design.
 - :func:`embedding_near_dup` — cosine near-duplicate pairs via the same
   LSH buckets (embedding-cosine near-dup from the dedup family).
+- :func:`semantic_dedup` — SemDeDup-shaped keep-first dedup: k-means
+  clusters (deterministic IVF quantizer) + within-cluster cosine.
 
 The query vector rides the closure as a plain tuple (small); large
 query *matrices* should go through ``ray.put`` — see ``knn_bruteforce``'s
@@ -324,6 +326,116 @@ def embedding_near_dup(
     return (
         embeddings.map_batches(expand, batch_format="pyarrow")
         .groupby("bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+
+
+def semantic_dedup(
+    embeddings,
+    threshold: float = 0.9,
+    *,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_group: int = 4096,
+    centroids: np.ndarray | None = None,
+    cap_counters=None,
+):
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space with the
+    deterministic coarse quantizer (:func:`ivf_centroids`), then WITHIN
+    each cluster mark every vector whose cosine to a LOWER-ID cluster
+    member reaches ``threshold`` as a duplicate of the SMALLEST such id
+    (keep-first-by-id — this engine's dedup-representative rule; the
+    paper keeps an arbitrary-but-fixed member per dup set, which we
+    replace with the deterministic minimum so the result is
+    value-checkable).
+
+    Returns one row per input vector: ``(id_col, cluster, dup_of)``
+    with ``dup_of = -1`` for keepers. Filtering keepers is
+    ``ds.filter(expr="dup_of < 0")`` on the result.
+
+    Scale shape: the clustering pass is :func:`ivf_centroids`'s
+    integer-scaled exact scan; the dedup pass is ONE shuffle on the
+    cluster key plus a per-cluster O(g²) unit-gram product — size
+    ``n_centroids ~ sqrt(N)`` (SemDeDup's own recipe) so g stays
+    bounded. A cluster beyond ``max_group`` keeps its ``max_group``
+    smallest ids as the comparison set; overflow members are compared
+    against nothing, emitted as keepers, and the recall loss is
+    reported to ``cap_counters`` (``state/caps.py``) — counted, never
+    silent.
+
+    Determinism: centroids are bit-deterministic (see
+    :func:`ivf_centroids`), assignment ties break to the lowest
+    centroid index, and the within-cluster gram is computed on
+    id-sorted unit rows — so the full output is a pure function of the
+    input, independent of block layout.
+
+    Like ``ivf_centroids``, pass a source-backed Dataset (the
+    clustering re-scans the input per Lloyd iteration).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, n_centroids, n_iter, id_col=id_col, vec_col=vec_col
+        )
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import cached_get
+
+        cents = cached_get(cref, "semantic_dedup_centroids")
+        mat = _as_matrix(batch.column(vec_col))
+        clusters = (
+            _ivf_assign(mat, cents) if mat.size else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(clusters.astype(np.int64), pa.int64()),
+                id_col: batch.column(id_col).combine_chunks()
+                if isinstance(batch.column(id_col), pa.ChunkedArray)
+                else batch.column(id_col),
+                vec_col: batch.column(vec_col).combine_chunks()
+                if isinstance(batch.column(vec_col), pa.ChunkedArray)
+                else batch.column(vec_col),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        cluster = int(group.column("cluster")[0].as_py()) if ids else -1
+        order = np.argsort(ids)
+        head = order[:max_group]
+        if len(order) > max_group and cap_counters is not None:
+            cap_counters.record.remote(
+                "semantic_dedup_truncated", cluster, len(order) - max_group
+            )
+        mat = _as_matrix(group.column(vec_col))[head]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        head_ids = [ids[i] for i in head]
+        dup_of = {}
+        for j in range(len(head_ids)):
+            for i in range(j):
+                if sims[i, j] >= threshold:
+                    dup_of[head_ids[j]] = head_ids[i]
+                    break  # ids ascend, so the first hit IS the minimum
+        out_ids = sorted(ids)
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "cluster": pa.array([cluster] * len(out_ids), pa.int64()),
+                "dup_of": pa.array(
+                    [dup_of.get(i, -1) for i in out_ids], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        embeddings.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
         .map_groups(verify, batch_format="pyarrow")
     )
 

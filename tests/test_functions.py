@@ -182,6 +182,88 @@ def test_embedding_near_dup(ray_session):
     assert all(p["cosine"] >= 0.95 for p in pairs)
 
 
+def test_semantic_dedup_keep_first(ray_session):
+    """SemDeDup shape: within a cluster, every vector at cosine >=
+    threshold to a lower-id member is a dup of the SMALLEST such id."""
+    import ray
+
+    vecs = [
+        {"vec_id": 0, "embedding": [1.0, 0.0, 0.0]},
+        {"vec_id": 1, "embedding": [0.99, 0.01, 0.0]},   # near-dup of 0
+        {"vec_id": 2, "embedding": [0.98, 0.02, 0.0]},   # near-dup of 0 AND 1
+        {"vec_id": 3, "embedding": [0.0, 1.0, 0.0]},     # its own direction
+        {"vec_id": 4, "embedding": [-1.0, 0.0, 0.0]},    # opposite
+    ]
+    out = similarity.semantic_dedup(
+        ray.data.from_items(vecs), threshold=0.95, n_centroids=2, n_iter=2
+    ).take_all()
+    by_id = {r["vec_id"]: r for r in out}
+    assert sorted(by_id) == [0, 1, 2, 3, 4]  # one row per vector
+    assert by_id[0]["dup_of"] == -1  # keeper (lowest id)
+    # 1 and 2 dup to the MINIMUM qualifying id (0), not the nearest
+    if by_id[1]["cluster"] == by_id[0]["cluster"]:
+        assert by_id[1]["dup_of"] == 0
+        assert by_id[2]["dup_of"] == 0
+    assert by_id[3]["dup_of"] == -1
+    assert by_id[4]["dup_of"] == -1
+
+
+def test_semantic_dedup_block_layout_invariant(ray_session):
+    """Output is a pure function of the input (deterministic centroids
+    + id-sorted within-cluster gram): repartitioning must not move a
+    single row."""
+    import numpy as np
+    import ray
+
+    from jamie_ray.hashing import mix64
+
+    idx = np.arange(60 * 8, dtype=np.uint64)
+    mat = ((mix64(idx, seed=11).astype(np.float64) / float(1 << 64)) * 2 - 1).reshape(
+        60, 8
+    )
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float64())),
+        }
+    )
+    a = similarity.semantic_dedup(
+        ray.data.from_arrow(emb), threshold=0.8, n_centroids=4, n_iter=2
+    ).take_all()
+    b = similarity.semantic_dedup(
+        ray.data.from_arrow(emb).repartition(7), threshold=0.8, n_centroids=4, n_iter=2
+    ).take_all()
+    key = lambda r: r["vec_id"]
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_semantic_dedup_max_group_cap_counted(ray_session):
+    """An oversize cluster keeps its max_group smallest ids as the
+    comparison set; overflow members come back as keepers and the loss
+    is recorded via cap_counters — never silent."""
+    import ray
+
+    from jamie_ray.state.caps import CapCounters, cap_totals
+
+    # 6 identical vectors -> one cluster of 6; max_group=3 -> ids 3..5
+    # are beyond the comparison set
+    vecs = [{"vec_id": i, "embedding": [1.0, 0.0]} for i in range(6)]
+    counters = CapCounters.remote()
+    out = similarity.semantic_dedup(
+        ray.data.from_items(vecs),
+        threshold=0.9,
+        n_centroids=1,
+        n_iter=1,
+        max_group=3,
+        cap_counters=counters,
+    ).take_all()
+    by_id = {r["vec_id"]: r["dup_of"] for r in out}
+    assert by_id[0] == -1 and by_id[1] == 0 and by_id[2] == 0
+    # overflow members emitted as keepers (uncompared), not dropped
+    assert by_id[3] == -1 and by_id[4] == -1 and by_id[5] == -1
+    assert cap_totals(counters).get("semantic_dedup_truncated", 0) == 3
+
+
 # ---- multimodal -----------------------------------------------------------
 
 def test_decode_strict_raises():
