@@ -243,6 +243,12 @@ def cmd_index(args) -> None:
     from .functions.index import build_term_index
 
     docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    if getattr(args, "refresh", False):
+        from .functions.index import refresh_term_index
+
+        res = refresh_term_index(args.out, docs, text_col=args.text_col)
+        print(json.dumps({"command": "index", "out": args.out, **res}))
+        return
     meta = build_term_index(
         docs,
         args.out,
@@ -294,6 +300,12 @@ def cmd_ann_build(args) -> None:
     import os
 
     emb = ray.data.read_parquet(args.embeddings, columns=[args.id_col, args.vec_col])
+    if getattr(args, "refresh", False):
+        from .functions.similarity import refresh_ann_index
+
+        res = refresh_ann_index(args.out, emb)
+        print(json.dumps({"command": "ann-build", "out": args.out, **res}))
+        return
     meta = build_ann_index(
         emb,
         args.out,
@@ -823,6 +835,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--min-df", dest="min_df", type=int, default=1)
     p.add_argument("--max-postings", dest="max_postings", type=int, default=None)
+    p.add_argument(
+        "--refresh", action="store_true",
+        help="append docs as a new generation of an EXISTING index "
+        "(refresh_term_index) instead of building from scratch",
+    )
     p.set_defaults(fn=cmd_index)
 
     p = sub.add_parser("lookup", help="term lookup against a term index")
@@ -848,6 +865,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="vec_id")
     p.add_argument("--vec-col", dest="vec_col", default="embedding")
     p.add_argument("--n-centroids", dest="n_centroids", type=int, default=16)
+    p.add_argument(
+        "--refresh", action="store_true",
+        help="append embeddings as a new generation of an EXISTING "
+        "index (refresh_ann_index, frozen quantizer) instead of building",
+    )
     p.set_defaults(fn=cmd_ann_build)
 
     p = sub.add_parser("ann-query", help="top-k cosine probe of an ANN index")

@@ -221,6 +221,79 @@ def build_term_index(
     return meta
 
 
+def refresh_term_index(index_dir: str, new_docs, *, text_col: str = "text") -> dict:
+    """Append a new generation of documents to a completed
+    :func:`build_term_index` WITHOUT rebuilding (the
+    ``refresh_ann_index`` pattern): the new docs' inverted index is
+    computed alone, then written as ``gen-<N>-*`` files inside the
+    touched ``bucket=`` partitions — term hashing is stable, so a
+    term's postings always land in its existing bucket and
+    :func:`lookup_postings` (which merges per-term rows across
+    generations) sees both the original build and every refresh.
+
+    Caveats, stated loudly:
+
+    - append-only snapshots: ``new_docs`` ids must be NEW — an updated
+      doc under an existing id double-counts in df and postings;
+    - the build's ``min_df`` is applied PER GENERATION, so a term whose
+      df only crosses ``min_df`` when generations are combined stays
+      pruned until a full rebuild (per-generation pruning is a lower
+      bound on the exact global index).
+
+    Crash-safe and idempotent like the ANN refresh: staged write, a
+    re-run deletes this generation's partially-moved files first, meta
+    replaced atomically as the commit point.
+    """
+    import glob
+    import json
+    import os
+    import shutil
+
+    meta_path = os.path.join(index_dir, _IDX_META)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    new_gen = int(meta.get("generations", 1)) + 1
+
+    for f_ in glob.glob(
+        os.path.join(index_dir, "bucket=*", f"gen-{new_gen:04d}-*.parquet")
+    ):
+        os.remove(f_)
+
+    idx = inverted_index(
+        new_docs,
+        text_col=text_col,
+        id_col=meta["id_col"],
+        min_df=int(meta["min_df"]),
+        max_postings=meta["max_postings"],
+    )
+    staging = os.path.join(
+        os.path.dirname(os.path.abspath(index_dir)) or ".",
+        f".{os.path.basename(index_dir)}-staging-gen{new_gen}",
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    idx.map_batches(
+        lambda b: b.append_column("bucket", _term_buckets(b.column("term"))),
+        batch_format="pyarrow",
+    ).write_parquet(staging, partition_cols=["bucket"])
+
+    touched: list[str] = []
+    for pdir in sorted(glob.glob(os.path.join(staging, "bucket=*"))):
+        part = os.path.basename(pdir)
+        dst = os.path.join(index_dir, part)
+        os.makedirs(dst, exist_ok=True)
+        for i, f_ in enumerate(sorted(glob.glob(os.path.join(pdir, "*.parquet")))):
+            os.replace(f_, os.path.join(dst, f"gen-{new_gen:04d}-{i:06d}.parquet"))
+        touched.append(part)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    meta["generations"] = new_gen
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return {"generation": new_gen, "partitions_touched": touched}
+
+
 def term_probe_partitions(index_dir: str, terms: list[str]) -> list[str]:
     """The bucket partition directories a lookup would read — exposed
     so tests can assert the pruned read touches nothing else. Vacant
@@ -274,7 +347,23 @@ def lookup_postings(index_dir: str, terms: list[str]) -> pa.Table:
                 "postings": pa.array([], pa.list_(pa.int64())),
             }
         )
-    return tbl.select(["term", "df", "postings"])
+    # a refreshed index (refresh_term_index) holds one row per term PER
+    # GENERATION; merge them here — df sums, postings concatenate
+    # sorted (requested-terms-sized work, never corpus-sized)
+    merged: dict[str, tuple[int, list[int]]] = {}
+    for r in tbl.to_pylist():
+        df0, post0 = merged.get(r["term"], (0, []))
+        merged[r["term"]] = (df0 + int(r["df"]), post0 + list(r["postings"]))
+    terms_out = sorted(merged)
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "df": pa.array([merged[t][0] for t in terms_out], pa.int64()),
+            "postings": pa.array(
+                [sorted(merged[t][1]) for t in terms_out], pa.list_(pa.int64())
+            ),
+        }
+    )
 
 
 def term_df(

@@ -770,6 +770,106 @@ def build_ann_index(
     return meta
 
 
+def refresh_ann_index(index_dir: str, new_embeddings) -> dict:
+    """Append a new generation of vectors to a completed
+    :func:`build_ann_index` directory WITHOUT rebuilding: the monthly-
+    snapshot workflow (``incremental_dedup``'s reason to exist), applied
+    to the retrieval index.
+
+    The quantizer is FROZEN — centroids (IVF) / planes (LSH) come from
+    the meta file, never retrained — so existing partitions keep their
+    meaning and probe plans stay valid across generations. New vectors
+    are assigned with that quantizer and written as ``gen-<N>-*``
+    parquet files INSIDE the touched ``ann_part=`` dirs; partitions no
+    new vector maps to are not rewritten (or even read).
+    :func:`knn_indexed` needs no changes: it globs every file in the
+    probed partitions, so probes see all generations.
+
+    Crash-safe and idempotent: the generation is staged to a sibling
+    temp dir first, then the files are moved in; a re-run after a crash
+    deletes that generation's partially-moved files before redoing the
+    move, and the meta (the commit point) is replaced atomically last.
+
+    Assumes append-only snapshots: ids in ``new_embeddings`` must be
+    NEW (an updated vector under an existing id would appear twice).
+    Standard IVF practice applies — the frozen quantizer drifts as the
+    distribution shifts, so rebuild after many generations.
+
+    Returns ``{"generation": N, "partitions_touched": [...], ...}``.
+    """
+    import glob
+
+    meta = _ann_meta(index_dir)
+    new_gen = int(meta.get("generations", 1)) + 1
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    # wipe partially-moved files from a crashed attempt at this gen
+    for f in glob.glob(
+        os.path.join(index_dir, "ann_part=*", f"gen-{new_gen:04d}-*.parquet")
+    ):
+        os.remove(f)
+
+    if meta["kind"] == "ivf":
+        cref = ray.put(np.asarray(meta["centroids"], dtype=np.float64))
+
+        def assign_part(batch: pa.Table) -> pa.Table:
+            from ..state.worker_cache import cached_get
+
+            cents = cached_get(cref, "ann_refresh_centroids")
+            mat = _as_matrix(batch.column(vec_col))
+            parts = (
+                _ivf_assign(mat, cents) if mat.size else np.zeros(0, dtype=np.int64)
+            )
+            return batch.append_column(
+                "ann_part", pa.array(parts.astype(np.int64), pa.int64())
+            )
+    else:
+        planes = _planes(
+            meta["dim"], seed=meta["seed"], n_planes=meta["n_planes"]
+        )
+
+        def assign_part(batch: pa.Table) -> pa.Table:
+            mat = _as_matrix(batch.column(vec_col))
+            if not mat.size:
+                parts = np.zeros(0, dtype=np.int64)
+            else:
+                parts = ((mat @ planes.T) > 0) @ (
+                    1 << np.arange(planes.shape[0])
+                )
+            return batch.append_column(
+                "ann_part", pa.array(parts.astype(np.int64), pa.int64())
+            )
+
+    staging = os.path.join(
+        os.path.dirname(os.path.abspath(index_dir)) or ".",
+        f".{os.path.basename(index_dir)}-staging-gen{new_gen}",
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    new_embeddings.map_batches(assign_part, batch_format="pyarrow").write_parquet(
+        staging, partition_cols=["ann_part"]
+    )
+
+    touched: list[str] = []
+    for pdir in sorted(glob.glob(os.path.join(staging, "ann_part=*"))):
+        part = os.path.basename(pdir)
+        dst = os.path.join(index_dir, part)
+        os.makedirs(dst, exist_ok=True)
+        for i, f in enumerate(sorted(glob.glob(os.path.join(pdir, "*.parquet")))):
+            os.replace(
+                f, os.path.join(dst, f"gen-{new_gen:04d}-{i:06d}.parquet")
+            )
+        touched.append(part)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    meta["generations"] = new_gen
+    meta_path = os.path.join(index_dir, _ANN_META)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return {"generation": new_gen, "partitions_touched": touched, "kind": meta["kind"]}
+
+
 def _ann_meta(index_dir: str) -> dict:
     meta_path = os.path.join(index_dir, _ANN_META)
     if not os.path.exists(meta_path):

@@ -955,6 +955,65 @@ def test_ann_index_ivf_prunes_read_and_matches_scan(ray_session, tmp_path):
         similarity.build_ann_index(ds, idx, kind="ivf")
 
 
+def test_refresh_ann_index_appends_generation(ray_session, tmp_path):
+    """refresh_ann_index: the quantizer is frozen, only the new
+    vectors' partitions gain gen- files, and probes see BOTH
+    generations (an appended near-twin of the query shows up in the
+    indexed top-k alongside the original build's vectors)."""
+    import glob
+
+    import ray.data
+
+    from jamie_ray import fixtures
+
+    tabs = fixtures.generate(300)
+    emb = tabs["embeddings_nd"]
+    ids = emb["vec_id"].to_pylist()
+    vecs = emb["embedding"].to_pylist()
+    q = vecs[ids.index(0)]
+    ds = ray.data.from_arrow(emb)
+
+    idx = str(tmp_path / "ivf_idx_r")
+    meta0 = similarity.build_ann_index(ds, idx, kind="ivf", n_centroids=8, n_iter=2)
+    files_before = set(glob.glob(f"{idx}/ann_part=*/*.parquet"))
+    before = similarity.knn_indexed(idx, q, k=5, n_probe=2)
+
+    # new generation: an exact copy of the query vector under a fresh id
+    new_id = max(ids) + 1000
+    new = pa.table(
+        {
+            "vec_id": pa.array([new_id], pa.int64()),
+            "embedding": pa.array([list(q)], pa.list_(pa.float32())),
+        }
+    )
+    res = similarity.refresh_ann_index(idx, ray.data.from_arrow(new))
+    assert res["generation"] == 2
+    assert len(res["partitions_touched"]) == 1  # one vector -> one cell
+
+    added = set(glob.glob(f"{idx}/ann_part=*/*.parquet")) - files_before
+    assert added and all("gen-0002-" in f for f in added)
+    assert all(
+        f.split("/")[-2] in res["partitions_touched"] for f in added
+    )  # untouched partitions not rewritten
+
+    # quantizer frozen: centroids in the meta are byte-identical
+    import json
+    import os
+
+    with open(os.path.join(idx, "_ann_meta.json")) as f:
+        meta1 = json.load(f)
+    assert meta1["centroids"] == meta0["centroids"]
+    assert meta1["generations"] == 2
+
+    after = similarity.knn_indexed(idx, q, k=5, n_probe=2)
+    got_ids = after.column("vec_id").to_pylist()
+    assert new_id in got_ids  # new generation visible
+    assert set(before.column("vec_id").to_pylist()[:4]) & set(got_ids)  # old too
+    # the exact copy scores a perfect cosine
+    by_id = dict(zip(got_ids, after.column("score").to_pylist()))
+    assert by_id[new_id] == 1.0
+
+
 def test_ann_index_lsh_matches_scan(ray_session, tmp_path):
     """The LSH-partitioned index returns exactly what the scan-shaped
     knn_lsh computes for the same (dim, seed, n_planes) contract,

@@ -168,6 +168,58 @@ def test_term_index_prunes_read_and_matches_scan(ray_session, tmp_path):
         build_term_index(ds, out)
 
 
+def test_term_index_refresh_appends_generation(ray_session, tmp_path):
+    """refresh_term_index: only the new docs' buckets gain gen- files,
+    and lookup merges df/postings across generations."""
+    import glob
+    import os
+
+    import ray
+
+    from jamie_ray.functions.index import (
+        build_term_index,
+        lookup_postings,
+        refresh_term_index,
+    )
+
+    out = str(tmp_path / "tidx_r")
+    build_term_index(ray.data.from_arrow(_docs_table()), out)
+    files_before = set(glob.glob(os.path.join(out, "bucket=*", "*.parquet")))
+
+    # a crashed earlier attempt at gen 2 left a partial file — the
+    # refresh must wipe it before redoing the move
+    some_bucket = os.path.dirname(sorted(files_before)[0])
+    junk = os.path.join(some_bucket, "gen-0002-999999.parquet")
+    with open(junk, "w") as f:
+        f.write("partial")
+
+    new = pa.table(
+        {
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "text": pa.array(["cat boat", "boat"], pa.string()),
+        }
+    )
+    res = refresh_term_index(out, ray.data.from_arrow(new))
+    assert res["generation"] == 2
+    assert not os.path.exists(junk)
+
+    files_after = set(glob.glob(os.path.join(out, "bucket=*", "*.parquet")))
+    added = files_after - files_before
+    assert added and all("gen-0002-" in os.path.basename(f) for f in added)
+    # untouched buckets gained nothing
+    touched = set(res["partitions_touched"])
+    assert all(os.path.basename(os.path.dirname(f)) in touched for f in added)
+
+    got = {
+        r["term"]: (r["df"], list(r["postings"]))
+        for r in lookup_postings(out, ["cat", "boat", "dog"]).to_pylist()
+    }
+    # cat: gen1 docs {1,3} + gen2 doc {10}, merged sorted
+    assert got["cat"] == (3, [1, 3, 10])
+    assert got["boat"] == (2, [10, 11])  # new term, new generation only
+    assert got["dog"] == (2, [2, 3])  # untouched term unchanged
+
+
 def test_term_index_partial_build_is_wiped(ray_session, tmp_path):
     import os
 
