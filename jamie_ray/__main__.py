@@ -441,6 +441,49 @@ def cmd_pii(args) -> None:
     print(json.dumps({"command": "pii", "out": args.out, **totals}))
 
 
+def cmd_langid(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .functions.classifiers import broadcast_model_bytes, lang_id_stage
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    model = broadcast_model_bytes(args.model) if args.model else None
+    out = lang_id_stage(
+        docs, backend=args.backend, model=model, text_col=args.text_col
+    )
+    if args.keep:
+        import pyarrow.compute as _pc
+
+        out = out.map_batches(
+            lambda b: b.filter(_pc.equal(b.column("lang_pred"), args.keep)),
+            batch_format="pyarrow",
+        )
+    out.write_parquet(args.out)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    counts: dict[str, int] = {}
+    n = 0
+    for f in sorted(_glob.glob(f"{args.out}/*.parquet")):
+        t = _pq.read_table(f, columns=["lang_pred"])
+        n += t.num_rows
+        for v in t.column("lang_pred").to_pylist():
+            counts[v] = counts.get(v, 0) + 1
+    print(
+        json.dumps(
+            {
+                "command": "langid",
+                "out": args.out,
+                "backend": args.backend,
+                "n_docs": n,
+                "by_lang": dict(sorted(counts.items())),
+            }
+        )
+    )
+
+
 def cmd_dedup_inc(args) -> None:
     _ensure_ray()
     import pyarrow.parquet as _pq
@@ -911,6 +954,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
     p.set_defaults(fn=cmd_pii)
+
+    p = sub.add_parser(
+        "langid",
+        help="documents -> + lang_pred (heuristic or fasttext backend)",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--backend", default="heuristic", choices=("heuristic", "fasttext"))
+    p.add_argument("--model", default=None, help="fasttext .bin path (fasttext backend)")
+    p.add_argument("--keep", default=None, help="keep only this lang_pred (filter)")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.set_defaults(fn=cmd_langid)
 
     p = sub.add_parser(
         "dedup-inc",

@@ -53,6 +53,9 @@ def clean_corpus(
     span_min_len: int | None = None,
     lm=None,
     max_ppl: float | None = None,
+    keep_lang: str | None = None,
+    lang_backend: str = "heuristic",
+    lang_model=None,
 ):
     """documents -> (cleaned Dataset ``(doc_id, text)``, stats dict).
 
@@ -77,6 +80,15 @@ def clean_corpus(
     occurrence. Note it whitespace-normalizes the surviving text
     (single-space join) — leave it off when byte-exact text matters
     downstream.
+
+    ``keep_lang="ja"`` enables the language gate right after the
+    heuristic quality gate: documents whose ``lang_pred`` differs are
+    dropped. ``lang_backend`` selects the classifier —
+    ``"heuristic"`` (default; the deterministic CJK/latin kernel,
+    oracle-checkable) or ``"fasttext"`` (a REAL trained model via the
+    optional ``fasttext`` package; pass ``lang_model=`` a path or a
+    ``classifiers.broadcast_model_bytes`` ref — loud ImportError when
+    the package is missing). Stats gain ``n_after_lang``.
 
     ``lm=`` + ``max_ppl=`` enable the CCNet-style perplexity gate
     (Wenzek et al. 2020): pass a trained :class:`~jamie_ray.functions.
@@ -185,6 +197,27 @@ def clean_corpus(
         [id_col, text_col],
     )
     n_after_quality = gated.count()
+
+    n_after_lang: int | None = None
+    if keep_lang is not None:
+        # language gate: classify with the selected backend, keep only
+        # keep_lang. Streaming for the heuristic; an actor pool for the
+        # model backend (load once per actor). One extra spill so the
+        # fasttext actors never re-run on the multi-pass stages below.
+        from ..functions.classifiers import lang_id_stage
+
+        langed = lang_id_stage(
+            gated, backend=lang_backend, model=lang_model, text_col=text_col
+        ).map_batches(
+            lambda b: b.filter(
+                pc.equal(b.column("lang_pred"), keep_lang)
+            ).select([id_col, text_col]),
+            batch_format="pyarrow",
+        )
+        gated = _spill_input(
+            langed, os.path.join(spill_dir, "lang"), [id_col, text_col]
+        )
+        n_after_lang = gated.count()
 
     if (lm is None) != (max_ppl is None):
         raise ValueError("clean_corpus: lm and max_ppl must be given together")
@@ -347,4 +380,6 @@ def clean_corpus(
         stats["n_after_url"] = n_after_url
     if n_after_lm is not None:
         stats["n_after_lm"] = n_after_lm
+    if n_after_lang is not None:
+        stats["n_after_lang"] = n_after_lang
     return final, stats

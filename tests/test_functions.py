@@ -1496,6 +1496,82 @@ def test_clean_corpus_url_stage(ray_session, tmp_path):
     assert {r["doc_id"] for r in cleaned.take_all()} == {1, 3}
 
 
+def test_clean_corpus_lang_gate_heuristic(ray_session, tmp_path):
+    """keep_lang= drops documents the selected classifier labels with
+    another language; heuristic backend is the deterministic default."""
+    import ray.data
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "左肺に急性肺炎の陰影を認める。経過観察を継続する。"},
+            {"doc_id": 2, "text": "an english document with plenty of latin words inside"},
+            {"doc_id": 3, "text": "胸部ＣＴで異常なし。外来で再診の予定とする。"},
+        ]
+    )
+    cleaned, stats = clean_corpus(
+        docs, str(tmp_path / "spill"), min_tokens=1, keep_lang="ja"
+    )
+    assert stats["n_after_lang"] == 2  # doc 2 classified 'en', dropped
+    assert {r["doc_id"] for r in cleaned.take_all()} == {1, 3}
+
+
+def test_lang_id_stage_backend_errors(ray_session):
+    """The seam fails loudly: unknown backend and fasttext-without-model
+    raise immediately (never a silent heuristic fallback)."""
+    import ray.data
+
+    from jamie_ray.functions.classifiers import lang_id_stage
+
+    docs = ray.data.from_items([{"doc_id": 1, "text": "hello"}])
+    with pytest.raises(ValueError, match="unknown backend"):
+        lang_id_stage(docs, backend="nope")
+    with pytest.raises(ValueError, match="needs model="):
+        lang_id_stage(docs, backend="fasttext")
+
+
+def test_fasttext_langid_real_model(ray_session, tmp_path):
+    """Skip-if-missing live test: a REAL fastText model flows through
+    the actor-pool seam (train a tiny supervised model on the spot —
+    the public lid.176.bin isn't in this container)."""
+    fasttext = pytest.importorskip("fasttext")
+    import ray.data
+
+    from jamie_ray.functions.classifiers import (
+        broadcast_model_bytes,
+        lang_id_stage,
+    )
+
+    train = tmp_path / "train.txt"
+    train.write_text(
+        "\n".join(
+            ["__label__en the quick brown fox jumps over the lazy dog"] * 50
+            + ["__label__ja 左肺 に 急性 肺炎 の 陰影 を 認める"] * 50
+        )
+    )
+    model = fasttext.train_supervised(str(train), dim=16, epoch=5, minCount=1)
+    mpath = str(tmp_path / "lid.bin")
+    model.save_model(mpath)
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "the quick brown fox jumps"},
+            {"doc_id": 2, "text": "左肺 に 肺炎 の 陰影"},
+        ]
+    )
+    out = lang_id_stage(
+        docs,
+        backend="fasttext",
+        model=broadcast_model_bytes(mpath),
+        concurrency=1,
+    ).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["lang_pred"] == "en"
+    assert by_id[2]["lang_pred"] == "ja"
+    assert all(0.0 <= r["lang_conf"] <= 1.0 for r in out)
+
+
 def test_clean_corpus_span_stage(ray_session, tmp_path):
     """span_min_len= enables exact-substring excision between
     paragraph dedup and near-dup: a verbatim run shared by two
