@@ -754,6 +754,15 @@ def cmd_clean(args) -> None:
         span_min_len=args.span_min_len,
         lm=lm,
         max_ppl=args.max_ppl,
+        keep_lang=args.keep_lang,
+        lang_backend=args.lang_backend,
+        lang_model=(
+            __import__(
+                "jamie_ray.functions.classifiers", fromlist=["broadcast_model_bytes"]
+            ).broadcast_model_bytes(args.lang_model)
+            if args.lang_model
+            else None
+        ),
     )
     cleaned.write_parquet(args.out)
     print(json.dumps({"command": "clean", "out": args.out, **stats}))
@@ -1116,6 +1125,24 @@ def main(argv: list[str] | None = None) -> None:
         type=float,
         default=None,
         help="drop docs whose per-token perplexity under the --lm-train LM exceeds this",
+    )
+    p.add_argument(
+        "--keep-lang",
+        dest="keep_lang",
+        default=None,
+        help="enable the language gate: keep only docs classified as this lang",
+    )
+    p.add_argument(
+        "--lang-backend",
+        dest="lang_backend",
+        default="heuristic",
+        choices=("heuristic", "fasttext"),
+    )
+    p.add_argument(
+        "--lang-model",
+        dest="lang_model",
+        default=None,
+        help="fasttext .bin path (lang-backend=fasttext)",
     )
     p.set_defaults(fn=cmd_clean)
 

@@ -56,6 +56,11 @@ def clean_corpus(
     keep_lang: str | None = None,
     lang_backend: str = "heuristic",
     lang_model=None,
+    embeddings=None,
+    semantic_threshold: float = 0.9,
+    semantic_id_col: str = "doc_id",
+    semantic_vec_col: str = "embedding",
+    semantic_n_centroids: int = 16,
 ):
     """documents -> (cleaned Dataset ``(doc_id, text)``, stats dict).
 
@@ -89,6 +94,14 @@ def clean_corpus(
     optional ``fasttext`` package; pass ``lang_model=`` a path or a
     ``classifiers.broadcast_model_bytes`` ref — loud ImportError when
     the package is missing). Stats gain ``n_after_lang``.
+
+    ``embeddings=`` enables the SemDeDup stage (``similarity.
+    semantic_dedup``) AFTER near-dup: pass a source-backed embeddings
+    Dataset keyed by the same ids (``semantic_id_col`` /
+    ``semantic_vec_col``); documents whose vector is a semantic
+    duplicate of a lower-id cluster member at ``semantic_threshold``
+    are dropped (keep-first). Docs without a vector are always kept.
+    Stats gain ``n_after_semantic``.
 
     ``lm=`` + ``max_ppl=`` enable the CCNet-style perplexity gate
     (Wenzek et al. 2020): pass a trained :class:`~jamie_ray.functions.
@@ -361,6 +374,51 @@ def clean_corpus(
         return b.filter(pa.array(mask, pa.bool_()))
 
     final = cleaned.map_batches(drop_near_dups, batch_format="pyarrow")
+
+    n_after_semantic: int | None = None
+    if embeddings is not None:
+        # opt-in SemDeDup stage: AFTER near-dup (text-level dedup is
+        # cheaper, so semantic only pays for what survived) and before
+        # PII. Same loser-collection shape as near-dup: only rows with
+        # dup_of >= 0 (bounded by semantic-duplicate mass, never
+        # corpus-scale) cross the driver, then a broadcast drop filter.
+        # Embeddings are keyed by the SAME ids as docs; vectors of
+        # already-dropped docs are harmless (they can only mark other
+        # dropped docs' ids). A doc without a vector is always kept.
+        from ..functions.similarity import semantic_dedup
+
+        sem_flags = semantic_dedup(
+            embeddings,
+            threshold=semantic_threshold,
+            id_col=semantic_id_col,
+            vec_col=semantic_vec_col,
+            n_centroids=semantic_n_centroids,
+        )
+        sem_losers_ds = sem_flags.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b.column("dup_of"), 0)
+            ).select([semantic_id_col]),
+            batch_format="pyarrow",
+        )
+        sem_drops: set[int] = set()
+        for b in iter_capped_batches(
+            sem_losers_ds, context="clean_corpus semantic-dup losers"
+        ):
+            sem_drops.update(b.column(semantic_id_col).to_pylist())
+        sem_ref = ray.put(sem_drops)
+
+        def drop_semantic_dups(b: pa.Table) -> pa.Table:
+            drops = cached_get(sem_ref, "clean_semantic_drops")
+            mask = [i not in drops for i in b.column(id_col).to_pylist()]
+            return b.filter(pa.array(mask, pa.bool_()))
+
+        final = _spill_input(
+            final.map_batches(drop_semantic_dups, batch_format="pyarrow"),
+            os.path.join(spill_dir, "semantic"),
+            [id_col, text_col],
+        )
+        n_after_semantic = final.count()
+
     if pii:
         from ..functions.pii import pii_mask_batch
 
@@ -382,4 +440,6 @@ def clean_corpus(
         stats["n_after_lm"] = n_after_lm
     if n_after_lang is not None:
         stats["n_after_lang"] = n_after_lang
+    if n_after_semantic is not None:
+        stats["n_after_semantic"] = n_after_semantic
     return final, stats

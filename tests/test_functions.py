@@ -1517,6 +1517,41 @@ def test_clean_corpus_lang_gate_heuristic(ray_session, tmp_path):
     assert {r["doc_id"] for r in cleaned.take_all()} == {1, 3}
 
 
+def test_clean_corpus_semantic_stage(ray_session, tmp_path):
+    """embeddings= enables SemDeDup after near-dup: a doc whose VECTOR
+    near-duplicates a lower-id doc is dropped even though its text
+    passes every text-level stage; docs without a vector are kept."""
+    import ray.data
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "completely original text about lung findings today"},
+            {"doc_id": 2, "text": "unrelated wording yet semantically the same content"},
+            {"doc_id": 3, "text": "a genuinely different third document kept as is"},
+            {"doc_id": 4, "text": "fourth document with no embedding row at all here"},
+        ]
+    )
+    emb = ray.data.from_items(
+        [
+            {"doc_id": 1, "embedding": [1.0, 0.0, 0.0]},
+            {"doc_id": 2, "embedding": [0.99, 0.01, 0.0]},  # semantic twin of 1
+            {"doc_id": 3, "embedding": [0.0, 1.0, 0.0]},
+        ]
+    )
+    cleaned, stats = clean_corpus(
+        docs,
+        str(tmp_path / "spill"),
+        min_tokens=3,
+        embeddings=emb,
+        semantic_threshold=0.95,
+        semantic_n_centroids=2,
+    )
+    assert {r["doc_id"] for r in cleaned.take_all()} == {1, 3, 4}
+    assert stats["n_after_semantic"] == 3  # doc 2 lost to doc 1
+
+
 def test_lang_id_stage_backend_errors(ray_session):
     """The seam fails loudly: unknown backend and fasttext-without-model
     raise immediately (never a silent heuristic fallback)."""
