@@ -47,28 +47,39 @@ def broadcast_model_bytes(model_path: str):
         return ray.put(f.read())
 
 
-class FastTextLangID:
-    """Actor-pool ``map_batches`` stage: fastText language ID over a
-    text column, appending ``lang_pred`` (ISO code, e.g. ``en``) and
-    ``lang_conf`` (the model's probability, float64).
+class FastTextClassifier:
+    """Actor-pool ``map_batches`` stage: any supervised fastText model
+    over a text column, appending ``<out_prefix>_pred`` (the top label,
+    ``__label__`` stripped) and ``<out_prefix>_conf`` (its probability,
+    float64). Language ID is the ``out_prefix="lang"`` instance
+    (:class:`FastTextLangID`); a CCNet/GPT-3-style quality classifier
+    (labels like ``hq``/``lq``) is the same stage with
+    ``out_prefix="quality"``.
 
     ``model`` is either a broadcast bytes ref from
     :func:`broadcast_model_bytes` or a filesystem path (single-node
     convenience). The model loads ONCE per actor in ``__init__``.
-
-    Same output-column contract as the heuristic
-    ``lang_id_batch`` (plus ``lang_conf``), so the two backends are
-    interchangeable downstream. Raises a loud ImportError without the
-    optional ``fasttext`` package.
+    Raises a loud ImportError without the optional ``fasttext``
+    package.
     """
 
-    def __init__(self, model, text_col: str = "text", labels_prefix: str = "__label__"):
+    out_prefix = "label"
+
+    def __init__(
+        self,
+        model,
+        text_col: str = "text",
+        labels_prefix: str = "__label__",
+        out_prefix: str | None = None,
+    ):
         try:
             import fasttext  # type: ignore[import-not-found]
         except ImportError as ex:
             raise ImportError(f"FastTextLangID {_FT_HELP}") from ex
         self.text_col = text_col
         self.labels_prefix = labels_prefix
+        if out_prefix is not None:
+            self.out_prefix = out_prefix
         if isinstance(model, (str, os.PathLike)):
             path = os.fspath(model)
         else:
@@ -96,8 +107,48 @@ class FastTextLangID:
         else:
             preds, confs = [], []
         return batch.append_column(
-            "lang_pred", pa.array(preds, pa.string())
-        ).append_column("lang_conf", pa.array(confs, pa.float64()))
+            f"{self.out_prefix}_pred", pa.array(preds, pa.string())
+        ).append_column(f"{self.out_prefix}_conf", pa.array(confs, pa.float64()))
+
+
+class FastTextLangID(FastTextClassifier):
+    """:class:`FastTextClassifier` emitting ``lang_pred``/``lang_conf``
+    — drop-in beside the heuristic ``lang_id_batch`` columns."""
+
+    out_prefix = "lang"
+
+
+def fasttext_classify(
+    docs,
+    model,
+    *,
+    out_prefix: str = "label",
+    keep: str | None = None,
+    text_col: str = "text",
+    concurrency: int = 4,
+    batch_size: int = 1024,
+):
+    """documents -> + ``<out_prefix>_pred``/``_conf`` via a supervised
+    fastText model (actor pool, broadcast-once weights); ``keep=``
+    additionally filters to documents predicted as that label — the
+    GPT-3/CCNet quality-classifier gate shape
+    (``out_prefix="quality"``, ``keep="hq"``)."""
+    import pyarrow.compute as pc
+
+    out = docs.map_batches(
+        FastTextClassifier,
+        fn_constructor_args=(model, text_col),
+        fn_constructor_kwargs={"out_prefix": out_prefix},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+    if keep is not None:
+        out = out.map_batches(
+            lambda b: b.filter(pc.equal(b.column(f"{out_prefix}_pred"), keep)),
+            batch_format="pyarrow",
+        )
+    return out
 
 
 def lang_id_stage(

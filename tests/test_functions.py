@@ -1606,6 +1606,20 @@ def test_fasttext_langid_real_model(ray_session, tmp_path):
     assert by_id[2]["lang_pred"] == "ja"
     assert all(0.0 <= r["lang_conf"] <= 1.0 for r in out)
 
+    # the generic classifier gate (quality-classifier shape): same
+    # model, custom column prefix + keep filter
+    from jamie_ray.functions.classifiers import fasttext_classify
+
+    kept = fasttext_classify(
+        docs,
+        broadcast_model_bytes(mpath),
+        out_prefix="quality",
+        keep="en",
+        concurrency=1,
+    ).take_all()
+    assert [r["doc_id"] for r in kept] == [1]
+    assert kept[0]["quality_pred"] == "en"
+
 
 def test_clean_corpus_span_stage(ray_session, tmp_path):
     """span_min_len= enables exact-substring excision between
