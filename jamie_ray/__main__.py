@@ -763,6 +763,14 @@ def cmd_clean(args) -> None:
             if args.lang_model
             else None
         ),
+        keep_quality=args.keep_quality,
+        quality_model=(
+            __import__(
+                "jamie_ray.functions.classifiers", fromlist=["broadcast_model_bytes"]
+            ).broadcast_model_bytes(args.quality_model)
+            if args.quality_model
+            else None
+        ),
     )
     cleaned.write_parquet(args.out)
     print(json.dumps({"command": "clean", "out": args.out, **stats}))
@@ -1143,6 +1151,19 @@ def main(argv: list[str] | None = None) -> None:
         dest="lang_model",
         default=None,
         help="fasttext .bin path (lang-backend=fasttext)",
+    )
+    p.add_argument(
+        "--keep-quality",
+        dest="keep_quality",
+        default=None,
+        help="enable the model quality gate: keep only docs the "
+        "--quality-model classifies as this label (e.g. hq)",
+    )
+    p.add_argument(
+        "--quality-model",
+        dest="quality_model",
+        default=None,
+        help="supervised fasttext .bin path for --keep-quality",
     )
     p.set_defaults(fn=cmd_clean)
 

@@ -56,6 +56,8 @@ def clean_corpus(
     keep_lang: str | None = None,
     lang_backend: str = "heuristic",
     lang_model=None,
+    keep_quality: str | None = None,
+    quality_model=None,
     embeddings=None,
     semantic_threshold: float = 0.9,
     semantic_id_col: str = "doc_id",
@@ -94,6 +96,15 @@ def clean_corpus(
     optional ``fasttext`` package; pass ``lang_model=`` a path or a
     ``classifiers.broadcast_model_bytes`` ref — loud ImportError when
     the package is missing). Stats gain ``n_after_lang``.
+
+    ``keep_quality="hq"`` + ``quality_model=`` enable the GPT-3/CCNet
+    model-based quality gate right after the language gate: a trained
+    supervised fastText classifier (path or
+    ``classifiers.broadcast_model_bytes`` ref — loud ImportError when
+    the optional package is missing) scores every document and only
+    those predicted as ``keep_quality`` survive. Distinct from the
+    heuristic ``min_quality_micro`` floor, which stays deterministic
+    and oracle-checkable. Stats gain ``n_after_quality_model``.
 
     ``embeddings=`` enables the SemDeDup stage (``similarity.
     semantic_dedup``) AFTER near-dup: pass a source-backed embeddings
@@ -231,6 +242,33 @@ def clean_corpus(
             langed, os.path.join(spill_dir, "lang"), [id_col, text_col]
         )
         n_after_lang = gated.count()
+
+    if (keep_quality is None) != (quality_model is None):
+        raise ValueError(
+            "clean_corpus: keep_quality and quality_model must be given together"
+        )
+    n_after_quality_model: int | None = None
+    if keep_quality is not None:
+        # model-based quality gate (GPT-3/CCNet shape): broadcast-once
+        # fastText classifier in an actor pool, keep only docs
+        # predicted as keep_quality. One spill so the actors never
+        # re-run on the multi-pass stages below.
+        from ..functions.classifiers import fasttext_classify
+
+        gated = _spill_input(
+            fasttext_classify(
+                gated,
+                quality_model,
+                out_prefix="quality",
+                keep=keep_quality,
+                text_col=text_col,
+            ).map_batches(
+                lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+            ),
+            os.path.join(spill_dir, "qmodel"),
+            [id_col, text_col],
+        )
+        n_after_quality_model = gated.count()
 
     if (lm is None) != (max_ppl is None):
         raise ValueError("clean_corpus: lm and max_ppl must be given together")
@@ -440,6 +478,8 @@ def clean_corpus(
         stats["n_after_lm"] = n_after_lm
     if n_after_lang is not None:
         stats["n_after_lang"] = n_after_lang
+    if n_after_quality_model is not None:
+        stats["n_after_quality_model"] = n_after_quality_model
     if n_after_semantic is not None:
         stats["n_after_semantic"] = n_after_semantic
     return final, stats

@@ -1620,6 +1620,40 @@ def test_fasttext_langid_real_model(ray_session, tmp_path):
     assert [r["doc_id"] for r in kept] == [1]
     assert kept[0]["quality_pred"] == "en"
 
+    # the clean_corpus model-quality gate end-to-end: only docs the
+    # classifier predicts as keep_quality survive, stats record it
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    corpus = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "the quick brown fox jumps over the dog"},
+            {"doc_id": 2, "text": "左肺 に 肺炎 の 陰影 を 認める 所見"},
+            {"doc_id": 3, "text": "the lazy dog jumps over the quick fox"},
+        ]
+    )
+    cleaned, stats = clean_corpus(
+        corpus,
+        str(tmp_path / "spill_q"),
+        keep_quality="en",
+        quality_model=broadcast_model_bytes(mpath),
+    )
+    assert sorted(r["doc_id"] for r in cleaned.take_all()) == [1, 3]
+    assert stats["n_after_quality_model"] == 2
+
+
+def test_clean_corpus_quality_model_requires_pair(ray_session, tmp_path):
+    """keep_quality / quality_model must be given together (validated
+    before any execution — runs without the optional fasttext dep)."""
+    import ray.data
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    docs = ray.data.from_items([{"doc_id": 1, "text": "a b c d e f"}])
+    with pytest.raises(ValueError, match="keep_quality"):
+        clean_corpus(docs, str(tmp_path / "s1"), keep_quality="hq")
+    with pytest.raises(ValueError, match="keep_quality"):
+        clean_corpus(docs, str(tmp_path / "s2"), quality_model="/nope.bin")
+
 
 def test_clean_corpus_span_stage(ray_session, tmp_path):
     """span_min_len= enables exact-substring excision between
