@@ -1002,6 +1002,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         aud = tag(_multimodal_audio(sf_dir), "audio", has_frame=False)
         return img.union(vid).union(aud)
 
+    def customer_orders_join(sf_dir: str):
+        """Both-sides-large distributed LEFT equi-join (the engine's
+        general `hash_join`, `functions/join.py`): every (customer,
+        order) pair plus a null-order row per orderless customer —
+        exercising the bucketed shuffle join AND outer-null semantics
+        against the SQL oracle. No broadcast: both sides shuffle by
+        key hash into bucket groups joined by Arrow's hash join."""
+        from jamie_ray.functions.join import hash_join
+
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"],
+        )
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+        )
+        return hash_join(
+            cust, orders, "c_custkey", right_on="o_custkey", how="left",
+            num_buckets=64,
+        )
+
     # REGISTRATION INVARIANT (r3 verdict item 1): the graft driver
     # checks only the FIRST 50 queries() entries, so this dict must
     # stay at <= 50 registrations — every component family that would
@@ -1062,8 +1083,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # views) to free the window slot doc_decontaminate now uses
         "docs_filter_union": rel.filter_union_docs,
         "doc_decontaminate": doc_decontaminate,
-        "segment_revenue": rel.segment_revenue,
-        "nation_revenue": rel.nation_revenue,
+        # segment_revenue + nation_revenue folded into one kind-tagged
+        # slot (r5) to free the window slot customer_orders_join uses
+        "dim_revenue": rel.dim_revenue,
+        "customer_orders_join": customer_orders_join,
         "shipping_priority": rel.shipping_priority,
         "top_customers_per_segment": rel.top_customers_per_segment,
         # writer sinks — value-oracled since r4 (expected strings come
@@ -1390,21 +1413,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
             FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
         """,
-        "segment_revenue": """
-            SELECT c.c_mktsegment,
+        "dim_revenue": """
+            SELECT 'segment' AS view, c.c_mktsegment AS dim_key,
                    sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0 AS revenue,
                    count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
-        """,
-        "nation_revenue": """
-            SELECT n.n_name,
+            UNION ALL
+            SELECT 'nation' AS view, n.n_name AS dim_key,
                    sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))::DOUBLE / 100.0 AS revenue,
                    count(*) AS n_orders
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "customer_orders_join": """
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment, o.o_orderkey
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         """,
         "shipping_priority": """
             SELECT l.l_orderkey, o.o_orderdate,

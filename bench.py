@@ -180,7 +180,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     picks = [
         "kg_triples",
         "agg_pricing_summary",
-        "segment_revenue",
+        "dim_revenue",
+        "customer_orders_join",
         "events_hourly",
         "events_hopping_window",
         "events_sketches",

@@ -627,6 +627,43 @@ def cmd_pack(args) -> None:
     )
 
 
+def cmd_join(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .functions.join import hash_join
+
+    left = ray.data.read_parquet(
+        args.left, columns=args.left_cols.split(",") if args.left_cols else None
+    )
+    right = ray.data.read_parquet(
+        args.right, columns=args.right_cols.split(",") if args.right_cols else None
+    )
+    joined = hash_join(
+        left,
+        right,
+        args.on.split(","),
+        right_on=args.right_on.split(",") if args.right_on else None,
+        how=args.how,
+        num_buckets=args.num_buckets,
+        suffix=args.suffix,
+    )
+    joined.write_parquet(args.out)
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_table(args.out, columns=[args.on.split(",")[0]]).num_rows
+    print(
+        json.dumps(
+            {
+                "command": "join",
+                "out": args.out,
+                "how": args.how,
+                "n_rows": n,
+            }
+        )
+    )
+
+
 def cmd_sample(args) -> None:
     _ensure_ray()
     import ray.data
@@ -1035,6 +1072,34 @@ def main(argv: list[str] | None = None) -> None:
         help="drop the final partial sequence",
     )
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser(
+        "join",
+        help="distributed equi-join of two parquet tables (both sides large)",
+    )
+    p.add_argument("--left", required=True, help="left parquet path/dir")
+    p.add_argument("--right", required=True, help="right parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--on", required=True, help="comma-separated left key columns")
+    p.add_argument(
+        "--right-on", dest="right_on", default=None,
+        help="comma-separated right key columns (default: same as --on)",
+    )
+    p.add_argument(
+        "--how", default="inner",
+        choices=("inner", "left", "right", "full", "semi", "anti"),
+    )
+    p.add_argument("--num-buckets", dest="num_buckets", type=int, default=64)
+    p.add_argument("--suffix", default="_r", help="suffix for colliding right columns")
+    p.add_argument(
+        "--left-cols", dest="left_cols", default=None,
+        help="comma-separated column prune for the left read",
+    )
+    p.add_argument(
+        "--right-cols", dest="right_cols", default=None,
+        help="comma-separated column prune for the right read",
+    )
+    p.set_defaults(fn=cmd_join)
 
     p = sub.add_parser(
         "sample",

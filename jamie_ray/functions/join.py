@@ -1,0 +1,316 @@
+"""Distributed equi-join over Ray Datasets — the both-sides-large
+complement to the broadcast dimension joins in
+``pipelines/relational.py``.
+
+The reference engine has no general table join (its joins are in-row
+per-document dict joins — SURVEY §2.4); this is a brief-driven engine
+primitive: at 100 TB the fact⋈fact shape (orders ⋈ customer, new-crawl
+⋈ previous-crawl) can't broadcast either side.
+
+Shape (the coarse-bucket rule from the repo's shuffle playbook):
+
+1. tag each side with ``__side`` and ``__jbucket = hash(key) %
+   num_buckets`` (vectorized: ``mix64`` on int keys, blake2b on
+   strings);
+2. pad both sides to a common schema with null columns (the
+   ``temporal.py`` union idiom) and union;
+3. ONE ``groupby("__jbucket").map_groups``: inside each bucket the
+   group splits back into left/right sub-tables and joins with
+   ``pyarrow.Table.join`` (Acero hash join — vectorized, SQL null
+   semantics: null keys never match, outer rows survive with nulls).
+
+Every row moves exactly once; per-group dispatch cost is amortized
+over ~n/num_buckets rows; there are ZERO driver-side collections at
+any data size. Output is a deterministic row multiset (block/row
+order is not promised — same contract as every shuffle op here).
+
+Skew: all rows of one hot key land in one bucket. For *known* hot
+keys, ``hot_keys={key: n_salts}`` splits that key's LEFT rows across
+``n_salts`` private sub-buckets and REPLICATES its right rows into
+each — the result multiset is bit-identical to the unsalted path for
+``inner``/``left``/``semi``/``anti`` (asserted in tests) and rejected
+for ``right``/``full`` (replicated right rows would duplicate outer
+output). Unknown-skew detection is the caller's job (e.g. a
+``heavy_hitters`` pass — ``functions/sketch.py``).
+
+``path="native"`` instead delegates to Ray Data's built-in
+hash-shuffle ``Dataset.join`` (same key/how surface, its aggregator
+actors own the memory knobs) — semantics asserted equal in tests;
+the bucketed path stays the default because it composes with
+``hot_keys`` and keeps the engine's no-hidden-actor-pool property.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import hash_str_array, mix64
+
+_HOW_TO_ARROW = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "full": "full outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+_HOW_TO_NATIVE = {
+    "inner": "inner",
+    "left": "left_outer",
+    "right": "right_outer",
+    "full": "full_outer",
+    "semi": "left_semi",
+    "anti": "left_anti",
+}
+# semi/anti emit left columns only
+_LEFT_ONLY = {"semi", "anti"}
+
+
+def _key_hash(batch: pa.Table, cols: list[str]) -> np.ndarray:
+    """Vectorized combined 64-bit hash of the key columns.
+
+    Nulls hash via a fixed sentinel — they only need a consistent
+    BUCKET (Arrow's join already refuses to match them); a sentinel
+    collision with a real value costs one shared bucket, not
+    correctness.
+    """
+    acc = np.zeros(batch.num_rows, dtype=np.uint64)
+    for i, c in enumerate(cols):
+        col = batch.column(c)
+        if pa.types.is_integer(col.type):
+            filled = pc.fill_null(pc.cast(col, pa.int64()), -(1 << 63))
+            h = filled.to_numpy(zero_copy_only=False).astype(np.uint64)
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = hash_str_array(pc.fill_null(col, "\x00null").to_pylist())
+        else:
+            raise TypeError(
+                f"hash_join: unsupported key column type {col.type} for "
+                f"{c!r} (int and string keys only — cast first)"
+            )
+        acc = mix64(acc ^ h, seed=i + 1)
+    return acc
+
+
+def hash_join(
+    left,
+    right,
+    on,
+    *,
+    right_on=None,
+    how: str = "inner",
+    num_buckets: int = 64,
+    suffix: str = "_r",
+    hot_keys: dict | None = None,
+    path: str = "bucketed",
+):
+    """left ⋈ right on equality of key columns -> joined Dataset.
+
+    ``on``: key column name or list of names (the left side's; pass
+    ``right_on`` when the right side names differ — output uses the
+    left names). ``how``: inner | left | right | full | semi | anti
+    (semi/anti return left columns only). Right payload columns that
+    collide with left names gain ``suffix``. ``hot_keys``: {key value
+    (tuple for multi-column keys): n_salts} — see module docstring.
+    """
+    if how not in _HOW_TO_ARROW:
+        raise ValueError(f"hash_join: how must be one of {sorted(_HOW_TO_ARROW)}")
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    if len(on) != len(right_on):
+        raise ValueError("hash_join: on and right_on lengths differ")
+    if hot_keys and how in ("right", "full"):
+        raise ValueError(
+            "hash_join: hot_keys replicates right rows — unsupported for "
+            "right/full outer joins"
+        )
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    for c in on:
+        if c not in l_names:
+            raise KeyError(f"hash_join: left has no column {c!r}")
+    for c in right_on:
+        if c not in r_names:
+            raise KeyError(f"hash_join: right has no column {c!r}")
+
+    l_payload = [c for c in l_names if c not in on]
+    # right payload renamed: suffix on collisions with ANY left column
+    r_payload_src = [c for c in r_names if c not in right_on]
+    r_rename = {
+        c: (c + suffix if c in l_names else c) for c in r_payload_src
+    }
+    r_payload = [r_rename[c] for c in r_payload_src]
+    clash = set(r_payload) & set(l_payload) | set(r_payload) & set(on)
+    if clash:
+        raise ValueError(f"hash_join: column collision after suffix: {sorted(clash)}")
+
+    if path == "native":
+        import ray.data  # noqa: F401  (Dataset method call below)
+
+        renamed_right = right.map_batches(
+            lambda b: b.rename_columns(
+                [
+                    on[right_on.index(c)] if c in right_on else r_rename[c]
+                    for c in b.column_names
+                ]
+            ),
+            batch_format="pyarrow",
+        )
+        return left.join(
+            renamed_right,
+            join_type=_HOW_TO_NATIVE[how],
+            num_partitions=num_buckets,
+            on=tuple(on),
+        )
+    if path != "bucketed":
+        raise ValueError("hash_join: path must be 'bucketed' or 'native'")
+
+    # hot-key salt plan: each hot key gets a private contiguous range
+    # of bucket ids above num_buckets
+    salt_plan: dict = {}
+    if hot_keys:
+        start = num_buckets
+        for k, n in sorted(hot_keys.items(), key=lambda kv: str(kv[0])):
+            if n < 1:
+                raise ValueError("hash_join: hot_keys salt count must be >= 1")
+            key_t = k if isinstance(k, tuple) else (k,)
+            if len(key_t) != len(on):
+                raise ValueError(
+                    f"hash_join: hot key {k!r} arity != {len(on)} key columns"
+                )
+            salt_plan[key_t] = (start, int(n))
+            start += int(n)
+
+    def _hot_mask(batch: pa.Table, cols: list[str]):
+        """Boolean ndarray marking rows whose key is a hot key."""
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        if not salt_plan:
+            return mask
+        key_rows = list(zip(*(batch.column(c).to_pylist() for c in cols)))
+        for i, kt in enumerate(key_rows):
+            if kt in salt_plan:
+                mask[i] = True
+        return mask
+
+    # the union needs ONE key type per column: the right side's keys
+    # cast to the left's types (int32 custkey joins int64 custkey)
+    l_key_types = {c: l_schema.field(c).type for c in on}
+
+    def tag(side: int, key_cols: list[str], out_key: list[str], payload: dict):
+        """map_batches fn: select/rename to the union schema + __side
+        + __jbucket (hot keys salted per the plan)."""
+
+        def fn(batch: pa.Table) -> pa.Table:
+            buckets = (_key_hash(batch, key_cols) % np.uint64(num_buckets)).astype(
+                np.int64
+            )
+            cols = {
+                ok: pc.cast(batch.column(kc), l_key_types[ok])
+                for ok, kc in zip(out_key, key_cols)
+            }
+            for src, dst in payload.items():
+                cols[dst] = batch.column(src)
+            n = batch.num_rows
+            if salt_plan:
+                hot = _hot_mask(batch, key_cols)
+                if hot.any():
+                    key_rows = list(
+                        zip(*(batch.column(c).to_pylist() for c in key_cols))
+                    )
+                    if side == 0:
+                        # split left hot rows across their salt range;
+                        # assignment is free to be arbitrary (results
+                        # identical whichever sub-bucket a left row
+                        # joins in) — block-local index is cheapest
+                        for i in np.nonzero(hot)[0]:
+                            s, k = salt_plan[key_rows[i]]
+                            buckets[i] = s + (int(i) % k)
+                    else:
+                        # replicate right hot rows into every salt
+                        # sub-bucket: emit the base table with hot rows
+                        # RE-bucketed to salt 0, plus one extra slice
+                        # per further salt
+                        parts = []
+                        base_cols = dict(cols)
+                        for i in np.nonzero(hot)[0]:
+                            s, _k = salt_plan[key_rows[i]]
+                            buckets[i] = s
+                        base = pa.table(
+                            {
+                                **base_cols,
+                                "__side": pa.array([side] * n, pa.int8()),
+                                "__jbucket": pa.array(buckets, pa.int64()),
+                            }
+                        )
+                        parts.append(base)
+                        for i in np.nonzero(hot)[0]:
+                            s, k = salt_plan[key_rows[i]]
+                            row = base.slice(int(i), 1)
+                            for salt in range(1, k):
+                                parts.append(
+                                    row.set_column(
+                                        row.schema.get_field_index("__jbucket"),
+                                        "__jbucket",
+                                        pa.array([s + salt], pa.int64()),
+                                    )
+                                )
+                        return pa.concat_tables(parts)
+            return pa.table(
+                {
+                    **cols,
+                    "__side": pa.array([side] * n, pa.int8()),
+                    "__jbucket": pa.array(buckets, pa.int64()),
+                }
+            )
+
+        return fn
+
+    lt = left.map_batches(
+        tag(0, on, on, {c: c for c in l_payload}), batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        tag(1, right_on, on, r_rename), batch_format="pyarrow"
+    )
+
+    # pad to the common union schema (null columns for the other
+    # side's payload — a few validity bits per row through the shuffle)
+    l_types = {f.name: f.type for f in l_schema}
+    r_types = {
+        r_rename[f.name]: f.type for f in r_schema if f.name not in right_on
+    }
+    all_payload = l_payload + r_payload
+    union_order = on + all_payload + ["__side", "__jbucket"]
+
+    def pad(missing_types: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c, t in missing_types.items():
+                batch = batch.append_column(c, pa.nulls(batch.num_rows, t))
+            return batch.select(union_order)
+
+        return fn
+
+    lt = lt.map_batches(pad(r_types), batch_format="pyarrow")
+    lt_r_types = {c: l_types[c] for c in l_payload}
+    rt = rt.map_batches(pad(lt_r_types), batch_format="pyarrow")
+
+    arrow_how = _HOW_TO_ARROW[how]
+    out_cols = on + l_payload + ([] if how in _LEFT_ONLY else r_payload)
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        l_t = group.filter(pc.equal(side, 0)).select(on + l_payload)
+        r_t = group.filter(pc.equal(side, 1)).select(on + r_payload)
+        joined = l_t.join(r_t, keys=on, join_type=arrow_how)
+        return joined.select(out_cols)
+
+    return (
+        lt.union(rt)
+        .groupby("__jbucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -461,6 +461,31 @@ def nation_revenue(sf_dir: str) -> ray.data.Dataset:
     return reduced.map_batches(finish, batch_format="pyarrow")
 
 
+def dim_revenue(sf_dir: str) -> ray.data.Dataset:
+    """ONE kind-tagged surface for both broadcast-dim revenue rollups
+    (`segment_revenue` + `nation_revenue`, which stay public API):
+    rows are (view, dim_key, revenue, n_orders) — folded so the two
+    queries spend one driver-check slot between them (the
+    `docs_filter_union` pattern)."""
+
+    def tag(ds: ray.data.Dataset, view: str, key_col: str) -> ray.data.Dataset:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "view": pa.array([view] * b.num_rows, pa.string()),
+                    "dim_key": pc.cast(b.column(key_col), pa.string()),
+                    "revenue": b.column("revenue"),
+                    "n_orders": b.column("n_orders"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return tag(segment_revenue(sf_dir), "segment", "c_mktsegment").union(
+        tag(nation_revenue(sf_dir), "nation", "n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text-analysis queries over documents
 # ---------------------------------------------------------------------------

@@ -1,0 +1,200 @@
+"""Distributed hash join (`functions/join.py`) vs a pure-Python
+SQL-semantics replay oracle: all six join types, null keys, duplicate
+keys, key-type widening, hot-key salting (salted == unsalted), layout
+determinism, and the native Ray Data path."""
+
+from __future__ import annotations
+
+import pytest
+
+import ray.data
+
+from jamie_ray.functions.join import hash_join
+
+
+def _replay(lrows, rrows, on, right_on, how, l_cols, r_cols, suffix="_r"):
+    """Row-at-a-time SQL join semantics: null keys never match; outer
+    rows survive with nulls; semi/anti return left columns only."""
+    l_payload = [c for c in l_cols if c not in on]
+    r_payload_src = [c for c in r_cols if c not in right_on]
+    ren = {c: (c + suffix if c in l_cols else c) for c in r_payload_src}
+    out = []
+    matched_r: set[int] = set()
+    for lr in lrows:
+        k = tuple(lr[c] for c in on)
+        matches = (
+            []
+            if any(v is None for v in k)
+            else [
+                i
+                for i, rr in enumerate(rrows)
+                if tuple(rr[c] for c in right_on) == k
+                and all(rr[c] is not None for c in right_on)
+            ]
+        )
+        if how == "semi":
+            if matches:
+                out.append({c: lr[c] for c in on + l_payload})
+        elif how == "anti":
+            if not matches:
+                out.append({c: lr[c] for c in on + l_payload})
+        elif matches:
+            for i in matches:
+                matched_r.add(i)
+                row = {c: lr[c] for c in on + l_payload}
+                for c in r_payload_src:
+                    row[ren[c]] = rrows[i][c]
+                out.append(row)
+        elif how in ("left", "full"):
+            row = {c: lr[c] for c in on + l_payload}
+            for c in r_payload_src:
+                row[ren[c]] = None
+            out.append(row)
+    if how in ("right", "full"):
+        for i, rr in enumerate(rrows):
+            if i not in matched_r:
+                row = {c: None for c in l_payload}
+                for c, rc in zip(on, right_on):
+                    row[c] = rr[rc]
+                for c in r_payload_src:
+                    row[ren[c]] = rr[c]
+                out.append(row)
+    return out
+
+
+def _norm(rows):
+    return sorted(
+        tuple(sorted((k, repr(v)) for k, v in r.items())) for r in rows
+    )
+
+
+def _left_rows():
+    # duplicate keys, a null key, and keys with no right match
+    return [
+        {"k": (i % 7) if i % 11 else None, "lv": f"L{i}", "lx": i}
+        for i in range(40)
+    ]
+
+
+def _right_rows():
+    return [
+        {"rk": (i % 9) if i % 5 else None, "lv": f"R{i}", "rw": 100 + i}
+        for i in range(25)
+    ]
+
+
+L_COLS = ["k", "lv", "lx"]
+R_COLS = ["rk", "lv", "rw"]
+
+
+def _datasets():
+    return (
+        ray.data.from_items(_left_rows()).repartition(3),
+        ray.data.from_items(_right_rows()).repartition(2),
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full", "semi", "anti"])
+def test_hash_join_matches_sql_replay(ray_session, how):
+    left, right = _datasets()
+    got = hash_join(
+        left, right, "k", right_on="rk", how=how, num_buckets=8
+    ).take_all()
+    exp = _replay(_left_rows(), _right_rows(), ["k"], ["rk"], how, L_COLS, R_COLS)
+    assert _norm(got) == _norm(exp)
+    if how not in ("semi", "anti"):
+        # the colliding right payload column got the suffix
+        assert all("lv_r" in r for r in got) or not got
+
+
+def test_hash_join_multicol_string_keys(ray_session):
+    lrows = [
+        {"a": f"u{i % 3}", "b": i % 2, "lv": i} for i in range(20)
+    ] + [{"a": None, "b": 0, "lv": 99}]
+    rrows = [{"a": f"u{i % 4}", "b": i % 2, "rv": f"r{i}"} for i in range(12)]
+    got = hash_join(
+        ray.data.from_items(lrows).repartition(2),
+        ray.data.from_items(rrows),
+        ["a", "b"],
+        how="left",
+        num_buckets=4,
+    ).take_all()
+    exp = _replay(
+        lrows, rrows, ["a", "b"], ["a", "b"], "left", ["a", "b", "lv"], ["a", "b", "rv"]
+    )
+    assert _norm(got) == _norm(exp)
+
+
+def test_hash_join_key_type_widening(ray_session):
+    """int32 right key joins int64 left key (output uses left's type)."""
+    import pyarrow as pa
+
+    lt = pa.table({"k": pa.array([1, 2, 3], pa.int64()), "lv": ["a", "b", "c"]})
+    rt = pa.table({"k": pa.array([2, 3, 3], pa.int32()), "rv": [20, 30, 31]})
+    got = hash_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt), "k", num_buckets=4
+    ).take_all()
+    exp = [
+        {"k": 2, "lv": "b", "rv": 20},
+        {"k": 3, "lv": "c", "rv": 30},
+        {"k": 3, "lv": "c", "rv": 31},
+    ]
+    assert _norm(got) == _norm(exp)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_salted_equals_unsalted(ray_session, how):
+    left, right = _datasets()
+    plain = hash_join(
+        left, right, "k", right_on="rk", how=how, num_buckets=8
+    ).take_all()
+    salted = hash_join(
+        left,
+        right,
+        "k",
+        right_on="rk",
+        how=how,
+        num_buckets=8,
+        hot_keys={3: 4, 5: 2},
+    ).take_all()
+    assert _norm(salted) == _norm(plain)
+
+
+def test_hash_join_hot_keys_rejected_for_right_side_outer(ray_session):
+    left, right = _datasets()
+    for how in ("right", "full"):
+        with pytest.raises(ValueError, match="hot_keys"):
+            hash_join(left, right, "k", right_on="rk", how=how, hot_keys={3: 2})
+
+
+def test_hash_join_layout_determinism(ray_session):
+    base = None
+    for nblocks in (1, 5, 13):
+        left = ray.data.from_items(_left_rows()).repartition(nblocks)
+        right = ray.data.from_items(_right_rows()).repartition(max(1, nblocks // 2))
+        got = _norm(
+            hash_join(
+                left, right, "k", right_on="rk", how="full", num_buckets=8
+            ).take_all()
+        )
+        if base is None:
+            base = got
+        assert got == base
+
+
+def test_hash_join_unsupported_key_type_raises(ray_session):
+    left = ray.data.from_items([{"k": 1.5, "lv": 1}])
+    right = ray.data.from_items([{"k": 1.5, "rv": 2}])
+    with pytest.raises(Exception, match="unsupported key column type"):
+        hash_join(left, right, "k").take_all()
+
+
+def test_hash_join_native_path_equals_bucketed(ray_session):
+    left, right = _datasets()
+    bucketed = hash_join(
+        left, right, "k", right_on="rk", how="inner", num_buckets=8
+    ).take_all()
+    native = hash_join(
+        left, right, "k", right_on="rk", how="inner", num_buckets=4, path="native"
+    ).take_all()
+    assert _norm(native) == _norm(bucketed)
