@@ -647,6 +647,7 @@ def cmd_join(args) -> None:
         how=args.how,
         num_buckets=args.num_buckets,
         suffix=args.suffix,
+        bloom_prune=args.bloom_prune,
     )
     joined.write_parquet(args.out)
     import pyarrow.parquet as _pq
@@ -1091,6 +1092,11 @@ def main(argv: list[str] | None = None) -> None:
     )
     p.add_argument("--num-buckets", dest="num_buckets", type=int, default=64)
     p.add_argument("--suffix", default="_r", help="suffix for colliding right columns")
+    p.add_argument(
+        "--bloom-prune", dest="bloom_prune", default=None,
+        choices=("left", "right"),
+        help="pre-shuffle bloom prune of this side by the other side's keys",
+    )
     p.add_argument(
         "--left-cols", dest="left_cols", default=None,
         help="comma-separated column prune for the left read",

@@ -66,6 +66,14 @@ _HOW_TO_NATIVE = {
 }
 # semi/anti emit left columns only
 _LEFT_ONLY = {"semi", "anti"}
+# bloom_prune drops a side's rows whose key misses the OTHER side's
+# bloom — only legal when that side's unmatched rows never reach the
+# output (no false negatives, so no matching row is ever dropped;
+# false positives just ride the shuffle and lose in the join)
+_BLOOM_VALID = {
+    "left": {"inner", "right", "semi"},
+    "right": {"inner", "left", "semi", "anti"},
+}
 
 
 def _key_hash(batch: pa.Table, cols: list[str]) -> np.ndarray:
@@ -93,6 +101,41 @@ def _key_hash(batch: pa.Table, cols: list[str]) -> np.ndarray:
     return acc
 
 
+def _bloom_positions(h: np.ndarray, bits: int, n_hashes: int) -> np.ndarray:
+    """(n_hashes, n_rows) bit positions for each key hash."""
+    return np.stack(
+        [mix64(h, seed=0xB100F + j) % np.uint64(bits) for j in range(n_hashes)]
+    )
+
+
+def _build_bloom(ds, key_cols: list[str], bits: int, n_hashes: int) -> bytes:
+    """Distributed bloom filter of a Dataset's key column(s).
+
+    Each block emits ONE packed-bitmap row (bits/8 bytes); the driver
+    ORs them streaming, holding a single bitmap — driver memory is
+    O(bits), network is O(blocks x bits/8). For the default 2^23 bits
+    (1 MiB, ~1% FP at ~1M distinct keys per MiB rule of thumb) that is
+    trivially bounded at any corpus size; size ``bits`` to the build
+    side's expected distinct-key count.
+    """
+
+    def block_bitmap(batch: pa.Table) -> pa.Table:
+        buf = np.zeros(bits // 8, dtype=np.uint8)
+        if batch.num_rows:
+            pos = _bloom_positions(_key_hash(batch, key_cols), bits, n_hashes)
+            flat = pos.reshape(-1)
+            np.bitwise_or.at(buf, (flat >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(np.uint8(1), (flat & np.uint64(7)).astype(np.uint8)))
+        return pa.table({"bitmap": pa.array([buf.tobytes()], pa.large_binary())})
+
+    acc = np.zeros(bits // 8, dtype=np.uint8)
+    bm_ds = ds.map_batches(block_bitmap, batch_format="pyarrow")
+    for batch in bm_ds.iter_batches(batch_size=1, batch_format="pyarrow"):
+        for buf in batch.column("bitmap").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+    return acc.tobytes()
+
+
 def hash_join(
     left,
     right,
@@ -104,6 +147,9 @@ def hash_join(
     suffix: str = "_r",
     hot_keys: dict | None = None,
     path: str = "bucketed",
+    bloom_prune: str | None = None,
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 4,
 ):
     """left ⋈ right on equality of key columns -> joined Dataset.
 
@@ -113,6 +159,22 @@ def hash_join(
     (semi/anti return left columns only). Right payload columns that
     collide with left names gain ``suffix``. ``hot_keys``: {key value
     (tuple for multi-column keys): n_salts} — see module docstring.
+
+    ``bloom_prune="right"`` (or ``"left"``) cuts shuffle volume for
+    selective joins: a bloom filter of the OTHER side's keys (built
+    distributed, ``bloom_bits`` wide — size it to that side's
+    distinct-key count; driver holds ONE bitmap) is broadcast and the
+    pruned side drops rows whose key can't match before the shuffle.
+    No false negatives, so the result is bit-identical (asserted in
+    tests); false positives just ride the shuffle and lose in the
+    join. Only legal where the pruned side's unmatched rows never
+    reach the output: prune right for inner/left/semi/anti, prune
+    left for inner/right/semi.
+
+    Note the bloom BUILD side executes twice (bloom pass + the join
+    itself) — spill a derived upstream to parquet first, the
+    repo-wide spill contract. Driver state is one bitmap (O(bits)),
+    never data-scale.
     """
     if how not in _HOW_TO_ARROW:
         raise ValueError(f"hash_join: how must be one of {sorted(_HOW_TO_ARROW)}")
@@ -127,6 +189,16 @@ def hash_join(
             "hash_join: hot_keys replicates right rows — unsupported for "
             "right/full outer joins"
         )
+    if bloom_prune is not None:
+        if bloom_prune not in _BLOOM_VALID:
+            raise ValueError("hash_join: bloom_prune must be 'left' or 'right'")
+        if how not in _BLOOM_VALID[bloom_prune]:
+            raise ValueError(
+                f"hash_join: bloom_prune={bloom_prune!r} would drop "
+                f"{bloom_prune}-side rows that a {how!r} join must keep"
+            )
+        if bloom_bits & (bloom_bits - 1):
+            raise ValueError("hash_join: bloom_bits must be a power of two")
 
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
@@ -149,6 +221,40 @@ def hash_join(
     clash = set(r_payload) & set(l_payload) | set(r_payload) & set(on)
     if clash:
         raise ValueError(f"hash_join: column collision after suffix: {sorted(clash)}")
+
+    if bloom_prune is not None:
+        import ray
+
+        from ..state.worker_cache import cached_get
+
+        build_ds, build_cols = (
+            (right, right_on) if bloom_prune == "left" else (left, on)
+        )
+        bloom_ref = ray.put(
+            _build_bloom(build_ds, build_cols, bloom_bits, bloom_hashes)
+        )
+        prune_cols = on if bloom_prune == "left" else right_on
+
+        def prune(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return batch
+            buf = np.frombuffer(
+                cached_get(bloom_ref, "hash_join_bloom"), dtype=np.uint8
+            )
+            pos = _bloom_positions(
+                _key_hash(batch, prune_cols), bloom_bits, bloom_hashes
+            )
+            byte_ix = (pos >> np.uint64(3)).astype(np.int64)
+            bit = np.left_shift(
+                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+            )
+            hit = ((buf[byte_ix] & bit) != 0).all(axis=0)
+            return batch.filter(pa.array(hit))
+
+        if bloom_prune == "left":
+            left = left.map_batches(prune, batch_format="pyarrow")
+        else:
+            right = right.map_batches(prune, batch_format="pyarrow")
 
     if path == "native":
         import ray.data  # noqa: F401  (Dataset method call below)

@@ -189,6 +189,62 @@ def test_hash_join_unsupported_key_type_raises(ray_session):
         hash_join(left, right, "k").take_all()
 
 
+@pytest.mark.parametrize(
+    "side,how",
+    [("right", "inner"), ("right", "left"), ("right", "semi"),
+     ("right", "anti"), ("left", "inner"), ("left", "right"), ("left", "semi")],
+)
+def test_hash_join_bloom_prune_equals_unpruned(ray_session, side, how):
+    left, right = _datasets()
+    plain = hash_join(
+        left, right, "k", right_on="rk", how=how, num_buckets=8
+    ).take_all()
+    pruned = hash_join(
+        left,
+        right,
+        "k",
+        right_on="rk",
+        how=how,
+        num_buckets=8,
+        bloom_prune=side,
+        bloom_bits=1 << 16,
+    ).take_all()
+    assert _norm(pruned) == _norm(plain)
+
+
+def test_hash_join_bloom_prune_invalid_combos_raise(ray_session):
+    left, right = _datasets()
+    for side, how in [("left", "left"), ("left", "full"), ("left", "anti"),
+                      ("right", "right"), ("right", "full")]:
+        with pytest.raises(ValueError, match="bloom_prune"):
+            hash_join(left, right, "k", right_on="rk", how=how, bloom_prune=side)
+    with pytest.raises(ValueError, match="power of two"):
+        hash_join(left, right, "k", right_on="rk", bloom_prune="right",
+                  bloom_bits=1000)
+
+
+def test_hash_join_bloom_actually_prunes(ray_session):
+    """Rows whose key can't match are dropped BEFORE the shuffle (no
+    false negatives: every matching key survives)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from jamie_ray.functions.join import _bloom_positions, _build_bloom, _key_hash
+
+    bits, k = 1 << 16, 4
+    build = ray.data.from_items([{"k": i} for i in range(7)]).repartition(3)
+    bloom = np.frombuffer(_build_bloom(build, ["k"], bits, k), dtype=np.uint8)
+
+    probe = pa.table({"k": list(range(7)) + [10_000 + i for i in range(50)]})
+    pos = _bloom_positions(_key_hash(probe, ["k"]), bits, k)
+    byte_ix = (pos >> np.uint64(3)).astype(np.int64)
+    bit = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+    hit = ((bloom[byte_ix] & bit) != 0).all(axis=0)
+    assert hit[:7].all()  # no false negatives, ever
+    # 50 non-members at 7 keys in 2^16 bits: essentially all pruned
+    assert hit[7:].sum() <= 2
+
+
 def test_hash_join_native_path_equals_bucketed(ray_session):
     left, right = _datasets()
     bucketed = hash_join(
