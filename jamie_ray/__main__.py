@@ -648,6 +648,7 @@ def cmd_join(args) -> None:
         num_buckets=args.num_buckets,
         suffix=args.suffix,
         bloom_prune=args.bloom_prune,
+        path=args.path,
     )
     joined.write_parquet(args.out)
     import pyarrow.parquet as _pq
@@ -1096,6 +1097,11 @@ def main(argv: list[str] | None = None) -> None:
         "--bloom-prune", dest="bloom_prune", default=None,
         choices=("left", "right"),
         help="pre-shuffle bloom prune of this side by the other side's keys",
+    )
+    p.add_argument(
+        "--path", default="bucketed",
+        choices=("bucketed", "broadcast", "native"),
+        help="bucketed shuffle (default), small-right broadcast, or Ray native",
     )
     p.add_argument(
         "--left-cols", dest="left_cols", default=None,

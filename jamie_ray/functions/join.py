@@ -200,8 +200,14 @@ def hash_join(
         if bloom_bits & (bloom_bits - 1):
             raise ValueError("hash_join: bloom_bits must be a power of two")
 
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    l_wrap, r_wrap = left.schema(), right.schema()
+    if l_wrap is None or r_wrap is None:
+        raise ValueError(
+            "hash_join: input schema unavailable (empty schema-less "
+            "Dataset?) — join inputs must carry a schema"
+        )
+    l_schema = l_wrap.base_schema
+    r_schema = r_wrap.base_schema
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
     for c in on:
@@ -256,26 +262,84 @@ def hash_join(
         else:
             right = right.map_batches(prune, batch_format="pyarrow")
 
+    # right side normalized to the output contract: key columns take
+    # the LEFT names and types, payload takes the suffix renames
+    l_key_types_n = {c: l_schema.field(c).type for c in on}
+
+    def _normalize_right_batch(b: pa.Table) -> pa.Table:
+        cols = {}
+        for c in b.column_names:
+            if c in right_on:
+                name = on[right_on.index(c)]
+                cols[name] = pc.cast(b.column(c), l_key_types_n[name])
+            else:
+                cols[r_rename[c]] = b.column(c)
+        return pa.table(cols).select(on + r_payload)
+
     if path == "native":
         import ray.data  # noqa: F401  (Dataset method call below)
 
-        renamed_right = right.map_batches(
-            lambda b: b.rename_columns(
-                [
-                    on[right_on.index(c)] if c in right_on else r_rename[c]
-                    for c in b.column_names
-                ]
-            ),
-            batch_format="pyarrow",
-        )
         return left.join(
-            renamed_right,
+            right.map_batches(_normalize_right_batch, batch_format="pyarrow"),
             join_type=_HOW_TO_NATIVE[how],
             num_partitions=num_buckets,
             on=tuple(on),
         )
+
+    if path == "broadcast":
+        # small-right path: zero shuffle — the whole right side is
+        # collected ONCE under the edge cap (loud failure when it
+        # isn't small), ray.put once, and every left batch joins
+        # against the broadcast Arrow table. Unmatched RIGHT rows
+        # can't be emitted from a streaming per-left-batch join, so
+        # right/full are rejected.
+        if how in ("right", "full"):
+            raise ValueError(
+                "hash_join: path='broadcast' cannot emit unmatched right "
+                "rows — use the bucketed path for right/full outer joins"
+            )
+        import ray
+
+        from ..state.collect import iter_capped_batches
+        from ..state.worker_cache import cached_get
+
+        r_types_b = {
+            r_rename[f.name]: f.type for f in r_schema if f.name not in right_on
+        }
+        parts = [
+            b
+            for b in iter_capped_batches(
+                right.map_batches(_normalize_right_batch, batch_format="pyarrow"),
+                context="hash_join broadcast right side",
+            )
+            if b.num_rows
+        ]
+        rtab = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table(
+                {
+                    c: pa.array([], l_key_types_n[c] if c in on else r_types_b[c])
+                    for c in on + r_payload
+                }
+            )
+        )
+        rtab_ref = ray.put(rtab)
+        arrow_how_b = _HOW_TO_ARROW[how]
+        out_cols_b = on + l_payload + ([] if how in _LEFT_ONLY else r_payload)
+
+        def bcast_join(batch: pa.Table) -> pa.Table:
+            rt = cached_get(rtab_ref, "hash_join_bcast_right")
+            return batch.select(on + l_payload).join(
+                rt, keys=on, join_type=arrow_how_b
+            ).select(out_cols_b)
+
+        return left.map_batches(bcast_join, batch_format="pyarrow")
+
     if path != "bucketed":
-        raise ValueError("hash_join: path must be 'bucketed' or 'native'")
+        raise ValueError(
+            "hash_join: path must be 'bucketed', 'broadcast' or 'native'"
+        )
 
     # hot-key salt plan: each hot key gets a private contiguous range
     # of bucket ids above num_buckets

@@ -245,6 +245,42 @@ def test_hash_join_bloom_actually_prunes(ray_session):
     assert hit[7:].sum() <= 2
 
 
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_broadcast_path_equals_bucketed(ray_session, how):
+    left, right = _datasets()
+    bucketed = hash_join(
+        left, right, "k", right_on="rk", how=how, num_buckets=8
+    ).take_all()
+    bcast = hash_join(
+        left, right, "k", right_on="rk", how=how, path="broadcast"
+    ).take_all()
+    assert _norm(bcast) == _norm(bucketed)
+
+
+def test_hash_join_broadcast_rejects_right_side_outer(ray_session):
+    left, right = _datasets()
+    for how in ("right", "full"):
+        with pytest.raises(ValueError, match="broadcast"):
+            hash_join(left, right, "k", right_on="rk", how=how, path="broadcast")
+
+
+def test_hash_join_broadcast_empty_right(ray_session):
+    import pyarrow as pa
+
+    left, _ = _datasets()
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"rk": pa.array([], pa.int64()), "lv": pa.array([], pa.string()),
+             "rw": pa.array([], pa.int64())}
+        )
+    )
+    got = hash_join(
+        left, empty, "k", right_on="rk", how="left", path="broadcast"
+    ).take_all()
+    exp = _replay(_left_rows(), [], ["k"], ["rk"], "left", L_COLS, R_COLS)
+    assert _norm(got) == _norm(exp)
+
+
 def test_hash_join_native_path_equals_bucketed(ray_session):
     left, right = _datasets()
     bucketed = hash_join(
