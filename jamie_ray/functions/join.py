@@ -146,6 +146,7 @@ def hash_join(
     num_buckets: int = 64,
     suffix: str = "_r",
     hot_keys: dict | None = None,
+    auto_salt: bool | float = False,
     path: str = "bucketed",
     bloom_prune: str | None = None,
     bloom_bits: int = 1 << 23,
@@ -159,6 +160,16 @@ def hash_join(
     (semi/anti return left columns only). Right payload columns that
     collide with left names gain ``suffix``. ``hot_keys``: {key value
     (tuple for multi-column keys): n_salts} — see module docstring.
+
+    ``auto_salt=True`` detects hot LEFT keys instead of requiring them
+    a priori: a Misra-Gries heavy-hitter pass (``sketch.
+    heavy_hitters`` — exact counts, provable recall) finds keys above
+    ``2/num_buckets`` of the rows (pass a float to set the fraction)
+    and salts each proportionally to its bucket overload; explicit
+    ``hot_keys`` entries win on conflict. Costs two extra streaming
+    passes over the left keys — spill a derived left first. Single-
+    column keys only; same inner/left/semi/anti restriction as
+    ``hot_keys``.
 
     ``bloom_prune="right"`` (or ``"left"``) cuts shuffle volume for
     selective joins: a bloom filter of the OTHER side's keys (built
@@ -184,11 +195,17 @@ def hash_join(
     )
     if len(on) != len(right_on):
         raise ValueError("hash_join: on and right_on lengths differ")
-    if hot_keys and how in ("right", "full"):
+    if (hot_keys or auto_salt) and how in ("right", "full"):
         raise ValueError(
-            "hash_join: hot_keys replicates right rows — unsupported for "
-            "right/full outer joins"
+            "hash_join: hot_keys/auto_salt replicates right rows — "
+            "unsupported for right/full outer joins"
         )
+    if (hot_keys or auto_salt) and path != "bucketed":
+        raise ValueError(
+            "hash_join: hot_keys/auto_salt only applies to path='bucketed'"
+        )
+    if auto_salt and len([on] if isinstance(on, str) else on) != 1:
+        raise ValueError("hash_join: auto_salt supports single-column keys only")
     if bloom_prune is not None:
         if bloom_prune not in _BLOOM_VALID:
             raise ValueError("hash_join: bloom_prune must be 'left' or 'right'")
@@ -340,6 +357,28 @@ def hash_join(
         raise ValueError(
             "hash_join: path must be 'bucketed', 'broadcast' or 'native'"
         )
+
+    if auto_salt:
+        import math
+
+        from .sketch import heavy_hitters
+
+        phi = (2.0 / num_buckets) if auto_salt is True else float(auto_salt)
+        keys_ds = left.select_columns([on[0]])
+        n_left = keys_ds.count()
+        detected: dict = {}
+        if n_left:
+            k_mg = max(1024, num_buckets + 2)
+            hh = heavy_hitters(keys_ds, on[0], phi=phi, k=k_mg)
+            target = max(1.0, n_left / num_buckets)
+            for row in hh.take_all():
+                v = row[on[0]]
+                if v is None:
+                    continue  # null keys never match — no salt needed
+                n_salts = math.ceil(row["n"] / target)
+                if n_salts > 1:
+                    detected[v] = min(int(n_salts), num_buckets)
+        hot_keys = {**detected, **(hot_keys or {})}  # explicit wins
 
     # hot-key salt plan: each hot key gets a private contiguous range
     # of bucket ids above num_buckets

@@ -160,6 +160,31 @@ def test_hash_join_salted_equals_unsalted(ray_session, how):
     assert _norm(salted) == _norm(plain)
 
 
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_auto_salt_equals_unsalted(ray_session, how):
+    """Planted skew: one key holds half the left rows; auto_salt
+    detects and salts it with results identical to the plain path."""
+    lrows = [{"k": 3 if i % 2 else i % 11, "lv": i} for i in range(200)]
+    rrows = [{"k": i % 13, "rv": 100 + i} for i in range(30)]
+    left = ray.data.from_items(lrows).repartition(4)
+    right = ray.data.from_items(rrows).repartition(2)
+    plain = hash_join(left, right, "k", how=how, num_buckets=8).take_all()
+    salted = hash_join(
+        left, right, "k", how=how, num_buckets=8, auto_salt=True
+    ).take_all()
+    assert _norm(salted) == _norm(plain)
+
+
+def test_hash_join_auto_salt_validation(ray_session):
+    left, right = _datasets()
+    with pytest.raises(ValueError, match="single-column"):
+        hash_join(left, right, ["k", "lv"], right_on=["rk", "lv"], auto_salt=True)
+    with pytest.raises(ValueError, match="auto_salt"):
+        hash_join(left, right, "k", right_on="rk", how="full", auto_salt=True)
+    with pytest.raises(ValueError, match="bucketed"):
+        hash_join(left, right, "k", right_on="rk", auto_salt=True, path="broadcast")
+
+
 def test_hash_join_hot_keys_rejected_for_right_side_outer(ray_session):
     left, right = _datasets()
     for how in ("right", "full"):
