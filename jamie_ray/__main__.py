@@ -666,6 +666,42 @@ def cmd_join(args) -> None:
     )
 
 
+def cmd_compact(args) -> None:
+    """Rewrite a parquet directory at a target file size — the
+    operational fix for the tiny-file (or giant-file) problem that
+    sharded/resumable runs accumulate at scale. Row-count preserving;
+    column order preserved; block count derived from on-disk bytes."""
+    _ensure_ray()
+    import math
+    import os
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    ds = ray.data.read_parquet(args.inp)
+    total_bytes = 0
+    for root, _dirs, files in os.walk(args.inp):
+        for f in files:
+            if f.endswith(".parquet"):
+                total_bytes += os.path.getsize(os.path.join(root, f))
+    if total_bytes == 0 and os.path.isfile(args.inp):
+        total_bytes = os.path.getsize(args.inp)
+    n_blocks = max(1, math.ceil(total_bytes / (args.target_mb * 1024 * 1024)))
+    ds.repartition(n_blocks).write_parquet(args.out)
+    n = _pq.read_table(args.out).num_rows
+    print(
+        json.dumps(
+            {
+                "command": "compact",
+                "out": args.out,
+                "input_bytes": total_bytes,
+                "n_files_target": n_blocks,
+                "n_rows": n,
+            }
+        )
+    )
+
+
 def cmd_sample(args) -> None:
     _ensure_ray()
     import ray.data
@@ -1112,6 +1148,18 @@ def main(argv: list[str] | None = None) -> None:
         help="comma-separated column prune for the right read",
     )
     p.set_defaults(fn=cmd_join)
+
+    p = sub.add_parser(
+        "compact",
+        help="rewrite a parquet dir at a target file size (tiny-file repair)",
+    )
+    p.add_argument("--in", dest="inp", required=True, help="parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument(
+        "--target-mb", dest="target_mb", type=int, default=256,
+        help="target bytes per output file (default 256 MiB)",
+    )
+    p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser(
         "sample",

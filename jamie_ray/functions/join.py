@@ -409,7 +409,7 @@ def hash_join(
 
     # the union needs ONE key type per column: the right side's keys
     # cast to the left's types (int32 custkey joins int64 custkey)
-    l_key_types = {c: l_schema.field(c).type for c in on}
+    l_key_types = l_key_types_n
 
     def tag(side: int, key_cols: list[str], out_key: list[str], payload: dict):
         """map_batches fn: select/rename to the union schema + __side
