@@ -76,8 +76,16 @@ _BLOOM_VALID = {
 }
 
 
-def _key_hash(batch: pa.Table, cols: list[str]) -> np.ndarray:
+def _key_hash(
+    batch: pa.Table, cols: list[str], target_types: list | None = None
+) -> np.ndarray:
     """Vectorized combined 64-bit hash of the key columns.
+
+    ``target_types`` (the LEFT side's key types) normalizes each
+    column BEFORE hashing so both sides of a join bucket identically
+    even when their key types differ (int32 vs int64, timestamp[ms]
+    vs timestamp[us]) — the join itself compares the cast values, so
+    the hash must too.
 
     Nulls hash via a fixed sentinel — they only need a consistent
     BUCKET (Arrow's join already refuses to match them); a sentinel
@@ -87,6 +95,15 @@ def _key_hash(batch: pa.Table, cols: list[str]) -> np.ndarray:
     acc = np.zeros(batch.num_rows, dtype=np.uint64)
     for i, c in enumerate(cols):
         col = batch.column(c)
+        if target_types is not None and col.type != target_types[i]:
+            col = pc.cast(col, target_types[i])
+        if pa.types.is_temporal(col.type) or pa.types.is_boolean(col.type):
+            # date32/time32 only cast through their 32-bit physical
+            # type; timestamp/date64/time64/duration/bool go direct
+            try:
+                col = pc.cast(col, pa.int64())
+            except pa.ArrowNotImplementedError:
+                col = pc.cast(pc.cast(col, pa.int32()), pa.int64())
         if pa.types.is_integer(col.type):
             filled = pc.fill_null(pc.cast(col, pa.int64()), -(1 << 63))
             h = filled.to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -108,7 +125,10 @@ def _bloom_positions(h: np.ndarray, bits: int, n_hashes: int) -> np.ndarray:
     )
 
 
-def _build_bloom(ds, key_cols: list[str], bits: int, n_hashes: int) -> bytes:
+def _build_bloom(
+    ds, key_cols: list[str], bits: int, n_hashes: int,
+    target_types: list | None = None,
+) -> bytes:
     """Distributed bloom filter of a Dataset's key column(s).
 
     Each block emits ONE packed-bitmap row (bits/8 bytes); the driver
@@ -122,7 +142,9 @@ def _build_bloom(ds, key_cols: list[str], bits: int, n_hashes: int) -> bytes:
     def block_bitmap(batch: pa.Table) -> pa.Table:
         buf = np.zeros(bits // 8, dtype=np.uint8)
         if batch.num_rows:
-            pos = _bloom_positions(_key_hash(batch, key_cols), bits, n_hashes)
+            pos = _bloom_positions(
+                _key_hash(batch, key_cols, target_types), bits, n_hashes
+            )
             flat = pos.reshape(-1)
             np.bitwise_or.at(buf, (flat >> np.uint64(3)).astype(np.int64),
                              np.left_shift(np.uint8(1), (flat & np.uint64(7)).astype(np.uint8)))
@@ -245,6 +267,11 @@ def hash_join(
     if clash:
         raise ValueError(f"hash_join: column collision after suffix: {sorted(clash)}")
 
+    # every hash (bucket, bloom) normalizes key columns to the LEFT
+    # side's types first — both sides must bucket identically even
+    # when their declared key types differ
+    key_types = [l_schema.field(c).type for c in on]
+
     if bloom_prune is not None:
         import ray
 
@@ -254,7 +281,7 @@ def hash_join(
             (right, right_on) if bloom_prune == "left" else (left, on)
         )
         bloom_ref = ray.put(
-            _build_bloom(build_ds, build_cols, bloom_bits, bloom_hashes)
+            _build_bloom(build_ds, build_cols, bloom_bits, bloom_hashes, key_types)
         )
         prune_cols = on if bloom_prune == "left" else right_on
 
@@ -265,7 +292,7 @@ def hash_join(
                 cached_get(bloom_ref, "hash_join_bloom"), dtype=np.uint8
             )
             pos = _bloom_positions(
-                _key_hash(batch, prune_cols), bloom_bits, bloom_hashes
+                _key_hash(batch, prune_cols, key_types), bloom_bits, bloom_hashes
             )
             byte_ix = (pos >> np.uint64(3)).astype(np.int64)
             bit = np.left_shift(
@@ -416,9 +443,9 @@ def hash_join(
         + __jbucket (hot keys salted per the plan)."""
 
         def fn(batch: pa.Table) -> pa.Table:
-            buckets = (_key_hash(batch, key_cols) % np.uint64(num_buckets)).astype(
-                np.int64
-            )
+            buckets = (
+                _key_hash(batch, key_cols, key_types) % np.uint64(num_buckets)
+            ).astype(np.int64)
             cols = {
                 ok: pc.cast(batch.column(kc), l_key_types[ok])
                 for ok, kc in zip(out_key, key_cols)

@@ -125,6 +125,42 @@ def test_hash_join_multicol_string_keys(ray_session):
     assert _norm(got) == _norm(exp)
 
 
+def test_hash_join_temporal_keys_mixed_units(ray_session):
+    """timestamp[us] left joins timestamp[ms] right: the bucket hash
+    normalizes to the LEFT type before hashing, so equal moments land
+    in the same bucket despite different physical values."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    times = [dt.datetime(2020, 1, 1, h) for h in range(8)]
+    lt = pa.table(
+        {"t": pa.array(times, pa.timestamp("us")), "lv": list(range(8))}
+    )
+    rt = pa.table(
+        {"t": pa.array(times[::2] + [None], pa.timestamp("ms")),
+         "rv": [10, 20, 30, 40, -1]}
+    )
+    got = hash_join(
+        ray.data.from_arrow(lt).repartition(2),
+        ray.data.from_arrow(rt),
+        "t",
+        how="inner",
+        num_buckets=4,
+    ).take_all()
+    assert sorted(r["lv"] for r in got) == [0, 2, 4, 6]
+    assert sorted(r["rv"] for r in got) == [10, 20, 30, 40]
+
+    # date32 keys go through the two-step physical cast
+    dates = [dt.date(2021, 1, d + 1) for d in range(6)]
+    ld = pa.table({"d": pa.array(dates, pa.date32()), "lv": list(range(6))})
+    rd = pa.table({"d": pa.array(dates[:3], pa.date32()), "rv": [7, 8, 9]})
+    got = hash_join(
+        ray.data.from_arrow(ld), ray.data.from_arrow(rd), "d", num_buckets=4
+    ).take_all()
+    assert sorted(r["lv"] for r in got) == [0, 1, 2]
+
+
 def test_hash_join_key_type_widening(ray_session):
     """int32 right key joins int64 left key (output uses left's type)."""
     import pyarrow as pa
