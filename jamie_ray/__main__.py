@@ -702,6 +702,23 @@ def cmd_compact(args) -> None:
     )
 
 
+def cmd_profile(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .functions.profile import profile_columns
+
+    ds = ray.data.read_parquet(
+        args.inp, columns=args.cols.split(",") if args.cols else None
+    )
+    t = profile_columns(
+        ds,
+        cols=args.cols.split(",") if args.cols else None,
+        kmv_k=args.kmv_k,
+    )
+    print(json.dumps({"command": "profile", "columns": t.to_pylist()}))
+
+
 def cmd_sample(args) -> None:
     _ensure_ray()
     import ray.data
@@ -1148,6 +1165,15 @@ def main(argv: list[str] | None = None) -> None:
         help="comma-separated column prune for the right read",
     )
     p.set_defaults(fn=cmd_join)
+
+    p = sub.add_parser(
+        "profile",
+        help="per-column profile: counts, nulls, min/max, distinct (KMV)",
+    )
+    p.add_argument("--in", dest="inp", required=True, help="parquet path/dir")
+    p.add_argument("--cols", default=None, help="comma-separated column subset")
+    p.add_argument("--kmv-k", dest="kmv_k", type=int, default=8192)
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser(
         "compact",
