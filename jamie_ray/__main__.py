@@ -702,6 +702,52 @@ def cmd_compact(args) -> None:
     )
 
 
+def cmd_merge_graphs(args) -> None:
+    """Merge materialized graph outputs (the monthly-snapshot KG
+    update): union the graph parquet dirs, re-run the provenance
+    dedup — its combiner SUMS pre-existing ``n_sources`` and keeps the
+    lexicographic-min representative, so counts merge exactly and the
+    result is layout-independent — and finish with the flagship's
+    sorted write (``pipelines/kg.py`` finalize order)."""
+    _ensure_ray()
+    import ray.data
+
+    from .stages.dedup import dedup_triples
+
+    import os
+
+    def graph_dir(g: str) -> str:
+        # materialize_graph writes the sorted triples under <out>/graph
+        # beside manifest.jsonl; accept either the run dir or the
+        # parquet dir itself
+        sub = os.path.join(g, "graph")
+        return sub if os.path.isdir(sub) else g
+
+    parts = [
+        ray.data.read_parquet(graph_dir(g), file_extensions=["parquet"])
+        for g in args.graphs
+    ]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    merged = dedup_triples(ds).sort(["subj_id", "pred", "obj_id"])
+    merged.write_parquet(args.out)
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(args.out, columns=["n_sources"])
+    print(
+        json.dumps(
+            {
+                "command": "merge-graphs",
+                "out": args.out,
+                "n_graphs": len(args.graphs),
+                "n_triples": t.num_rows,
+                "n_sources_total": sum(t.column("n_sources").to_pylist()),
+            }
+        )
+    )
+
+
 def cmd_profile(args) -> None:
     _ensure_ray()
     import ray.data
@@ -1165,6 +1211,17 @@ def main(argv: list[str] | None = None) -> None:
         help="comma-separated column prune for the right read",
     )
     p.set_defaults(fn=cmd_join)
+
+    p = sub.add_parser(
+        "merge-graphs",
+        help="merge materialized graphs (provenance-summing dedup + sorted write)",
+    )
+    p.add_argument(
+        "--graph", dest="graphs", action="append", required=True,
+        help="graph parquet dir (repeat per snapshot)",
+    )
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_merge_graphs)
 
     p = sub.add_parser(
         "profile",
