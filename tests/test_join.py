@@ -6,6 +6,7 @@ determinism, and the native Ray Data path."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings, strategies as st
 
 import ray.data
 
@@ -241,6 +242,34 @@ def test_hash_join_layout_determinism(ray_session):
         if base is None:
             base = got
         assert got == base
+
+
+_KEYS = st.one_of(st.integers(min_value=0, max_value=6), st.none())
+_ROWS = st.lists(_KEYS, min_size=0, max_size=12)
+
+
+@given(lkeys=_ROWS, rkeys=_ROWS, how_ix=st.integers(min_value=0, max_value=5))
+@settings(deadline=None, max_examples=15)
+def test_hash_join_property_matches_replay(ray_session, lkeys, rkeys, how_ix):
+    """Random key multisets (dups + nulls) across all six join types
+    equal the row-at-a-time SQL replay."""
+    how = ["inner", "left", "right", "full", "semi", "anti"][how_ix]
+    if not lkeys or not rkeys:
+        return  # from_items rejects empty; covered by the empty-right test
+    if all(k is None for k in lkeys) or all(k is None for k in rkeys):
+        return  # an all-null key column is untyped (null type) — engine
+        # requires typed keys (real tables always have them)
+    lrows = [{"k": k, "lv": i} for i, k in enumerate(lkeys)]
+    rrows = [{"k": k, "rv": 100 + i} for i, k in enumerate(rkeys)]
+    got = hash_join(
+        ray.data.from_items(lrows).repartition(2),
+        ray.data.from_items(rrows),
+        "k",
+        how=how,
+        num_buckets=4,
+    ).take_all()
+    exp = _replay(lrows, rrows, ["k"], ["k"], how, ["k", "lv"], ["k", "rv"])
+    assert _norm(got) == _norm(exp)
 
 
 def test_hash_join_unsupported_key_type_raises(ray_session):
