@@ -945,6 +945,43 @@ def cmd_bpe(args) -> None:
     print(json.dumps(out))
 
 
+def cmd_train(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .stages.train_joint import train_joint
+
+    tagged = (
+        args.conll
+        if args.conll
+        else ray.data.read_parquet(args.tagged)
+    )
+    history = train_joint(
+        tagged,
+        args.out,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        num_workers=args.workers,
+        down_neg=args.down_neg,
+        lr=args.lr,
+        dev_ratio=args.dev_ratio,
+        seed=args.seed,
+        analyzer=args.analyzer,
+    )
+    print(
+        json.dumps(
+            {
+                "command": "train",
+                "out": args.out,
+                "n_train": history["n_train"],
+                "n_dev": history["n_dev"],
+                "final_loss": history["loss"][-1],
+                "best": history["best"],
+            }
+        )
+    )
+
+
 def cmd_synth(args) -> None:
     from .fixtures import write_corpus
 
@@ -1280,6 +1317,30 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--text-col", dest="text_col", default="text")
     p.add_argument("--min-freq", dest="min_freq", type=int, default=1)
     p.set_defaults(fn=cmd_lm)
+
+    p = sub.add_parser(
+        "train",
+        help="train the joint NER/MOD/REL heads (the reference --do_train loop)",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--conll", help="multihead CoNLL training file")
+    src.add_argument("--tagged", help="tagged-chunks parquet path/dir")
+    p.add_argument("--out", required=True, help="checkpoint dir (best dev model)")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", dest="batch_size", type=int, default=16)
+    p.add_argument("--workers", type=int, default=2)
+    p.add_argument(
+        "--down-neg",
+        dest="down_neg",
+        type=float,
+        default=1.0,
+        help="keep fraction for 'N' relation pairs (deterministic hash draw)",
+    )
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--dev-ratio", dest="dev_ratio", type=float, default=0.2)
+    p.add_argument("--seed", type=int, default=1029)
+    p.add_argument("--analyzer", default="mecab")
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser(
         "decontam",

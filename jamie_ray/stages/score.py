@@ -212,6 +212,10 @@ class JointScorer:
           w2v+BiLSTM NER encoder (``stages/w2v_lstm.py``, the
           reference's ``--non_bert`` path) — pure numpy, embeddings
           load once per actor from the artifact dir;
+        - ``"trained:<checkpoint_dir>"``: a ``train_joint`` checkpoint
+          (``stages/train_joint.py`` — the engine's ``--do_train``
+          output): frozen encoder + trained joint heads, loaded once
+          per actor;
         - any object with a ``predict(text)`` method: direct injection
           (user-supplied backends, tests).
         """
@@ -221,6 +225,12 @@ class JointScorer:
             from .hf_model import HFJointModel
 
             self.model = HFJointModel(model[3:], **(hf_kwargs or {}))
+        elif isinstance(model, str) and model.startswith("trained:"):
+            from .train_joint import TrainedJointModel
+
+            self.model = TrainedJointModel(
+                model[len("trained:"):], analyzer=analyzer, **(hf_kwargs or {})
+            )
         elif isinstance(model, str) and (model == "w2v" or model.startswith("w2v:")):
             from .w2v_lstm import W2VLSTMModel
 
