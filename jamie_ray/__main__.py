@@ -816,7 +816,12 @@ def cmd_lm(args) -> None:
         else docs
     )
     lm = train_ngram_lm(train, text_col=args.text_col, min_freq=args.min_freq)
-    score_perplexity(docs, lm, text_col=args.text_col).write_parquet(args.out)
+    if args.buckets:
+        from .functions.lm import ppl_buckets
+
+        ppl_buckets(docs, lm, text_col=args.text_col).write_parquet(args.out)
+    else:
+        score_perplexity(docs, lm, text_col=args.text_col).write_parquet(args.out)
     print(
         json.dumps(
             {
@@ -825,6 +830,7 @@ def cmd_lm(args) -> None:
                 "vocab_unigrams": len(lm.uni),
                 "vocab_bigrams": len(lm.bi),
                 "total_tokens": lm.total,
+                "buckets": bool(args.buckets),
             }
         )
     )
@@ -1316,6 +1322,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
     p.add_argument("--min-freq", dest="min_freq", type=int, default=1)
+    p.add_argument(
+        "--buckets",
+        action="store_true",
+        help="CCNet head/middle/tail: tag each doc with its exact "
+        "corpus-wide perplexity tercile instead of raw scores only",
+    )
     p.set_defaults(fn=cmd_lm)
 
     p = sub.add_parser(

@@ -256,3 +256,38 @@ def score_perplexity(
         concurrency=concurrency,
         batch_format="pyarrow",
     )
+
+
+def ppl_buckets(
+    docs,
+    lm: NgramLM | "ray.ObjectRef",
+    *,
+    qs: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    text_col: str = "text",
+    spill_dir: str | None = None,
+):
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
+    score every doc's perplexity under the trusted-corpus LM, then tag
+    each with its EXACT corpus-wide perplexity bucket (default:
+    terciles — 'head' = lowest perplexity).
+
+    Scored rows spill to parquet ONCE (``spill_dir`` or a fresh
+    tempdir): the exact-quantile pass reads the data three times, and
+    a derived pipeline would re-score the corpus per pass. Empty docs
+    (``ppl`` NaN) are excluded from the thresholds and land in bucket
+    ``-1`` with a null label. Returns the scored+tagged Dataset.
+    """
+    import tempfile
+
+    import ray.data
+
+    from .sketch import quantile_buckets
+
+    spill = spill_dir or tempfile.mkdtemp(prefix="jamie_ppl_")
+    score_perplexity(docs, lm, text_col=text_col).write_parquet(spill)
+    scored = ray.data.read_parquet(spill)
+    return quantile_buckets(
+        scored, "ppl", qs, out_col="ppl_bucket", labels=labels,
+        nan_policy="bucket_null",
+    )

@@ -394,3 +394,71 @@ def quantiles_exact(
             "value": pa.array([out_v[i] for i in order], pa.float64()),
         }
     )
+
+
+def quantile_buckets(
+    ds,
+    col: str,
+    qs: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    *,
+    out_col: str = "bucket",
+    labels: tuple[str, ...] | None = None,
+    nan_policy: str = "raise",
+    sample_stride: int = 1024,
+):
+    """Tag every row with its EXACT global quantile bucket of ``col``.
+
+    Thresholds are the rank-based quantile values of
+    :func:`quantiles_exact` (value at rank ``floor(q*(n-1))``); a
+    row's bucket is the count of thresholds strictly below its value,
+    so ties with a threshold land in the LOWER bucket (consistent with
+    the rank definition — bit-deterministic, no interpolation).
+    ``labels`` (len(qs)+1 strings) adds a ``<out_col>_label`` column.
+
+    ``nan_policy``: ``"raise"`` (default — inherits quantiles_exact's
+    loud NaN rejection) or ``"bucket_null"`` — NaN/null values are
+    excluded from the threshold computation and tagged bucket ``-1``
+    with a null label (the CCNet empty-doc case).
+
+    Cost: one exact-quantile computation (three streaming passes —
+    pass a SOURCE-BACKED dataset, a derived pipeline would re-execute
+    upstream per pass) + one broadcast tagging pass. Zero shuffles;
+    the driver holds only the threshold vector.
+    """
+    if labels is not None and len(labels) != len(qs) + 1:
+        raise ValueError(
+            f"labels must have len(qs)+1 = {len(qs) + 1} entries, got {len(labels)}"
+        )
+
+    def _drop_nan(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        return batch.filter(pc.and_kleene(pc.is_valid(v), pc.is_finite(v)))
+
+    thr_ds = (
+        ds.map_batches(_drop_nan, batch_format="pyarrow")
+        if nan_policy == "bucket_null"
+        else ds
+    )
+    thr_tab = quantiles_exact(thr_ds, col, sorted(qs), sample_stride=sample_stride)
+    thresholds = np.asarray(thr_tab.column("value").to_pylist(), dtype=np.float64)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        bucket = np.searchsorted(thresholds, v, side="left").astype(np.int32)
+        nan_mask = np.isnan(v)
+        if nan_mask.any():
+            if nan_policy != "bucket_null":
+                raise ValueError(
+                    f"quantile_buckets: column {col!r} contains NaN/null — "
+                    "use nan_policy='bucket_null' or clean upstream"
+                )
+            bucket[nan_mask] = -1
+        out = batch.append_column(out_col, pa.array(bucket, pa.int32()))
+        if labels is not None:
+            lab = [labels[b] if b >= 0 else None for b in bucket]
+            out = out.append_column(f"{out_col}_label", pa.array(lab, pa.string()))
+        return out
+
+    return ds.map_batches(tag, batch_format="pyarrow")

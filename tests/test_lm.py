@@ -160,3 +160,60 @@ def test_score_accepts_put_ref(ray_session):
         for r in score_perplexity(ds, lm).take_all()
     }
     assert via_ref == direct
+
+
+def test_ppl_buckets_ccnet_split(ray_session, tmp_path):
+    """CCNet head/middle/tail: exact tercile thresholds over the scored
+    perplexities, empty docs bucketed -1 with a null label."""
+    import math
+
+    from jamie_ray.functions.lm import ppl_buckets
+
+    docs = DOCS * 3 + [""]  # enough rows for three buckets + one empty
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    )
+    lm = train_ngram_lm(ds)
+    got = {
+        r["doc_id"]: (r["ppl"], r["ppl_bucket"], r["ppl_bucket_label"])
+        for r in ppl_buckets(ds, lm, spill_dir=str(tmp_path / "spill")).take_all()
+    }
+    assert len(got) == len(docs)
+
+    # independent replay: rank-based thresholds, ties to the lower bucket
+    ppls = sorted(p for p, _, _ in got.values() if not math.isnan(p))
+    n = len(ppls)
+    thr = [ppls[int(q * (n - 1))] for q in (1.0 / 3.0, 2.0 / 3.0)]
+    labels = ("head", "middle", "tail")
+    for doc_id, (p, b, lab) in got.items():
+        if math.isnan(p):
+            assert (b, lab) == (-1, None)
+            continue
+        expect = sum(1 for t in thr if t < p)
+        assert b == expect, (doc_id, p, thr)
+        assert lab == labels[expect]
+    # every non-empty bucket label appears (terciles over 3x-repeated docs)
+    assert {lab for _, _, lab in got.values() if lab} == set(labels)
+
+
+def test_quantile_buckets_raises_on_nan_by_default(ray_session):
+    from jamie_ray.functions.sketch import quantile_buckets
+
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array([1.0, float("nan"), 2.0], pa.float64())})
+    )
+    with pytest.raises(Exception, match="NaN"):
+        quantile_buckets(ds, "v", (0.5,)).take_all()
+
+
+def test_quantile_buckets_label_arity(ray_session):
+    from jamie_ray.functions.sketch import quantile_buckets
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([1.0, 2.0], pa.float64())}))
+    with pytest.raises(ValueError, match="len\\(qs\\)\\+1"):
+        quantile_buckets(ds, "v", (0.5,), labels=("just-one",))
