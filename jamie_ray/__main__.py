@@ -51,6 +51,24 @@ def _ensure_ray() -> None:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
 
 
+def _pq_num_rows(path: str) -> int:
+    """Row count of a parquet file or directory from FILE METADATA only
+    — never reads data pages, so counting a just-written corpus-scale
+    output stays O(files) on the driver."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    if os.path.isfile(path):
+        return _pq.ParquetFile(path).metadata.num_rows
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += _pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 def cmd_extract(args) -> None:
     _ensure_ray()
     from .pipelines import kg
@@ -593,9 +611,7 @@ def cmd_ingest(args) -> None:
         return pa.table(out)
 
     ds.map_batches(normalize, batch_format="pyarrow").write_parquet(args.out)
-    import pyarrow.parquet as _pq
-
-    n = _pq.read_table(args.out, columns=["doc_id"]).num_rows
+    n = _pq_num_rows(args.out)
     print(json.dumps({"command": "ingest", "out": args.out, "format": fmt, "n_docs": n}))
 
 
@@ -651,9 +667,7 @@ def cmd_join(args) -> None:
         path=args.path,
     )
     joined.write_parquet(args.out)
-    import pyarrow.parquet as _pq
-
-    n = _pq.read_table(args.out, columns=[args.on.split(",")[0]]).num_rows
+    n = _pq_num_rows(args.out)
     print(
         json.dumps(
             {
@@ -688,7 +702,7 @@ def cmd_compact(args) -> None:
         total_bytes = os.path.getsize(args.inp)
     n_blocks = max(1, math.ceil(total_bytes / (args.target_mb * 1024 * 1024)))
     ds.repartition(n_blocks).write_parquet(args.out)
-    n = _pq.read_table(args.out).num_rows
+    n = _pq_num_rows(args.out)
     print(
         json.dumps(
             {
@@ -774,9 +788,7 @@ def cmd_sample(args) -> None:
     docs = ray.data.read_parquet(args.docs)
     kept = hash_sample(docs, args.rate, id_col=args.id_col, salt=args.salt)
     kept.write_parquet(args.out)
-    import pyarrow.parquet as _pq
-
-    n = _pq.read_table(args.out, columns=[args.id_col]).num_rows
+    n = _pq_num_rows(args.out)
     print(
         json.dumps(
             {"command": "sample", "out": args.out, "rate": args.rate, "n_kept": n}
@@ -795,7 +807,7 @@ def cmd_group_sample(args) -> None:
     group_sample(
         docs, args.k, args.key_col, id_col=args.id_col, salt=args.salt
     ).write_parquet(args.out)
-    n = _pq.read_table(args.out, columns=[args.id_col]).num_rows
+    n = _pq_num_rows(args.out)
     print(
         json.dumps(
             {"command": "group-sample", "out": args.out, "k": args.k, "n_kept": n}

@@ -80,16 +80,24 @@ class FastTextClassifier:
         self.labels_prefix = labels_prefix
         if out_prefix is not None:
             self.out_prefix = out_prefix
+        tmp_path: str | None = None
         if isinstance(model, (str, os.PathLike)):
             path = os.fspath(model)
         else:
             blob = ray.get(model) if not isinstance(model, bytes) else model
             fd, path = tempfile.mkstemp(suffix=".bin", prefix="ftlid-")
+            tmp_path = path
             with os.fdopen(fd, "wb") as f:
                 f.write(blob)
         # fasttext prints a deprecation warning on load; the handle is
         # process-local and NOT picklable — hence actor state
-        self.model = fasttext.load_model(path)
+        try:
+            self.model = fasttext.load_model(path)
+        finally:
+            if tmp_path is not None:
+                # fasttext reads the file fully at load — unlink so
+                # actor restarts don't strand ~100 MB blobs in /tmp
+                os.unlink(tmp_path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [

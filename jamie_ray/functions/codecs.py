@@ -252,7 +252,9 @@ def encode_wav(samples: np.ndarray, sample_rate: int, sampwidth: int = 2) -> byt
     if sampwidth == 2:
         pcm = (x * 32767.0).round().astype("<i2").tobytes()
     elif sampwidth == 1:
-        pcm = ((x * 127.0).round().astype(np.int8) + 128).astype(np.uint8).tobytes()
+        # compute in int16 space: int8 + 128 overflows under NumPy 2.x
+        # (NEP 50 no longer value-casts the Python 128 into int8)
+        pcm = ((x * 127.0).round().astype(np.int16) + 128).astype(np.uint8).tobytes()
     elif sampwidth == 4:
         pcm = (x * float((1 << 31) - 1)).round().astype("<i4").tobytes()
     else:

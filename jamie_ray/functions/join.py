@@ -118,6 +118,43 @@ def _key_hash(
     return acc
 
 
+def _join_tables(l_t: pa.Table, r_t: pa.Table, keys: list[str], arrow_how: str) -> pa.Table:
+    """``pa.Table.join`` that tolerates NESTED (list/struct/map) payload
+    columns, which Acero's hash join rejects ("Data type list<...> is
+    not supported in join non-key field"): when any non-key field is
+    nested, Acero joins only (keys, row index) and the payloads attach
+    afterwards via ``take`` (null index -> null row, preserving outer
+    semantics). Embedding columns (``list<float>``) are the motivating
+    case. Flat-payload joins take the direct Acero path unchanged."""
+    nested = any(
+        pa.types.is_nested(f.type)
+        for t in (l_t, r_t)
+        for f in t.schema
+        if f.name not in keys
+    )
+    if not nested:
+        return l_t.join(r_t, keys=keys, join_type=arrow_how)
+    li = l_t.select(keys).append_column(
+        "__li", pa.array(np.arange(l_t.num_rows, dtype=np.int64))
+    )
+    if arrow_how in ("left semi", "left anti"):
+        m = li.join(r_t.select(keys), keys=keys, join_type=arrow_how)
+        return l_t.take(m.column("__li"))
+    ri = r_t.select(keys).append_column(
+        "__ri", pa.array(np.arange(r_t.num_rows, dtype=np.int64))
+    )
+    m = li.join(ri, keys=keys, join_type=arrow_how)
+    out = {c: m.column(c) for c in keys}
+    lidx, ridx = m.column("__li"), m.column("__ri")
+    for c in l_t.column_names:
+        if c not in keys:
+            out[c] = pc.take(l_t.column(c).combine_chunks(), lidx)
+    for c in r_t.column_names:
+        if c not in keys:
+            out[c] = pc.take(r_t.column(c).combine_chunks(), ridx)
+    return pa.table(out)
+
+
 def _bloom_positions(h: np.ndarray, bits: int, n_hashes: int) -> np.ndarray:
     """(n_hashes, n_rows) bit positions for each key hash."""
     return np.stack(
@@ -374,8 +411,8 @@ def hash_join(
 
         def bcast_join(batch: pa.Table) -> pa.Table:
             rt = cached_get(rtab_ref, "hash_join_bcast_right")
-            return batch.select(on + l_payload).join(
-                rt, keys=on, join_type=arrow_how_b
+            return _join_tables(
+                batch.select(on + l_payload), rt, on, arrow_how_b
             ).select(out_cols_b)
 
         return left.map_batches(bcast_join, batch_format="pyarrow")
@@ -395,7 +432,10 @@ def hash_join(
         n_left = keys_ds.count()
         detected: dict = {}
         if n_left:
-            k_mg = max(1024, num_buckets + 2)
+            # MG recall bound needs k > 1/phi (sketch.py raises at
+            # equality) — size the sketch from the requested fraction,
+            # not just the bucket count, so small user phis work
+            k_mg = max(1024, num_buckets + 2, math.ceil(1.0 / phi) + 1)
             hh = heavy_hitters(keys_ds, on[0], phi=phi, k=k_mg)
             target = max(1.0, n_left / num_buckets)
             for row in hh.take_all():
@@ -542,7 +582,7 @@ def hash_join(
         side = group.column("__side")
         l_t = group.filter(pc.equal(side, 0)).select(on + l_payload)
         r_t = group.filter(pc.equal(side, 1)).select(on + r_payload)
-        joined = l_t.join(r_t, keys=on, join_type=arrow_how)
+        joined = _join_tables(l_t, r_t, on, arrow_how)
         return joined.select(out_cols)
 
     return (

@@ -224,15 +224,22 @@ class SampleFrames:
         from . import codecs
 
         kind = codecs.sniff(payload)
-        if kind in ("mp4", "webp", None):
-            if kind is None:
-                # unrecognized bytes: there is NO stdlib video codec, so
-                # strict mode must refuse rather than fake
-                raise NotImplementedError(
-                    "video frame decode: payload is unrecognized and no "
-                    "stdlib video codec exists; install the optional av "
-                    "package for real containers"
-                )
+        if kind is None:
+            # unrecognized bytes: there is NO stdlib video codec, so
+            # strict mode must refuse rather than fake
+            raise NotImplementedError(
+                "video frame decode: payload is unrecognized and no "
+                "stdlib video codec exists; install the optional av "
+                "package for real containers"
+            )
+        if kind not in ("mp4", "webp"):
+            # recognized NON-video payload (wav/png/...): refuse rather
+            # than hand audio/image bytes to PyAV, which would either
+            # error opaquely or silently 'decode' a still as video
+            raise NotImplementedError(
+                f"video frame decode: payload sniffs as {kind!r}, not a "
+                "video container (mp4|webp)"
+            )
         return codecs.sample_frames_pyav(payload, self.stride)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -111,8 +111,10 @@ def clean_corpus(
     Dataset keyed by the same ids (``semantic_id_col`` /
     ``semantic_vec_col``); documents whose vector is a semantic
     duplicate of a lower-id cluster member at ``semantic_threshold``
-    are dropped (keep-first). Docs without a vector are always kept.
-    Stats gain ``n_after_semantic``.
+    are dropped (keep-first). The embeddings are first restricted to
+    the SURVIVING corpus (one semi-join shuffle), so a doc an earlier
+    gate removed can never be the kept representative. Docs without a
+    vector are always kept. Stats gain ``n_after_semantic``.
 
     ``lm=`` + ``max_ppl=`` enable the CCNet-style perplexity gate
     (Wenzek et al. 2020): pass a trained :class:`~jamie_ray.functions.
@@ -420,13 +422,33 @@ def clean_corpus(
         # PII. Same loser-collection shape as near-dup: only rows with
         # dup_of >= 0 (bounded by semantic-duplicate mass, never
         # corpus-scale) cross the driver, then a broadcast drop filter.
-        # Embeddings are keyed by the SAME ids as docs; vectors of
-        # already-dropped docs are harmless (they can only mark other
-        # dropped docs' ids). A doc without a vector is always kept.
+        # A doc without a vector is always kept.
+        #
+        # The embeddings are first RESTRICTED to the surviving corpus
+        # (one bucketed semi-join shuffle) — a vector whose doc an
+        # earlier gate already dropped must not act as a lower-id
+        # representative, or its surviving semantic twin would be
+        # dropped too and the content would vanish entirely
+        # (keep-first promises the kept representative is in the
+        # OUTPUT). The restricted table spills once because the
+        # clusterer is multi-pass.
+        from ..functions.join import hash_join
         from ..functions.similarity import semantic_dedup
 
-        sem_flags = semantic_dedup(
+        emb_surv = hash_join(
             embeddings,
+            final.select_columns([id_col]),
+            on=semantic_id_col,
+            right_on=id_col,
+            how="semi",
+        )
+        emb_surv = _spill_input(
+            emb_surv,
+            os.path.join(spill_dir, "sem_emb"),
+            [semantic_id_col, semantic_vec_col],
+        )
+        sem_flags = semantic_dedup(
+            emb_surv,
             threshold=semantic_threshold,
             id_col=semantic_id_col,
             vec_col=semantic_vec_col,

@@ -199,7 +199,7 @@ class JointScorer:
         model="mock",
         model_cost_layers: int = 0,
         hf_kwargs: dict | None = None,
-        analyzer: str = "mecab",
+        analyzer: str | None = None,
     ) -> None:
         """``model`` selects the backend behind the predict() contract:
 
@@ -219,8 +219,13 @@ class JointScorer:
         - any object with a ``predict(text)`` method: direct injection
           (user-supplied backends, tests).
         """
+        # analyzer=None means "backend default": mock/w2v tokenize with
+        # mecab; the trained: backend restores the checkpoint's
+        # RECORDED analyzer (meta.json) — a truthy scorer default here
+        # would silently override it and mismatch train/inference
+        # tokenization
         if model == "mock":
-            self.model = MockJointModel(analyzer=analyzer)
+            self.model = MockJointModel(analyzer=analyzer or "mecab")
         elif isinstance(model, str) and model.startswith("hf:"):
             from .hf_model import HFJointModel
 
@@ -236,7 +241,7 @@ class JointScorer:
 
             self.model = W2VLSTMModel(
                 model[4:] or None if model.startswith("w2v:") else None,
-                analyzer=analyzer,  # chunking and scoring must agree
+                analyzer=analyzer or "mecab",  # chunking/scoring agree
                 **(hf_kwargs or {}),
             )
         elif hasattr(model, "predict"):

@@ -429,12 +429,20 @@ class GradEvalWorker:
         return len(self.train), len(self.dev)
 
     def _epoch_order(self, epoch: int) -> list[int]:
-        return sorted(
+        # cached per epoch: grad() is called once per STEP, and
+        # re-hashing + re-sorting the whole shard every step would
+        # dominate the BLAS work on large shards
+        cached = getattr(self, "_order_cache", None)
+        if cached is not None and cached[0] == epoch:
+            return cached[1]
+        order = sorted(
             range(len(self.train)),
             key=lambda i: stable_hash64(
                 "shuffle", self.seed, epoch, self.train[i]["key"]
             ),
         )
+        self._order_cache = (epoch, order)
+        return order
 
     def grad(
         self,

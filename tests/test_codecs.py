@@ -282,6 +282,24 @@ def test_strict_unrecognized_still_refuses():
         multimodal.SampleFrames(strict=True)(video)
 
 
+def test_strict_video_refuses_recognized_non_video():
+    """A payload that sniffs as a RECOGNIZED non-video kind (wav/png)
+    must hit the strict boundary too — never reach PyAV, which would
+    error opaquely or 'decode' a still image as video."""
+    wav = codecs.encode_wav(np.zeros(64, dtype=np.float64), 8000)
+    t = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([wav], pa.binary()),
+            "width": pa.array([4], pa.int32()),
+            "height": pa.array([4], pa.int32()),
+            "n_frames": pa.array([8], pa.int32()),
+        }
+    )
+    with pytest.raises(NotImplementedError, match="not a.*video container"):
+        multimodal.SampleFrames(strict=True)(t)
+
+
 def test_png_only_codec_refuses_jpeg():
     jpeg_ish = b"\xff\xd8\xff\xe0" + b"\0" * 32
     t = pa.table(

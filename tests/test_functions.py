@@ -1552,6 +1552,42 @@ def test_clean_corpus_semantic_stage(ray_session, tmp_path):
     assert stats["n_after_semantic"] == 3  # doc 2 lost to doc 1
 
 
+def test_clean_corpus_semantic_respects_earlier_drops(ray_session, tmp_path):
+    """A vector whose doc an EARLIER gate already removed must not act
+    as the lower-id representative: doc 1 fails the token floor, so its
+    surviving semantic twin doc 2 is KEPT (dropping it would erase the
+    content from the output entirely — keep-first promises the kept
+    representative is in the output)."""
+    import ray.data
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "too short"},  # dropped by min_tokens
+            {"doc_id": 2, "text": "a long enough surviving document about findings"},
+            {"doc_id": 3, "text": "a genuinely different third document kept as is"},
+        ]
+    )
+    emb = ray.data.from_items(
+        [
+            {"doc_id": 1, "embedding": [1.0, 0.0, 0.0]},
+            {"doc_id": 2, "embedding": [0.99, 0.01, 0.0]},  # twin of DROPPED 1
+            {"doc_id": 3, "embedding": [0.0, 1.0, 0.0]},
+        ]
+    )
+    cleaned, stats = clean_corpus(
+        docs,
+        str(tmp_path / "spill"),
+        min_tokens=3,
+        embeddings=emb,
+        semantic_threshold=0.95,
+        semantic_n_centroids=2,
+    )
+    assert {r["doc_id"] for r in cleaned.take_all()} == {2, 3}
+    assert stats["n_after_semantic"] == 2
+
+
 def test_lang_id_stage_backend_errors(ray_session):
     """The seam fails loudly: unknown backend and fasttext-without-model
     raise immediately (never a silent heuristic fallback)."""

@@ -380,3 +380,43 @@ def test_hash_join_native_path_equals_bucketed(ray_session):
         left, right, "k", right_on="rk", how="inner", num_buckets=4, path="native"
     ).take_all()
     assert _norm(native) == _norm(bucketed)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "full", "semi", "anti"])
+def test_hash_join_nested_payload(ray_session, how):
+    """Acero rejects nested non-key fields; the indexed fallback joins
+    (keys, row index) and attaches list payloads via take — result
+    multiset equals the same join with the list column stringified."""
+    import pyarrow as pa
+
+    lrows = [
+        {"k": 1, "vec": [1.0, 0.0]},
+        {"k": 2, "vec": [0.0, 1.0]},
+        {"k": 2, "vec": [0.5, 0.5]},
+        {"k": None, "vec": [9.0, 9.0]},
+    ]
+    rrows = [{"k": 1, "w": 10}, {"k": 3, "w": 30}, {"k": None, "w": 0}]
+    left = ray.data.from_items(lrows)
+    right = ray.data.from_items(rrows)
+    got = hash_join(left, right, "k", how=how, num_buckets=4).take_all()
+
+    flat_left = ray.data.from_items(
+        [{**r, "vec": str(r["vec"])} for r in lrows]
+    )
+    exp = hash_join(flat_left, right, "k", how=how, num_buckets=4).take_all()
+    def norm(rows):
+        return sorted(
+            ((r["k"], str(r.get("vec")), r.get("w")) for r in rows), key=str
+        )
+
+    assert norm(got) == norm(exp)
+
+
+def test_hash_join_auto_salt_small_phi(ray_session):
+    """auto_salt with a small user fraction sizes the MG sketch from
+    phi (k > 1/phi), so it runs instead of tripping the recall bound."""
+    left = ray.data.from_items([{"k": i % 50, "lv": i} for i in range(3000)])
+    right = ray.data.from_items([{"k": i, "w": i} for i in range(50)])
+    got = hash_join(left, right, "k", how="inner", num_buckets=8,
+                    auto_salt=0.0005).take_all()
+    assert len(got) == 3000

@@ -105,6 +105,24 @@ def test_trained_backend_predict_contract(trained):
     assert model.predict("")[0] == ["[CLS]", "[SEP]"]
 
 
+def test_scorer_restores_checkpoint_analyzer(trained):
+    """JointScorer(model='trained:<dir>') with no explicit analyzer
+    restores the checkpoint's RECORDED analyzer from meta.json instead
+    of silently overriding it with a scorer-level default (train/
+    inference tokenization must agree)."""
+    from jamie_ray.stages.score import JointScorer
+
+    out_dir, _ = trained
+    scorer = JointScorer(model=f"trained:{out_dir}")
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        assert scorer.model.analyzer == json.load(f)["analyzer"]
+    # an explicit analyzer still wins (the caller's pipeline must
+    # chunk and score with the same one)
+    assert JointScorer(
+        model=f"trained:{out_dir}", analyzer="juman"
+    ).model.analyzer == "juman"
+
+
 def test_trained_backend_through_scorer_pipeline(trained, tagged_corpus, ray_session):
     """The checkpoint plugs into the scorer seam and scores a corpus
     end to end (actor pool, load-once-per-actor)."""
