@@ -796,6 +796,24 @@ def cmd_sample(args) -> None:
     )
 
 
+def cmd_shuffle(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .functions.sampling import deterministic_shuffle
+
+    docs = ray.data.read_parquet(args.docs)
+    deterministic_shuffle(docs, id_col=args.id_col, salt=args.salt).write_parquet(
+        args.out
+    )
+    n = _pq_num_rows(args.out)
+    print(
+        json.dumps(
+            {"command": "shuffle", "out": args.out, "salt": args.salt, "n_rows": n}
+        )
+    )
+
+
 def cmd_group_sample(args) -> None:
     _ensure_ray()
     import pyarrow.parquet as _pq
@@ -1309,6 +1327,18 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--salt", default="", help="hash-family salt (same salt => nested samples)")
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser(
+        "shuffle",
+        help="deterministic global reorder by hash of id (per-epoch "
+        "training-order randomization; same salt => same order on any "
+        "layout)",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--salt", default="", help="order salt (one per epoch)")
+    p.set_defaults(fn=cmd_shuffle)
 
     p = sub.add_parser(
         "group-sample",

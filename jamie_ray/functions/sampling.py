@@ -34,7 +34,12 @@ import ray
 
 from ..hashing import hash_str_array, stable_hash64, uniform01
 
-__all__ = ["hash_sample", "mix_corpora", "group_sample"]
+__all__ = [
+    "hash_sample",
+    "mix_corpora",
+    "group_sample",
+    "deterministic_shuffle",
+]
 
 
 def _id_uniform(ids: pa.ChunkedArray | pa.Array, seed: int) -> np.ndarray:
@@ -76,6 +81,44 @@ def hash_sample(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def deterministic_shuffle(ds, *, id_col: str = "doc_id", salt: str = ""):
+    """Global corpus reorder as a PURE FUNCTION of ``(salt, row id)`` —
+    the training-order randomization step (every epoch of an LLM run
+    wants the documents in a fresh order; ``pack_sequences`` consumes
+    its input in id order, so shuffle-then-repack with a per-epoch salt
+    yields a distinct, reproducible token stream per epoch).
+
+    No RNG state (the repo determinism rule): each row gets the key
+    ``uniform01(mix64(hash(id), seed(salt)))`` and the Dataset is
+    SORTED by ``(key, id)`` — bit-identical order on any block layout,
+    any cluster size, any run; different salts draw independent orders
+    (``random_shuffle`` by contrast is seed-stable only for a fixed
+    layout). The id tiebreak makes hash collisions harmless.
+
+    Scale shape: one streaming key pass + the engine's distributed
+    sample-based range sort (the same all-to-all every global reorder
+    costs — there is no cheaper exact shuffle); the key column never
+    outlives the op. Null ids are rejected loudly by ``_id_uniform``.
+    """
+    seed = stable_hash64("det_shuffle", salt) & ((1 << 32) - 1)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        if "__shuffle_key" in batch.column_names:
+            raise ValueError(
+                "deterministic_shuffle: input already has __shuffle_key"
+            )
+        u = _id_uniform(batch.column(id_col), seed)
+        return batch.append_column("__shuffle_key", pa.array(u, pa.float64()))
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .sort(["__shuffle_key", id_col])
+        .map_batches(
+            lambda b: b.drop_columns(["__shuffle_key"]), batch_format="pyarrow"
+        )
+    )
 
 
 def _tag(ds, source: str, epoch: int):

@@ -203,3 +203,45 @@ def test_mix_corpora_rejects_pretagged_input(ray_session):
     mixed = mix_corpora([("a", _ids_ds(10), 1.0)])
     with pytest.raises(Exception, match="source"):
         mix_corpora([("b", mixed, 1.0)]).take_all()
+
+
+def _shuffle_order(ds, salt):
+    from jamie_ray.functions.sampling import deterministic_shuffle
+
+    rows = deterministic_shuffle(ds, salt=salt).take_all()
+    return [r["doc_id"] for r in rows]
+
+
+def test_deterministic_shuffle_layout_invariant(ray_session):
+    """Same salt => bit-identical ORDER on any block layout; the output
+    is a permutation of the input with payload intact."""
+    ds1 = _ids_ds(200)
+    ds2 = _ids_ds(200).repartition(7)
+    o1, o2 = _shuffle_order(ds1, "e1"), _shuffle_order(ds2, "e1")
+    assert o1 == o2
+    assert sorted(o1) == list(range(200))
+    assert o1 != list(range(200))  # it actually reorders
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in __import__("jamie_ray.functions.sampling", fromlist=["x"])
+        .deterministic_shuffle(_ids_ds(200), salt="e1")
+        .take_all()
+    }
+    assert rows[7] == "doc 7"
+    assert "__shuffle_key" not in _ids_ds(1).take_all()[0]
+
+
+def test_deterministic_shuffle_salts_independent(ray_session):
+    o1, o2 = _shuffle_order(_ids_ds(200), "e1"), _shuffle_order(_ids_ds(200), "e2")
+    assert o1 != o2
+    assert sorted(o1) == sorted(o2)
+
+
+def test_deterministic_shuffle_rejects_key_collision(ray_session):
+    from jamie_ray.functions.sampling import deterministic_shuffle
+
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "__shuffle_key": 0.5}]
+    )
+    with pytest.raises(Exception, match="__shuffle_key"):
+        deterministic_shuffle(ds).take_all()
