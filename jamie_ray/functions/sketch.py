@@ -34,6 +34,8 @@ one capped window.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -393,6 +395,82 @@ def quantiles_exact(
             "q": pa.array([out_q[i] for i in order], pa.float64()),
             "value": pa.array([out_v[i] for i in order], pa.float64()),
         }
+    )
+
+
+def quantiles_approx(
+    ds,
+    col: str,
+    qs: list[float],
+    *,
+    id_col: str = "doc_id",
+    k: int = 4096,
+    salt: str = "",
+) -> pa.Table:
+    """ONE-pass approximate quantiles — the scale companion to
+    :func:`quantiles_exact` (whose three streaming passes are exact but
+    cost three full scans; at 100 TB a profiling pass usually wants one).
+
+    Deterministic hash reservoir: every row gets the key
+    ``uniform01(mix64(hash(id), seed(salt)))``; each block emits its
+    ``k`` smallest ``(key, value)`` pairs (a mergeable partial — the
+    KMV idea applied to row selection) and the driver keeps the ``k``
+    globally smallest, which is EXACTLY the k rows with the smallest
+    per-id uniforms: a uniform simple random sample of size k drawn
+    with no RNG state, bit-identical on any block layout, any cluster
+    size, any run. The q-quantile estimate is the sample value at rank
+    ``floor(q * (m-1))``; rank error is the binomial
+    ``O(sqrt(q(1-q)/k))`` (k=4096 => ~0.8% of n at the median).
+
+    Same output schema as ``quantiles_exact`` (``(q, value)``); same
+    loud NaN/empty rejection. Driver state: blocks x k short rows.
+    With ``k >= n`` the sample is the whole column and the result is
+    exact (asserted in tests).
+    """
+    from .sampling import _id_uniform
+
+    if not qs:
+        raise ValueError("quantiles_approx: qs is empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantiles_approx: q {q} outside [0, 1]")
+    seed = stable_hash64("quantiles_approx", salt) & ((1 << 32) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        if np.isnan(v).any():
+            raise ValueError(
+                f"quantiles_approx: column {col!r} contains NaN/null — "
+                "drop/impute upstream (finite values only)"
+            )
+        u = _id_uniform(batch.column(id_col), seed)
+        take = np.argsort(u, kind="stable")[:k]
+        return pa.table(
+            {
+                "u": pa.array(u[take], pa.float64()),
+                "v": pa.array(v[take], pa.float64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError("quantiles_approx: empty input")
+    us = np.array([r["u"] for r in rows])
+    vs = np.array([r["v"] for r in rows])
+    # (u, v) lexsort: layout-free even under u ties (duplicate ids)
+    order = np.lexsort((vs, us))[:k]
+    sample = np.sort(vs[order])
+    m = len(sample)
+    if m == 0:
+        raise ValueError("quantiles_approx: empty input")
+    out_q, out_v = [], []
+    for q in qs:
+        out_q.append(q)
+        out_v.append(float(sample[int(math.floor(q * (m - 1)))]))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
     )
 
 

@@ -836,6 +836,60 @@ def test_quantiles_nan_raises_loudly(ray_session):
         sketch.quantiles_exact(ds, "value", [0.5])
 
 
+def test_quantiles_approx_accuracy_and_exact_regime(ray_session):
+    """One-pass hash-reservoir quantiles: rank error within the
+    binomial bound at k << n, and EXACT when k >= n (the sample is the
+    whole column)."""
+    import ray.data
+
+    from jamie_ray.functions import sketch
+
+    n = 8000
+    ds = ray.data.from_items(
+        [{"doc_id": i, "value": float(i)} for i in range(n)]
+    )
+    k = 1024
+    out = sketch.quantiles_approx(ds, "value", [0.25, 0.5, 0.9], k=k)
+    got = dict(zip(out.column("q").to_pylist(), out.column("value").to_pylist()))
+    for q, v in got.items():
+        # 5-sigma binomial rank bound
+        tol = 5.0 * (q * (1 - q) / k) ** 0.5 * n + 1
+        assert abs(v - q * (n - 1)) <= tol, (q, v, tol)
+
+    exact = sketch.quantiles_approx(ds, "value", [0.0, 0.5, 1.0], k=n)
+    sv = list(range(n))
+    for q, v in zip(exact.column("q").to_pylist(), exact.column("value").to_pylist()):
+        assert v == float(sv[int(q * (n - 1))])
+
+
+def test_quantiles_approx_layout_invariant_and_loud(ray_session):
+    import pytest
+    import ray.data
+
+    from jamie_ray.functions import sketch
+
+    rows = [{"doc_id": i, "value": float((i * 37) % 101)} for i in range(500)]
+    a = sketch.quantiles_approx(
+        ray.data.from_items(rows), "value", [0.5, 0.9], k=64
+    )
+    b = sketch.quantiles_approx(
+        ray.data.from_items(rows).repartition(9), "value", [0.5, 0.9], k=64
+    )
+    assert a.equals(b)
+    c = sketch.quantiles_approx(
+        ray.data.from_items(rows), "value", [0.5, 0.9], k=64, salt="other"
+    )
+    assert not c.equals(a)  # different salt -> different reservoir
+
+    nan_ds = ray.data.from_items(
+        [{"doc_id": 1, "value": 1.0}, {"doc_id": 2, "value": float("nan")}]
+    )
+    with pytest.raises(Exception, match="NaN"):
+        sketch.quantiles_approx(nan_ds, "value", [0.5])
+    with pytest.raises(ValueError, match="outside"):
+        sketch.quantiles_approx(ray.data.from_items(rows), "value", [1.5])
+
+
 def test_heavy_hitters_many_blocks_bounded_merge(ray_session):
     """Exactness is layout-invariant: the incremental driver-side MG
     merge (state <= k-1 entries between batches) returns the same
