@@ -483,6 +483,9 @@ def quantile_buckets(
     labels: tuple[str, ...] | None = None,
     nan_policy: str = "raise",
     sample_stride: int = 1024,
+    method: str = "exact",
+    id_col: str = "doc_id",
+    k: int = 4096,
 ):
     """Tag every row with its EXACT global quantile bucket of ``col``.
 
@@ -502,10 +505,20 @@ def quantile_buckets(
     pass a SOURCE-BACKED dataset, a derived pipeline would re-execute
     upstream per pass) + one broadcast tagging pass. Zero shuffles;
     the driver holds only the threshold vector.
+
+    ``method="approx"`` swaps the threshold computation for the
+    one-pass :func:`quantiles_approx` hash reservoir (``id_col``/``k``
+    forwarded) — 1+1 scans instead of 3+1; bucket BOUNDARIES carry the
+    reservoir's ``O(sqrt(q(1-q)/k))`` rank error, tagging stays exact
+    w.r.t. the chosen thresholds. The corpus-scale CCNet-split shape.
     """
     if labels is not None and len(labels) != len(qs) + 1:
         raise ValueError(
             f"labels must have len(qs)+1 = {len(qs) + 1} entries, got {len(labels)}"
+        )
+    if method not in ("exact", "approx"):
+        raise ValueError(
+            f"quantile_buckets: method must be exact|approx, got {method!r}"
         )
 
     def _drop_nan(batch: pa.Table) -> pa.Table:
@@ -517,7 +530,12 @@ def quantile_buckets(
         if nan_policy == "bucket_null"
         else ds
     )
-    thr_tab = quantiles_exact(thr_ds, col, sorted(qs), sample_stride=sample_stride)
+    if method == "approx":
+        thr_tab = quantiles_approx(thr_ds, col, sorted(qs), id_col=id_col, k=k)
+    else:
+        thr_tab = quantiles_exact(
+            thr_ds, col, sorted(qs), sample_stride=sample_stride
+        )
     thresholds = np.asarray(thr_tab.column("value").to_pylist(), dtype=np.float64)
 
     def tag(batch: pa.Table) -> pa.Table:

@@ -217,3 +217,21 @@ def test_quantile_buckets_label_arity(ray_session):
     ds = ray.data.from_arrow(pa.table({"v": pa.array([1.0, 2.0], pa.float64())}))
     with pytest.raises(ValueError, match="len\\(qs\\)\\+1"):
         quantile_buckets(ds, "v", (0.5,), labels=("just-one",))
+
+
+def test_quantile_buckets_approx_method(ray_session):
+    """method='approx' with k >= n chooses the SAME thresholds as the
+    exact path (the reservoir is the whole column), so the tagged
+    buckets agree row for row; a bogus method fails loudly."""
+    from jamie_ray.functions.sketch import quantile_buckets
+
+    rows = [{"doc_id": i, "v": float((i * 13) % 97)} for i in range(300)]
+    exact = quantile_buckets(ray.data.from_items(rows), "v").take_all()
+    approx = quantile_buckets(
+        ray.data.from_items(rows), "v", method="approx", k=300
+    ).take_all()
+    e = {r["doc_id"]: r["bucket"] for r in exact}
+    a = {r["doc_id"]: r["bucket"] for r in approx}
+    assert e == a
+    with pytest.raises(ValueError, match="exact\\|approx"):
+        quantile_buckets(ray.data.from_items(rows), "v", method="nope")
