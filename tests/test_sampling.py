@@ -245,3 +245,30 @@ def test_deterministic_shuffle_rejects_key_collision(ray_session):
     )
     with pytest.raises(Exception, match="__shuffle_key"):
         deterministic_shuffle(ds).take_all()
+
+
+def test_shuffle_cli(ray_session, tmp_path, capsys):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from jamie_ray.__main__ import main
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(30), pa.int64()),
+                "text": pa.array([f"d{i}" for i in range(30)], pa.string()),
+            }
+        ),
+        str(src),
+    )
+    out = str(tmp_path / "shuffled")
+    main(["shuffle", "--docs", str(src), "--out", out, "--salt", "e1"])
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_rows"] == 30 and res["command"] == "shuffle"
+    t = pq.read_table(out)
+    ids = t.column("doc_id").to_pylist()
+    assert sorted(ids) == list(range(30)) and ids != list(range(30))
+    assert "__shuffle_key" not in t.column_names
