@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 13
+FIXTURE_VERSION = 14  # v14: semantic_dedup greedy-leader (keeper-only reps)
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -415,12 +415,17 @@ def generate_embeddings(n_vec: int) -> dict[str, pa.Table]:
         mnorms[mnorms == 0.0] = 1.0
         munit = m / mnorms[:, None]
         msims = munit @ munit.T
+        # greedy leader walk, matching the engine: dup only of a
+        # lower-id KEEPER (never of a row that is itself a dup)
+        keeper_jj: list[int] = []
         for jj, j in enumerate(members):
             d = -1
-            for ii in range(jj):
+            for ii in keeper_jj:
                 if msims[ii, jj] >= NEAR_DUP_THRESHOLD:
                     d = members[ii]
-                    break  # ids ascend: first hit is the minimum
+                    break  # keepers ascend: first hit is the minimum
+            if d == -1:
+                keeper_jj.append(jj)
             sem_ids.append(j)
             sem_cluster.append(c)
             sem_dup.append(d)

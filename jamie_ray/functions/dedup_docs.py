@@ -61,12 +61,18 @@ def ngram_jaccard(a: str, b: str, w: int = SHINGLE_W) -> float:
 
 # -- exact dedup ------------------------------------------------------------
 
-def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(
+    docs, text_col: str = "text", id_col: str = "doc_id", n_buckets: int = 1024
+):
     """documents -> (text_hash, doc_id=min, n_dups) one row per distinct text.
 
     Pure-Arrow combiner: each block pre-reduces with ``group_by`` (min
     id + count per hash) so the one shuffle carries (block × distinct)
-    rows; the per-group merge re-reduces the partials the same way.
+    rows. The shuffle key is the COARSE ``text_hash % n_buckets``
+    bucket, never the raw hash — one ``map_groups`` dispatch per
+    distinct text would dominate at corpus scale (the repo shuffle
+    rule); the within-bucket merge is one vectorized ``group_by`` over
+    every hash in the bucket.
     """
     from .text_analysis import fingerprint_batch
 
@@ -85,6 +91,15 @@ def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
+    def _bucketed(t: pa.Table) -> pa.Table:
+        # text_hash is a hex digest string; its first 15 hex chars are a
+        # uniform int — plenty for a coarse bucket
+        b = [
+            int(h[:15], 16) % n_buckets
+            for h in t.column("text_hash").to_pylist()
+        ]
+        return t.append_column("hash_bucket", pa.array(b, pa.int64()))
+
     def local(batch: pa.Table) -> pa.Table:
         batch = fingerprint_batch(batch, text_col)
         ones = pa.table(
@@ -94,11 +109,12 @@ def exact_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
                 "n_dups": pa.array([1] * batch.num_rows, pa.int64()),
             }
         )
-        return reduce_partials(ones)
+        return _bucketed(reduce_partials(ones))
 
     combined = docs.map_batches(local, batch_format="pyarrow")
-    return combined.groupby("text_hash").map_groups(
-        reduce_partials, batch_format="pyarrow"
+    return combined.groupby("hash_bucket").map_groups(
+        lambda g: reduce_partials(g.drop_columns(["hash_bucket"])),
+        batch_format="pyarrow",
     )
 
 
@@ -261,11 +277,12 @@ def incremental_dedup(
     return new_docs.map_batches(flag, batch_format="pyarrow")
 
 
-def _spill_input(docs, spill_dir: str, cols: list[str]):
-    """Write a DERIVED input's needed columns to parquet ONCE and
-    return a source-backed Dataset over them — so a multi-pass operator
-    re-reads from disk instead of re-executing upstream compute per
-    pass (the ``link_triples(spill_dir=...)`` pattern)."""
+def _spill_input(docs, spill_dir: str, cols: list[str] | None):
+    """Write a DERIVED input's needed columns (all columns when
+    ``cols`` is None) to parquet ONCE and return a source-backed
+    Dataset over them — so a multi-pass operator re-reads from disk
+    instead of re-executing upstream compute per pass (the
+    ``link_triples(spill_dir=...)`` pattern)."""
     import os
 
     import ray.data as _rd
@@ -274,9 +291,11 @@ def _spill_input(docs, spill_dir: str, cols: list[str]):
     for stale in os.listdir(spill_dir):
         if stale.endswith(".parquet"):
             os.unlink(os.path.join(spill_dir, stale))
-    docs.map_batches(lambda b: b.select(cols), batch_format="pyarrow").write_parquet(
-        spill_dir
-    )
+    if cols is not None:
+        docs = docs.map_batches(
+            lambda b: b.select(cols), batch_format="pyarrow"
+        )
+    docs.write_parquet(spill_dir)
     return _rd.read_parquet(spill_dir)
 
 
@@ -389,10 +408,19 @@ def _verify_shuffle_join(
             doc = run.column("key_doc")[0].as_py()
             los = run.column("lo").to_pylist()
             his = run.column("hi").to_pylist()
+            # a pair found by several LSH bands (in different band
+            # buckets) reaches here once PER band — emit the doc's hash
+            # set once per distinct pair, not per emission, or the pair
+            # shuffle (this path's dominant cost) multiplies by the
+            # band-collision factor
+            seen: set[tuple[int, int]] = set()
             for i in range(len(is_doc)):
                 if is_doc[i] == 1:
                     continue
                 lo, hi = los[i], his[i]
+                if (lo, hi) in seen:
+                    continue
+                seen.add((lo, hi))
                 out["pair_bucket"].append(
                     (lo * 1_000_003 + hi) % n_buckets
                 )
@@ -870,6 +898,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     max_group: int = 512,
     cap_counters=None,
+    n_buckets: int = 1024,
 ):
     """Near-dup candidate pairs by simhash banding.
 
@@ -880,8 +909,27 @@ def simhash_pairs(
     selective buckets); the per-group cap (``max_group``) bounds the
     quadratic verify, and every truncation is reported to
     ``cap_counters`` (``state/caps.py``) so recall loss is observable.
+
+    ``max_hamming`` > 15 is rejected loudly: 64 bits split into at most
+    16 four-bit chunks, and the pigeonhole guarantee needs
+    ``max_hamming + 1`` chunks — a silently capped chunk count would
+    lose exactly the pairs at the budget boundary.
+
+    Both shuffles ride COARSE buckets (``chunk_key % n_buckets``, then
+    a pair-hash bucket for the cross-chunk distinct) with run-scans
+    inside each group — never one ``map_groups`` dispatch per
+    near-singleton key (the repo shuffle rule).
     """
-    n_chunks = min(16, max_hamming + 1)
+    if max_hamming < 0:
+        raise ValueError(f"simhash_pairs: max_hamming {max_hamming} < 0")
+    if max_hamming > 15:
+        raise ValueError(
+            f"simhash_pairs: max_hamming {max_hamming} > 15 — 64-bit "
+            "signatures band into at most 16 chunks, so the pigeonhole "
+            "candidate guarantee stops at hamming 15; use minhash_clusters "
+            "for looser similarity"
+        )
+    n_chunks = max_hamming + 1
     # chunk bit boundaries: 64 bits split as evenly as possible
     widths = [64 // n_chunks + (1 if c < 64 % n_chunks else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
@@ -904,6 +952,9 @@ def simhash_pairs(
                 out_sig.append(s)
         return pa.table(
             {
+                "chunk_bucket": pa.array(
+                    [k % n_buckets for k in out_key], pa.int64()
+                ),
                 "chunk_key": pa.array(out_key, pa.int64()),
                 id_col: pa.array(out_id, pa.int64()),
                 "simhash": pa.array(out_sig, pa.int64()),
@@ -911,29 +962,51 @@ def simhash_pairs(
         )
 
     def verify(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(zip(group.column(id_col).to_pylist(), group.column("simhash").to_pylist()))
+        # one bucket = many chunk keys: sort, walk runs (the coarse-
+        # bucket rule — dispatch amortizes over ~n/n_buckets rows)
+        from ..runs import iter_key_runs
+
+        group = group.sort_by(
+            [("chunk_key", "ascending"), (id_col, "ascending")]
         )
-        if len(rows) > max_group:  # deterministic cap on the quadratic verify
-            if cap_counters is not None:
-                cap_counters.record.remote(
-                    "simhash_truncated_candidates",
-                    group.column("chunk_key")[0].as_py(),
-                    len(rows) - max_group,
-                )
-            rows = rows[:max_group]
         a_out, b_out, d_out = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if rows[i][0] == rows[j][0]:
-                    continue
-                d = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
-                    d_out.append(d)
+        for run in iter_key_runs(group, "chunk_key"):
+            rows = sorted(
+                set(
+                    zip(
+                        run.column(id_col).to_pylist(),
+                        run.column("simhash").to_pylist(),
+                    )
+                )
+            )
+            if len(rows) > max_group:  # deterministic cap on the verify
+                if cap_counters is not None:
+                    cap_counters.record.remote(
+                        "simhash_truncated_candidates",
+                        run.column("chunk_key")[0].as_py(),
+                        len(rows) - max_group,
+                    )
+                rows = rows[:max_group]
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    if rows[i][0] == rows[j][0]:
+                        continue
+                    d = bin(
+                        (rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)
+                    ).count("1")
+                    if d <= max_hamming:
+                        a_out.append(rows[i][0])
+                        b_out.append(rows[j][0])
+                        d_out.append(d)
         return pa.table(
             {
+                "pair_bucket": pa.array(
+                    [
+                        ((a * 0x9E3779B97F4A7C15) ^ b) % n_buckets
+                        for a, b in zip(a_out, b_out)
+                    ],
+                    pa.int64(),
+                ),
                 "id_a": pa.array(a_out, pa.int64()),
                 "id_b": pa.array(b_out, pa.int64()),
                 "hamming": pa.array(d_out, pa.int64()),
@@ -942,18 +1015,20 @@ def simhash_pairs(
 
     pairs = (
         docs.map_batches(expand, batch_format="pyarrow")
-        .groupby("chunk_key")
+        .groupby("chunk_bucket")
         .map_groups(verify, batch_format="pyarrow")
     )
 
-    # pairs found via multiple chunks appear multiple times: distinct them
-    def local_distinct(batch: pa.Table) -> pa.Table:
+    # pairs found via multiple chunks appear multiple times — distinct
+    # on a coarse pair-hash bucket (duplicates of one pair always share
+    # it), never one dispatch per pair
+    def pair_distinct(group: pa.Table) -> pa.Table:
         seen = sorted(
             set(
                 zip(
-                    batch.column("id_a").to_pylist(),
-                    batch.column("id_b").to_pylist(),
-                    batch.column("hamming").to_pylist(),
+                    group.column("id_a").to_pylist(),
+                    group.column("id_b").to_pylist(),
+                    group.column("hamming").to_pylist(),
                 )
             )
         )
@@ -966,13 +1041,39 @@ def simhash_pairs(
         )
 
     return (
-        pairs.map_batches(local_distinct, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .map_groups(
-            lambda g: g.slice(0, 1),
-            batch_format="pyarrow",
-        )
+        pairs.groupby("pair_bucket")
+        .map_groups(pair_distinct, batch_format="pyarrow")
     )
+
+
+def _first_occurrence_winners(pos_col: str):
+    """Shared keep-first winner kernel for the paragraph/span dedups:
+    groups arrive bucketed on ``h1 % n_buckets``; sort by (h1, h2, doc,
+    position), walk the (h1, h2) runs, and emit the FIRST row of every
+    multi-occurrence run — the winning occurrence of a duplicated
+    128-bit content key. One kernel, parameterized by the position
+    column name, so a fix lands in both dedups at once."""
+
+    def winners(group: pa.Table) -> pa.Table:
+        from ..runs import iter_key_runs
+
+        group = group.sort_by(
+            [
+                ("h1", "ascending"),
+                ("h2", "ascending"),
+                ("doc", "ascending"),
+                (pos_col, "ascending"),
+            ]
+        )
+        cols: dict[str, list[int]] = {"h1": [], "h2": [], "doc": [], pos_col: []}
+        for run in iter_key_runs(group, "h1"):
+            for sub in iter_key_runs(run, "h2"):
+                if sub.num_rows > 1:
+                    for c in cols:
+                        cols[c].append(sub.column(c)[0].as_py())
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in cols.items()})
+
+    return winners
 
 
 # -- paragraph-level exact dedup --------------------------------------------
@@ -1054,37 +1155,7 @@ def paragraph_dedup(
             }
         )
 
-    def winners(group: pa.Table) -> pa.Table:
-        from ..runs import iter_key_runs
-
-        group = group.sort_by(
-            [
-                ("h1", "ascending"),
-                ("h2", "ascending"),
-                ("doc", "ascending"),
-                ("idx", "ascending"),
-            ]
-        )
-        # runs keyed on h1; split ties on h2 inside the run
-        out_h1: list[int] = []
-        out_h2: list[int] = []
-        out_doc: list[int] = []
-        out_idx: list[int] = []
-        for run in iter_key_runs(group, "h1"):
-            for sub in iter_key_runs(run, "h2"):
-                if sub.num_rows > 1:
-                    out_h1.append(sub.column("h1")[0].as_py())
-                    out_h2.append(sub.column("h2")[0].as_py())
-                    out_doc.append(sub.column("doc")[0].as_py())
-                    out_idx.append(sub.column("idx")[0].as_py())
-        return pa.table(
-            {
-                "h1": pa.array(out_h1, pa.int64()),
-                "h2": pa.array(out_h2, pa.int64()),
-                "doc": pa.array(out_doc, pa.int64()),
-                "idx": pa.array(out_idx, pa.int64()),
-            }
-        )
+    winners = _first_occurrence_winners("idx")
 
     win_ds = (
         docs.map_batches(explode, batch_format="pyarrow")
@@ -1274,34 +1345,7 @@ def span_dedup(
             }
         )
 
-    def winners(group: pa.Table) -> pa.Table:
-        group = group.sort_by(
-            [
-                ("h1", "ascending"),
-                ("h2", "ascending"),
-                ("doc", "ascending"),
-                ("pos", "ascending"),
-            ]
-        )
-        out_h1: list[int] = []
-        out_h2: list[int] = []
-        out_doc: list[int] = []
-        out_pos: list[int] = []
-        for run in iter_key_runs(group, "h1"):
-            for sub in iter_key_runs(run, "h2"):
-                if sub.num_rows > 1:
-                    out_h1.append(sub.column("h1")[0].as_py())
-                    out_h2.append(sub.column("h2")[0].as_py())
-                    out_doc.append(sub.column("doc")[0].as_py())
-                    out_pos.append(sub.column("pos")[0].as_py())
-        return pa.table(
-            {
-                "h1": pa.array(out_h1, pa.int64()),
-                "h2": pa.array(out_h2, pa.int64()),
-                "doc": pa.array(out_doc, pa.int64()),
-                "pos": pa.array(out_pos, pa.int64()),
-            }
-        )
+    winners = _first_occurrence_winners("pos")
 
     win_ds = (
         docs.map_batches(explode, batch_format="pyarrow")

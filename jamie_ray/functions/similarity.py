@@ -345,12 +345,14 @@ def semantic_dedup(
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space with the
     deterministic coarse quantizer (:func:`ivf_centroids`), then WITHIN
-    each cluster mark every vector whose cosine to a LOWER-ID cluster
-    member reaches ``threshold`` as a duplicate of the SMALLEST such id
-    (keep-first-by-id — this engine's dedup-representative rule; the
-    paper keeps an arbitrary-but-fixed member per dup set, which we
+    each cluster mark every vector whose cosine to a lower-id KEEPER
+    reaches ``threshold`` as a duplicate of the SMALLEST such keeper
+    (greedy leader walk in id order — this engine's keep-first rule;
+    the paper keeps an arbitrary-but-fixed member per dup set, which we
     replace with the deterministic minimum so the result is
-    value-checkable).
+    value-checkable). A dup always points at a KEPT row: chains (A~B,
+    B~C, A!~C) keep both A and C — dropping C against the already-
+    dropped B would erase content with no near-duplicate surviving.
 
     Returns one row per input vector: ``(id_col, cluster, dup_of)``
     with ``dup_of = -1`` for keepers. Filtering keepers is
@@ -417,11 +419,23 @@ def semantic_dedup(
         sims = unit @ unit.T
         head_ids = [ids[i] for i in head]
         dup_of = {}
+        # greedy leader walk (ids ascend): j is a dup only of a lower-id
+        # KEEPER — never of a row that is itself a dup. Chains (A~B,
+        # B~C, A!~C) would otherwise drop BOTH B and C while the only
+        # kept row A is below threshold to C: content lost with no
+        # near-duplicate surviving. The first keeper hit is the
+        # smallest, so representatives stay deterministic minima.
+        keepers: list[int] = []
         for j in range(len(head_ids)):
-            for i in range(j):
+            rep = None
+            for i in keepers:
                 if sims[i, j] >= threshold:
-                    dup_of[head_ids[j]] = head_ids[i]
-                    break  # ids ascend, so the first hit IS the minimum
+                    rep = head_ids[i]
+                    break
+            if rep is None:
+                keepers.append(j)
+            else:
+                dup_of[head_ids[j]] = rep
         out_ids = sorted(ids)
         return pa.table(
             {

@@ -262,7 +262,10 @@ def rewrite_ids_task(batch: pa.Table, canonical_ref) -> pa.Table:
     startup; the map rides the object store via ``ray.put`` once and is
     fetched once per worker, never re-shipped per batch)."""
     canonical, memo = _rewrite_state(canonical_ref)
+    return _rewrite_batch(batch, canonical, memo)
 
+
+def _rewrite_batch(batch: pa.Table, canonical: dict, memo: dict) -> pa.Table:
     def ids(vals: list[str]) -> tuple[list[int], list[str]]:
         out_id, out_surf = [], []
         for v in vals:
@@ -299,9 +302,13 @@ class RewriteIds:
             if isinstance(canonical_ref, ray.ObjectRef)
             else canonical_ref
         )
+        # instance memo: persists across BATCHES (routing through
+        # rewrite_ids_task with a plain dict would mint a fresh memo
+        # per call, defeating the vocabulary-sized amortization)
+        self._memo: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return rewrite_ids_task(batch, self.canonical)
+        return _rewrite_batch(batch, self.canonical, self._memo)
 
 
 def link_triples(
@@ -342,16 +349,11 @@ def link_triples(
     ``cache_input=False`` to skip the object-store copy entirely.
     """
     if spill_dir is not None:
-        import os
+        # the shared spill helper (it cites this call site as the
+        # pattern it factors out); cols=None keeps the full triple row
+        from ..functions.dedup_docs import _spill_input
 
-        import ray.data as _rd
-
-        os.makedirs(spill_dir, exist_ok=True)
-        for stale in os.listdir(spill_dir):
-            if stale.endswith(".parquet"):
-                os.unlink(os.path.join(spill_dir, stale))
-        triples.write_parquet(spill_dir)
-        triples = _rd.read_parquet(spill_dir)
+        triples = _spill_input(triples, spill_dir, None)
     elif cache_input:
         triples = triples.materialize()
     # cache_input=False: the caller vouches the input is already

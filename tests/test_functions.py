@@ -208,6 +208,30 @@ def test_semantic_dedup_keep_first(ray_session):
     assert by_id[4]["dup_of"] == -1
 
 
+def test_semantic_dedup_chain_keeps_far_end(ray_session):
+    """Greedy leader rule: a dup always points at a KEPT row. In the
+    chain A~B, B~C, A!~C: B dups to A, but C stays a KEEPER — marking C
+    a dup of the already-dropped B would erase C's content with no
+    near-duplicate surviving."""
+    import math
+
+    import ray
+
+    th = math.radians(16)  # cos 16deg ~ 0.961 >= 0.95; cos 32deg ~ 0.848 < 0.95
+    vecs = [
+        {"vec_id": 0, "embedding": [1.0, 0.0]},
+        {"vec_id": 1, "embedding": [math.cos(th), math.sin(th)]},
+        {"vec_id": 2, "embedding": [math.cos(2 * th), math.sin(2 * th)]},
+    ]
+    out = similarity.semantic_dedup(
+        ray.data.from_items(vecs), threshold=0.95, n_centroids=1, n_iter=1
+    ).take_all()
+    by_id = {r["vec_id"]: r["dup_of"] for r in out}
+    assert by_id[0] == -1
+    assert by_id[1] == 0      # within threshold of keeper 0
+    assert by_id[2] == -1     # NOT a dup of dropped 1; beyond threshold of 0
+
+
 def test_semantic_dedup_block_layout_invariant(ray_session):
     """Output is a pure function of the input (deterministic centroids
     + id-sorted within-cluster gram): repartitioning must not move a
@@ -300,6 +324,22 @@ def test_resize_and_features():
     assert all(len(p) == 64 for p in resized.column("pixels").to_pylist())
     feats = multimodal.ImageFeatures()(resized)
     assert all(len(f) == 10 for f in feats.column("features").to_pylist())
+
+
+def test_simhash_pairs_rejects_unbandable_budget(ray_session):
+    """64-bit signatures band into at most 16 chunks, so the pigeonhole
+    guarantee stops at hamming 15 — a larger budget must fail loudly,
+    not silently lose exactly the boundary-distance pairs."""
+    import pytest
+    import ray.data
+
+    from jamie_ray.functions import dedup_docs as dd
+
+    docs = ray.data.from_items([{"doc_id": 0, "text": "a"}])
+    with pytest.raises(ValueError, match="at most 16 chunks"):
+        dd.simhash_pairs(docs, max_hamming=16)
+    with pytest.raises(ValueError, match="< 0"):
+        dd.simhash_pairs(docs, max_hamming=-1)
 
 
 def test_simhash_pairs_recall_at_higher_hamming(ray_session):
