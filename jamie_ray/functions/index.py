@@ -78,7 +78,17 @@ def _term_doc_pairs(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
 
 
 def _flat_term_doc(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
-    """(id, text) -> one (term, doc_id) row per token occurrence."""
+    """(id, text) -> one (term, doc_id) row per token occurrence.
+
+    Doc ids must be integers (postings are ``list<int64>`` on disk) —
+    checked loudly here rather than failing as an opaque ArrowInvalid
+    deep inside a Ray task."""
+    if not pa.types.is_integer(batch.schema.field(id_col).type):
+        raise TypeError(
+            f"inverted index: id column {id_col!r} must be an integer "
+            f"type (postings are int64 lists), got "
+            f"{batch.schema.field(id_col).type}"
+        )
     text = pc.fill_null(batch.column(text_col), "")
     toks = pc.split_pattern_regex(text, _WS_SPLIT_RE)
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
@@ -221,7 +231,9 @@ def build_term_index(
     return meta
 
 
-def refresh_term_index(index_dir: str, new_docs, *, text_col: str = "text") -> dict:
+def refresh_term_index(
+    index_dir: str, new_docs, *, text_col: str = "text", cap_counters=None
+) -> dict:
     """Append a new generation of documents to a completed
     :func:`build_term_index` WITHOUT rebuilding (the
     ``refresh_ann_index`` pattern): the new docs' inverted index is
@@ -238,7 +250,12 @@ def refresh_term_index(index_dir: str, new_docs, *, text_col: str = "text") -> d
     - the build's ``min_df`` is applied PER GENERATION, so a term whose
       df only crosses ``min_df`` when generations are combined stays
       pruned until a full rebuild (per-generation pruning is a lower
-      bound on the exact global index).
+      bound on the exact global index);
+    - ``max_postings`` too is PER GENERATION: a hot term's MERGED
+      postings (lookup concatenates generations) can exceed the cap
+      and are not the first-N ids of the combined corpus until a full
+      rebuild — refresh-time truncation is reported via
+      ``cap_counters`` (the no-silent-caps contract).
 
     Crash-safe and idempotent like the ANN refresh: staged write, a
     re-run deletes this generation's partially-moved files first, meta
@@ -252,6 +269,16 @@ def refresh_term_index(index_dir: str, new_docs, *, text_col: str = "text") -> d
     meta_path = os.path.join(index_dir, _IDX_META)
     with open(meta_path) as f:
         meta = json.load(f)
+    if int(meta["n_buckets"]) != _N_BUCKETS:
+        # the on-disk layout is hashed with the RECORDED bucket count;
+        # refreshing with a different module constant would write gen
+        # files into partitions the probe never reads — terms silently
+        # invisible to lookups
+        raise ValueError(
+            f"refresh_term_index: index was built with n_buckets="
+            f"{meta['n_buckets']} but this build hashes with "
+            f"{_N_BUCKETS} — rebuild the index instead of refreshing"
+        )
     new_gen = int(meta.get("generations", 1)) + 1
 
     for f_ in glob.glob(
@@ -264,7 +291,12 @@ def refresh_term_index(index_dir: str, new_docs, *, text_col: str = "text") -> d
         text_col=text_col,
         id_col=meta["id_col"],
         min_df=int(meta["min_df"]),
+        # max_postings applies PER GENERATION (like min_df, documented
+        # below): a lookup concatenates generations, so a hot term's
+        # merged postings can exceed max_postings until a full rebuild;
+        # truncation is reported through cap_counters, never silent
         max_postings=meta["max_postings"],
+        cap_counters=cap_counters,
     )
     staging = os.path.join(
         os.path.dirname(os.path.abspath(index_dir)) or ".",
@@ -436,18 +468,9 @@ def doc_top_terms(
     # DERIVED input with expensive upstream compute should be spilled
     # to parquet once — the minhash_clusters(spill_dir=) pattern
     if spill_dir is not None:
-        import os
+        from .dedup_docs import _spill_input
 
-        import ray.data as _rd
-
-        os.makedirs(spill_dir, exist_ok=True)
-        for stale in os.listdir(spill_dir):
-            if stale.endswith(".parquet"):
-                os.unlink(os.path.join(spill_dir, stale))
-        docs.map_batches(
-            lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
-        ).write_parquet(spill_dir)
-        docs = _rd.read_parquet(spill_dir)
+        docs = _spill_input(docs, spill_dir, [id_col, text_col])
 
     # 1. exact df table, collected small (vocab-sized after min_df) and
     #    broadcast once — every scoring task reads it via cached_get

@@ -280,13 +280,16 @@ def ppl_buckets(
     """
     import tempfile
 
-    import ray.data
-
+    from .dedup_docs import _spill_input
     from .sketch import quantile_buckets
 
     spill = spill_dir or tempfile.mkdtemp(prefix="jamie_ppl_")
-    score_perplexity(docs, lm, text_col=text_col).write_parquet(spill)
-    scored = ray.data.read_parquet(spill)
+    # the shared spill helper CLEARS stale *.parquet first — a reused
+    # spill_dir (crash rerun, second corpus) must not mix old rows into
+    # the thresholds (cols=None keeps the full scored row)
+    scored = _spill_input(
+        score_perplexity(docs, lm, text_col=text_col), spill, None
+    )
     return quantile_buckets(
         scored, "ppl", qs, out_col="ppl_bucket", labels=labels,
         nan_policy="bucket_null",

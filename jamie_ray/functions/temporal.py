@@ -14,45 +14,47 @@ here matches the oracle semantics exactly.
 
 from __future__ import annotations
 
-import datetime as _dt
 from bisect import bisect_left
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_NAIVE_EPOCH = _dt.datetime(1970, 1, 1)
 
-
-def _seconds_col(col) -> pa.Array:
-    """Vectorized ts column -> float64 seconds (same value per row as
-    :func:`_naive_seconds`)."""
+def _us_col(col) -> np.ndarray:
+    """Vectorized ts column -> int64 MICROSECONDS (the module's exact
+    time base). Timestamp columns cast exactly; numeric columns follow
+    the module convention (numeric ts = epoch SECONDS) and convert via
+    ``round(sec * 1e6)`` — never a raw int64->timestamp reinterpret,
+    which would silently read seconds as microseconds. All window/
+    interval comparisons happen on these integers, so boundary pairs
+    match DuckDB's timezone-free interval arithmetic bit-for-bit (float
+    seconds carry ~0.24 µs of ulp noise at 2026 epochs)."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_timestamp(col.type):
-        us = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
-        return pc.divide(pc.cast(us, pa.float64()), pa.scalar(1e6))
-    return pc.cast(col, pa.float64())
+        return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+    sec = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+    return np.round(sec * 1e6).astype(np.int64)
 
 
-def _bucket_col(col, bucket_seconds: float) -> pa.Array:
-    """ts column -> int64 time-bucket id (floor(seconds / bucket))."""
-    sec = _seconds_col(col)
-    return pc.cast(
-        pc.floor(pc.divide(sec, pa.scalar(float(bucket_seconds)))), pa.int64()
-    )
+def _us(seconds: float) -> int:
+    """Interval in seconds -> exact int64 microseconds."""
+    return int(round(float(seconds) * 1e6))
 
 
-def _naive_seconds(t) -> float:
-    """Naive-datetime -> seconds since a naive epoch.
+def _bucket_col(col, bucket_us: int) -> pa.Array:
+    """ts column -> int64 time-bucket id (floor(us / bucket_us) —
+    integer floor division, exact at any epoch)."""
+    return pa.array(_us_col(col) // np.int64(bucket_us), pa.int64())
 
-    NOT ``datetime.timestamp()``: that interprets naive datetimes in the
-    host's local timezone and is non-monotonic across DST transitions,
-    which would diverge from DuckDB's timezone-free interval arithmetic
-    on non-UTC hosts.
-    """
-    if isinstance(t, _dt.datetime):
-        return (t - _NAIVE_EPOCH).total_seconds()
-    return float(t)
+
+def _tie_key(ts_val, v):
+    """Deterministic (ts, tie-col) sort key that tolerates null tie
+    values: nulls sort SMALLEST (they never win a tie against a
+    non-null), so nullable attached columns don't crash the merge."""
+    return (ts_val, v is not None, v if v is not None else 0)
 
 
 def asof_join(
@@ -83,6 +85,12 @@ def asof_join(
     driver-side collection is guarded by the edge cap.
     """
     salted = bucket_seconds is not None
+    bucket_us = _us(bucket_seconds) if salted else 0
+    if not right_cols:
+        raise ValueError(
+            "asof_join: right_cols must name at least one column — the "
+            "first one is the deterministic tie-break on equal right_ts"
+        )
 
     def tag(side: int, key: str, ts: str, cols: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -92,7 +100,7 @@ def asof_join(
                 "__side": pa.array([side] * batch.num_rows, pa.int8()),
             }
             if salted:
-                out["__salt"] = _bucket_col(batch.column(ts), bucket_seconds)
+                out["__salt"] = _bucket_col(batch.column(ts), bucket_us)
             for c in cols:
                 out[c] = batch.column(c)
             return pa.table(out)
@@ -114,12 +122,9 @@ def asof_join(
         from ..state.collect import iter_capped_batches
 
         def summarize(group: pa.Table) -> pa.Table:
-            ts = np.asarray(
-                [_naive_seconds(t) for t in group.column("__ts").to_pylist()],
-                dtype=np.float64,
-            )
+            ts = _us_col(group.column("__ts"))
             first = group.column(right_cols[0]).to_pylist()
-            best = max(range(len(ts)), key=lambda i: (ts[i], first[i]))
+            best = max(range(len(ts)), key=lambda i: _tie_key(ts[i], first[i]))
             row = {
                 "__key": group.column("__key").slice(best, 1),
                 "__salt": group.column("__salt").slice(best, 1),
@@ -183,20 +188,20 @@ def asof_join(
         return cached_get(summary_ref, "asof_summary_map")
 
     def merge(group: pa.Table) -> pa.Table:
-        sides = np.asarray(group.column("__side").to_pylist())
-        ts = np.asarray(
-            [_naive_seconds(t) for t in group.column("__ts").to_pylist()],
-            dtype=np.float64,
-        )
+        sides = group.column("__side").to_numpy(zero_copy_only=False)
+        ts = _us_col(group.column("__ts"))
         l_ix = np.where(sides == 0)[0]
         r_ix = np.where(sides == 1)[0]
         if not len(l_ix) or (not salted and not len(r_ix)):
             return group.slice(0, 0).drop_columns(drop_cols)
         if len(r_ix):
             # right side sorted by (ts, first right col) so the backward
-            # search and the tie rule are deterministic
+            # search and the tie rule are deterministic (nulls in the
+            # tie column sort smallest — _tie_key)
             r_first = group.column(right_cols[0]).take(pa.array(r_ix)).to_pylist()
-            r_order = sorted(range(len(r_ix)), key=lambda i: (ts[r_ix[i]], r_first[i]))
+            r_order = sorted(
+                range(len(r_ix)), key=lambda i: _tie_key(ts[r_ix[i]], r_first[i])
+            )
             r_sorted = r_ix[r_order]
             r_ts_sorted = ts[r_sorted]
             pos = np.searchsorted(r_ts_sorted, ts[l_ix], side="right") - 1
@@ -248,21 +253,20 @@ def sessionize(
     key: str = "user_id",
     ts: str = "ts",
     gap_minutes: int = 30,
+    id_col: str = "event_id",
 ):
     """Gap-based sessionization: within each key, a new session starts
     when the time since the previous event exceeds ``gap_minutes``.
     Emits every event row + ``session_id`` (0-based per key, in time
-    order; ties keep stable event order by event_id).
+    order; ties keep stable event order by ``id_col``).
     """
+    gap_us = gap_minutes * 60 * 1_000_000
 
     def sessions(group: pa.Table) -> pa.Table:
-        tss = np.asarray(
-            [_naive_seconds(t) for t in group.column(ts).to_pylist()],
-            dtype=np.float64,
-        )
-        eids = np.asarray(group.column("event_id").to_pylist())
+        tss = _us_col(group.column(ts))
+        eids = np.asarray(group.column(id_col).to_pylist())
         order = np.lexsort((eids, tss))
-        gaps = np.diff(tss[order]) > gap_minutes * 60
+        gaps = np.diff(tss[order]) > gap_us
         session_of_sorted = np.concatenate(([0], np.cumsum(gaps)))
         session = np.empty(len(order), dtype=np.int64)
         session[order] = session_of_sorted
@@ -309,12 +313,10 @@ def hopping_window_agg(
             if value_col:
                 cols["val_s"] = pa.array([], pa.int64())
             return pa.table(cols)
-        t_us = np.asarray(
-            _pc.cast(
-                _pc.cast(batch.column(ts).combine_chunks(), pa.timestamp("us")),
-                pa.int64(),
-            )
-        )
+        # _us_col, not a raw int64->timestamp cast: a NUMERIC ts column
+        # is epoch seconds by module convention, and the raw cast would
+        # silently reinterpret those seconds as microseconds
+        t_us = _us_col(batch.column(ts))
         k_min = (t_us - s_us) // h_us + 1
         k_max = t_us // h_us
         reps = (k_max - k_min + 1).astype(np.int64)
@@ -404,6 +406,8 @@ def range_join(
     on the order of the window span to bound replication at ~2x.
     """
     salted = bucket_seconds is not None
+    bucket_us = _us(bucket_seconds) if salted else 0
+    lower_us, upper_us = _us(lower_seconds), _us(upper_seconds)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = [c for c in batch.column_names if c != left_key]
@@ -413,7 +417,7 @@ def range_join(
             "__side": pa.array([0] * batch.num_rows, pa.int8()),
         }
         if salted:
-            out["__salt"] = _bucket_col(batch.column(left_ts), bucket_seconds)
+            out["__salt"] = _bucket_col(batch.column(left_ts), bucket_us)
         for c in cols:
             out[c] = batch.column(c)
         return pa.table(out)
@@ -430,12 +434,16 @@ def range_join(
         if not salted:
             return t
         # replicate each right row into every bucket a matching left
-        # could be in: left_ts in [ts - upper, ts - lower]
-        sec = np.asarray(_seconds_col(batch.column(right_ts)))
-        bmin = np.floor((sec - upper_seconds) / bucket_seconds).astype(np.int64)
-        bmax = np.floor((sec - lower_seconds) / bucket_seconds).astype(np.int64)
+        # could be in: left_ts in [ts - upper, ts - lower] — INTEGER
+        # microsecond arithmetic, so a boundary replica's bucket agrees
+        # exactly with _bucket_col on the left side (a float floor here
+        # could land a boundary pair one bucket apart and break the
+        # bit-identical-to-unsalted invariant)
+        t_us = _us_col(batch.column(right_ts))
+        bmin = (t_us - np.int64(upper_us)) // np.int64(bucket_us)
+        bmax = (t_us - np.int64(lower_us)) // np.int64(bucket_us)
         reps = (bmax - bmin + 1).astype(np.int64)
-        row_idx = np.repeat(np.arange(len(sec), dtype=np.int64), reps)
+        row_idx = np.repeat(np.arange(len(t_us), dtype=np.int64), reps)
         # per-replica bucket: bmin[row] + intra-row offset
         offsets = np.arange(len(row_idx), dtype=np.int64) - np.repeat(
             np.concatenate(([0], np.cumsum(reps)[:-1])), reps
@@ -468,11 +476,8 @@ def range_join(
     drop_cols = ["__side"] + (["__salt"] if salted else [])
 
     def merge(group: pa.Table) -> pa.Table:
-        sides = np.asarray(group.column("__side").to_pylist())
-        ts = np.asarray(
-            [_naive_seconds(t) for t in group.column("__ts").to_pylist()],
-            dtype=np.float64,
-        )
+        sides = group.column("__side").to_numpy(zero_copy_only=False)
+        ts = _us_col(group.column("__ts"))  # exact integer window math
         l_ix = np.where(sides == 0)[0]
         r_ix = np.where(sides == 1)[0]
         if not len(l_ix) or not len(r_ix):
@@ -480,16 +485,17 @@ def range_join(
         r_order = np.argsort(ts[r_ix], kind="stable")
         r_sorted = r_ix[r_order]
         r_ts_sorted = ts[r_sorted]
-        lo = np.searchsorted(r_ts_sorted, ts[l_ix] + lower_seconds, side="left")
-        hi = np.searchsorted(r_ts_sorted, ts[l_ix] + upper_seconds, side="right")
-        l_out: list[int] = []
-        r_out: list[int] = []
-        for li, a, b in zip(l_ix, lo, hi):
-            for j in range(a, b):
-                l_out.append(li)
-                r_out.append(r_sorted[j])
-        l_idx = pa.array(np.asarray(l_out, dtype=np.int64))
-        r_idx = pa.array(np.asarray(r_out, dtype=np.int64))
+        lo = np.searchsorted(r_ts_sorted, ts[l_ix] + lower_us, side="left")
+        hi = np.searchsorted(r_ts_sorted, ts[l_ix] + upper_us, side="right")
+        # vectorized pair emission: one output row per (left, window slot)
+        counts = (hi - lo).astype(np.int64)
+        l_out = np.repeat(l_ix, counts)
+        offs = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        r_out = r_sorted[np.repeat(lo, counts) + offs]
+        l_idx = pa.array(l_out.astype(np.int64))
+        r_idx = pa.array(r_out.astype(np.int64))
         out: dict[str, pa.Array] = {}
         for c in group.column_names:
             if c in drop_cols:

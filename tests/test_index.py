@@ -434,3 +434,41 @@ def test_cli_ann_build_reports_real_partition_count(ray_session, tmp_path, capsy
     main(["ann-build", "--embeddings", emb, "--out", idx, "--n-centroids", "2"])
     meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert meta["n_partitions"] == 2
+
+
+def test_inverted_index_rejects_non_integer_ids(ray_session):
+    import pytest
+    import ray.data
+
+    from jamie_ray.functions.index import inverted_index
+
+    docs = ray.data.from_items([{"doc_id": "a", "text": "x y"}])
+    with pytest.raises(Exception, match="integer"):
+        inverted_index(docs).take_all()
+
+
+def test_refresh_rejects_bucket_count_drift(ray_session, tmp_path, monkeypatch):
+    """An index hashed with a different n_buckets than the current
+    module constant must refuse to refresh — gen files would land in
+    partitions the probe never reads."""
+    import json
+    import os
+
+    import pytest
+    import ray.data
+
+    from jamie_ray.functions import index as idx
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"alpha beta t{i}"} for i in range(6)]
+    )
+    d = str(tmp_path / "ti")
+    idx.build_term_index(docs, d)
+    meta_path = os.path.join(d, idx._IDX_META)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["n_buckets"] = 2048  # simulate an index built by another build
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="rebuild the index"):
+        idx.refresh_term_index(d, docs)

@@ -235,3 +235,23 @@ def test_quantile_buckets_approx_method(ray_session):
     assert e == a
     with pytest.raises(ValueError, match="exact\\|approx"):
         quantile_buckets(ray.data.from_items(rows), "v", method="nope")
+
+
+def test_ppl_buckets_spill_dir_reuse_is_clean(ray_session, tmp_path):
+    """A reused spill_dir is CLEARED before the scored rows land —
+    stale rows from a previous corpus must not contaminate the
+    thresholds or the output (code-review finding)."""
+    from jamie_ray.functions.lm import ppl_buckets, train_ngram_lm
+
+    big = ray.data.from_items(
+        [{"doc_id": i, "text": f"alpha beta gamma d{i}"} for i in range(9)]
+    )
+    lm = train_ngram_lm(big)
+    spill = str(tmp_path / "spill")
+    first = ppl_buckets(big, lm, spill_dir=spill).take_all()
+    assert len(first) == 9
+    small = ray.data.from_items(
+        [{"doc_id": i, "text": f"alpha beta gamma d{i}"} for i in range(3)]
+    )
+    second = ppl_buckets(small, lm, spill_dir=spill).take_all()
+    assert len(second) == 3  # not 12: stale rows cleared

@@ -264,3 +264,105 @@ def test_hopping_window_agg(ray_session):
         value_col="value", group_cols=["event_type"],
     ).take_all()
     assert sum(r["n"] for r in tumble) == 3
+
+
+def test_hopping_window_numeric_seconds_ts(ray_session):
+    """A NUMERIC ts column is epoch SECONDS by module convention — the
+    window math must not reinterpret it as microseconds (code-review
+    finding: the raw int64->timestamp cast did exactly that)."""
+    import ray.data
+
+    from jamie_ray.functions.temporal import hopping_window_agg
+
+    events = ray.data.from_items(
+        [
+            {"ts": 1_700_000_000, "value": 1.0},   # same hour
+            {"ts": 1_700_000_100, "value": 2.0},   # same hour
+            {"ts": 1_700_003_700, "value": 4.0},   # next hour
+        ]
+    )
+    out = hopping_window_agg(
+        events, size_seconds=3600.0, hop_seconds=3600.0, value_col="value"
+    ).take_all()
+    assert sorted(r["n"] for r in out) == [1, 2]
+    by_n = {r["n"]: r["sum_value"] for r in out}
+    assert abs(by_n[2] - 3.0) < 1e-9 and abs(by_n[1] - 4.0) < 1e-9
+    # window starts are hour-aligned timestamps derived from SECONDS
+    starts = sorted(r["window_start"] for r in out)
+    assert (starts[1] - starts[0]) == dt.timedelta(hours=1)
+
+
+def test_asof_join_validates_and_tolerates_null_ties(tiny, ray_session):
+    import ray.data
+
+    from jamie_ray.functions.temporal import asof_join
+
+    events, orders = tiny
+    with pytest.raises(ValueError, match="right_cols"):
+        asof_join(
+            events, orders,
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate", right_cols=[],
+        )
+
+    # equal right_ts with a NULL tie value must not crash: null loses
+    orders_null = ray.data.from_items(
+        [
+            {"o_custkey": 8, "o_orderkey": None, "o_orderdate": _ts("2024-01-01T08:00")},
+            {"o_custkey": 8, "o_orderkey": 201, "o_orderdate": _ts("2024-01-01T08:00")},
+        ]
+    )
+    out = asof_join(
+        events, orders_null,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", right_cols=["o_orderkey"],
+    ).take_all()
+    got = {r["event_id"]: r["o_orderkey"] for r in out}
+    assert got[3] == 201  # the non-null tie value wins
+
+
+def test_sessionize_custom_id_col(ray_session):
+    import ray.data
+
+    from jamie_ray.functions.temporal import sessionize
+
+    events = ray.data.from_items(
+        [
+            {"uid": 1, "when": 1000, "evt": 5},
+            {"uid": 1, "when": 1000 + 40 * 60, "evt": 6},
+        ]
+    )
+    out = sessionize(
+        events, key="uid", ts="when", gap_minutes=30, id_col="evt"
+    ).take_all()
+    assert sorted(r["session_id"] for r in out) == [0, 1]
+
+
+def test_range_join_microsecond_boundary_exact(ray_session):
+    """Window bounds are integer microseconds: a right ts EXACTLY at
+    left_ts + upper must be kept even at µs-grain timestamps where
+    float-seconds arithmetic carries ulp noise."""
+    import ray.data
+
+    from jamie_ray.functions.temporal import range_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    left = ray.data.from_items(
+        [{"k": 1, "lts": base + dt.timedelta(microseconds=123457)}]
+    )
+    right = ray.data.from_items(
+        [
+            # exactly lts + 0.1 s: the boundary pair
+            {"k": 1, "rts": base + dt.timedelta(microseconds=223457), "rv": 1},
+            # 1 µs past the bound: excluded
+            {"k": 1, "rts": base + dt.timedelta(microseconds=223458), "rv": 2},
+        ]
+    )
+    for bucket in (None, 0.05):
+        out = range_join(
+            left, right,
+            left_key="k", right_key="k", left_ts="lts", right_ts="rts",
+            right_cols=["rv"], lower_seconds=0.0, upper_seconds=0.1,
+            bucket_seconds=bucket,
+        ).take_all()
+        assert [r["rv"] for r in out] == [1], f"bucket={bucket}"
