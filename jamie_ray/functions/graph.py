@@ -50,6 +50,14 @@ def _canonicalize(edges, col_a: str, col_b: str, n_buckets: int):
     nodes are retained via the separate node inventory)."""
 
     def canon(batch: pa.Table) -> pa.Table:
+        if batch.column(col_a).null_count or batch.column(col_b).null_count:
+            # a null id would round-trip through float NaN and astype
+            # to INT64_MIN — the global minimum, which would silently
+            # become the root of its whole component
+            raise ValueError(
+                "connected_components: edge endpoint column contains "
+                "nulls — drop/repair upstream"
+            )
         a = batch.column(col_a).to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column(col_b).to_numpy(zero_copy_only=False).astype(np.int64)
         keep = a != b

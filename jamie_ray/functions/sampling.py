@@ -240,14 +240,21 @@ def group_sample(
         us = _id_uniform(batch.column(id_col), seed)
         picked = _select_k(keys, ids, us)
         key_hash = hash_str_array([str(keys[i]) for i in picked])
+        # key/id typed from the INPUT columns: an empty block's
+        # pa.array([]) would infer null type and break block schema
+        # unification in the shuffle (the kmv_distinct guard)
         return pa.table(
             {
                 "bucket": pa.array(
                     (key_hash % np.uint64(n_buckets)).astype(np.int64),
                     pa.int64(),
                 ),
-                "key": pa.array([keys[i] for i in picked]),
-                "id": pa.array([ids[i] for i in picked]),
+                "key": pa.array(
+                    [keys[i] for i in picked], batch.column(key_col).type
+                ),
+                "id": pa.array(
+                    [ids[i] for i in picked], batch.column(id_col).type
+                ),
                 "u": pa.array(us[picked], pa.float64()),
             }
         )
@@ -259,8 +266,12 @@ def group_sample(
         picked = _select_k(keys, ids, us)
         return pa.table(
             {
-                "key": pa.array([keys[i] for i in picked]),
-                "id": pa.array([ids[i] for i in picked]),
+                "key": pa.array(
+                    [keys[i] for i in picked], group.column("key").type
+                ),
+                "id": pa.array(
+                    [ids[i] for i in picked], group.column("id").type
+                ),
             }
         )
 

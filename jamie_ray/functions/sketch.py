@@ -63,12 +63,18 @@ def kmv_distinct(ds, group_col: str, value_col: str, k: int = DEFAULT_K):
     """
 
     def local(batch: pa.Table) -> pa.Table:
+        from ..runs import iter_key_runs
+
         g_type = batch.column(group_col).type
         out_g, out_h = [], []
-        for g in pc.unique(batch.column(group_col)).to_pylist():
-            part = batch.filter(pc.equal(batch.column(group_col), g))
-            out_g.append(g)
-            out_h.append(_min_hashes(part.column(value_col).to_pylist(), k))
+        # sort + run-walk: ONE pass regardless of group count (a filter
+        # per distinct value is O(groups x rows) — the near-singleton
+        # regime the repo shuffle rule warns about)
+        for run in iter_key_runs(
+            batch.select([group_col, value_col]).sort_by(group_col), group_col
+        ):
+            out_g.append(run.column(group_col)[0].as_py())
+            out_h.append(_min_hashes(run.column(value_col).to_pylist(), k))
         # key column typed from the INPUT (an empty block would
         # otherwise infer null type and break block schema unification)
         return pa.table(
@@ -156,14 +162,43 @@ def heavy_hitters(
         raise ValueError("pass exactly one of min_count / phi")
 
     def local(batch: pa.Table) -> pa.Table:
+        if batch.column(col).null_count:
+            raise ValueError(
+                f"heavy_hitters: column {col!r} contains nulls — a null "
+                "can't be ranked (drop/impute upstream)"
+            )
         counters: dict = {}
         for v in batch.column(col).to_pylist():
             _mg_update(counters, v, k)
         items = sorted(counters)
+        # the block's row count rides the FIRST summary row (a null-
+        # valued marker row when the MG dict emptied itself), so the
+        # driver learns n_total from this same pass — no separate
+        # full ds.count() scan re-executing the upstream lineage
+        n = batch.num_rows
+        if not items:
+            if not n:
+                return pa.table(
+                    {
+                        col: pa.array([], batch.column(col).type),
+                        "mg_count": pa.array([], pa.int64()),
+                        "block_n": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    col: pa.array([None], batch.column(col).type),
+                    "mg_count": pa.array([0], pa.int64()),
+                    "block_n": pa.array([n], pa.int64()),
+                }
+            )
         return pa.table(
             {
                 col: pa.array(items, batch.column(col).type),
                 "mg_count": pa.array([counters[i] for i in items], pa.int64()),
+                "block_n": pa.array(
+                    [n] + [0] * (len(items) - 1), pa.int64()
+                ),
             }
         )
 
@@ -174,12 +209,15 @@ def heavy_hitters(
     # batch keeps driver state bounded at k-1 entries plus one
     # in-flight batch — never the unbounded n_blocks x (k-1) union.
     merged: dict = {}
+    n_total = 0
     summaries = ds.map_batches(local, batch_format="pyarrow")
     for b in summaries.iter_batches(batch_format="pyarrow"):
+        n_total += sum(b.column("block_n").to_pylist())
         for v, c in zip(b.column(col).to_pylist(), b.column("mg_count").to_pylist()):
+            if v is None:  # row-count marker from an emptied MG dict
+                continue
             merged[v] = merged.get(v, 0) + c
         merged = _mg_reduce(merged, k)
-    n_total = ds.count()
     if min_count is None:
         min_count = max(1, math.ceil(phi * n_total))
     # STRICT bound: MG's guarantee is undercount <= n/k, so an item
@@ -260,6 +298,12 @@ def quantiles_exact(
     pipeline would re-execute its upstream compute once per pass.
     """
     from ..state.collect import EdgeCapExceeded
+
+    for q in qs:
+        # a negative q would otherwise wrap a negative window index and
+        # return an arbitrary in-window value with no error
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantiles_exact: q {q} outside [0, 1]")
 
     def _col_f64(batch: pa.Table) -> np.ndarray:
         # zero-copy-where-possible Arrow -> numpy (no per-row boxing)
@@ -446,7 +490,10 @@ def quantiles_approx(
                 "drop/impute upstream (finite values only)"
             )
         u = _id_uniform(batch.column(id_col), seed)
-        take = np.argsort(u, kind="stable")[:k]
+        # cut the block partial by the SAME (u, v) key the driver uses:
+        # an argsort on u alone breaks layout invariance when duplicate
+        # ids (tied u, different v) straddle position k
+        take = np.lexsort((v, u))[:k]
         return pa.table(
             {
                 "u": pa.array(u[take], pa.float64()),

@@ -14,9 +14,8 @@ of one.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
-
-from ..hashing import stable_hash64
 
 
 def salted_group_sum(
@@ -33,24 +32,31 @@ def salted_group_sum(
     key with exact sums + counts."""
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key).to_pylist()
-        # salt derived from row content position-independently: block-
-        # local row index is NOT deterministic across layouts, so use a
-        # content hash of the whole row's key + sums (ties fine: salt
-        # only balances load, never affects results)
-        salts = [
-            stable_hash64("salt", k, i % n_salts) % n_salts
-            for i, k in enumerate(keys)
-        ]
-        return batch.append_column("__salt", pa.array(salts, pa.int32()))
+        # round-robin by block-local row index: salt assignment is free
+        # to be arbitrary (sums merge across salts, so WHICH salt a row
+        # lands on never affects results — only load balance), and the
+        # plain modulo spreads a hot key perfectly evenly, unlike a
+        # hash, which collides away ~1/e of the salt space
+        n = batch.num_rows
+        salts = np.arange(n, dtype=np.int64) % n_salts
+        return batch.append_column(
+            "__salt", pa.array(salts.astype(np.int32), pa.int32())
+        )
 
     def local(batch: pa.Table) -> pa.Table:
         gb = batch.group_by([key, "__salt"]).aggregate(
             [(c, "sum") for c in sum_cols] + [(key, "count")]
         )
-        return gb.rename_columns(
-            [key, "__salt"] + [f"{c}_sum" for c in sum_cols] + ["__n"]
-        )
+        # select by the documented <col>_<agg> names — pyarrow's output
+        # column ORDER is an implementation detail (CLAUDE.md rule)
+        cols = {
+            key: gb.column(key),
+            "__salt": gb.column("__salt"),
+        }
+        for c in sum_cols:
+            cols[f"{c}_sum"] = gb.column(f"{c}_sum")
+        cols["__n"] = gb.column(f"{key}_count")
+        return pa.table(cols)
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow").map_batches(
         local, batch_format="pyarrow"

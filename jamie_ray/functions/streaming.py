@@ -60,12 +60,18 @@ def running_counts(events, batch_size: int = 256):
     Requires ordered block delivery: Ray's default
     ``preserve_order=False`` may feed sorted blocks to the actor out of
     order, breaking monotone watermarks — so this sets
-    ``execution_options.preserve_order`` on THIS dataset's own
-    DataContext copy (each Dataset snapshots the context at creation),
-    leaving the session-wide singleton untouched for other pipelines.
+    ``execution_options.preserve_order`` on a PRIVATE DataContext copy
+    attached to the derived pipeline only. (``Dataset.context`` is
+    SHARED with every dataset derived from the same input — verified —
+    so mutating ``events.context`` directly would silently pessimize
+    the caller's other pipelines built from the same Dataset.)
     """
-    events.context.execution_options.preserve_order = True
+    import copy
+
     ordered = events.sort("ts")
+    ctx = copy.deepcopy(ordered.context)
+    ctx.execution_options.preserve_order = True
+    ordered._plan._context = ctx
     return ordered.map_batches(
         RunningCounter,
         concurrency=1,

@@ -1958,3 +1958,83 @@ def test_bpe_word_min_freq_prunes_distributed_side(ray_session):
     # 500 pruned single-occurrence types -> mass 500, recorded loudly
     assert int(pruned.schema.metadata[b"pruned_word_mass"]) == 500
     assert int(full.schema.metadata[b"pruned_word_mass"]) == 0
+
+
+def test_quantiles_approx_duplicate_id_tie_layout_invariant(ray_session):
+    """Duplicate ids share a reservoir key u; when tied rows straddle
+    the per-block cut, the partial must cut by the driver's (u, v) key
+    or different layouts ship different pairs (code-review finding)."""
+    import ray.data
+
+    from jamie_ray.functions import sketch
+
+    rows = []
+    for i in range(60):
+        rows.append({"doc_id": i % 20, "value": float(i)})  # each id 3x
+    a = sketch.quantiles_approx(
+        ray.data.from_items(rows), "value", [0.3, 0.7], k=10
+    )
+    b = sketch.quantiles_approx(
+        ray.data.from_items(rows).repartition(11), "value", [0.3, 0.7], k=10
+    )
+    assert a.equals(b)
+
+
+def test_heavy_hitters_rejects_nulls(ray_session):
+    import pytest
+    import ray.data
+
+    from jamie_ray.functions import sketch
+
+    ds = ray.data.from_items([{"v": "a"}, {"v": None}, {"v": "a"}])
+    with pytest.raises(Exception, match="null"):
+        sketch.heavy_hitters(ds, "v", min_count=1, k=16).take_all()
+
+
+def test_quantiles_exact_rejects_out_of_range_q(ray_session):
+    import pytest
+    import ray.data
+
+    from jamie_ray.functions import sketch
+
+    ds = ray.data.from_items([{"value": float(i)} for i in range(10)])
+    with pytest.raises(ValueError, match="outside"):
+        sketch.quantiles_exact(ds, "value", [-0.1])
+
+
+def test_group_sample_tolerates_empty_blocks(ray_session):
+    """An upstream filter can empty whole blocks; the combiner's typed
+    empty output must not break block schema unification."""
+    import ray.data
+
+    from jamie_ray.functions.sampling import group_sample
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "lang": "en" if i < 30 else "ja"} for i in range(60)]
+    ).repartition(6).filter(lambda r: r["lang"] == "en")
+    out = group_sample(docs, 5, "lang").take_all()
+    assert len(out) == 5 and all(r["lang"] == "en" for r in out)
+
+
+def test_connected_components_rejects_null_endpoints(ray_session):
+    import pytest
+    import ray.data
+
+    from jamie_ray.functions.graph import connected_components
+
+    edges = ray.data.from_items([{"a": 1, "b": None}])
+    with pytest.raises(Exception, match="null"):
+        connected_components(edges, "a", "b").take_all()
+
+
+def test_running_counts_does_not_leak_preserve_order(ray_session):
+    import ray.data
+
+    from jamie_ray.functions.streaming import running_counts
+
+    events = ray.data.from_items(
+        [{"ts": i, "event_type": "x"} for i in range(8)]
+    )
+    before = events.context.execution_options.preserve_order
+    running_counts(events).take_all()
+    assert events.context.execution_options.preserve_order == before
