@@ -142,6 +142,16 @@ def clean_corpus(
 
     from ..functions.dedup_docs import _spill_input
 
+    # argument-pairing validation UP FRONT: these are checkable before
+    # any work starts, and a mid-pipeline raise would land only after
+    # several full corpus passes (hours at real scale)
+    if (keep_quality is None) != (quality_model is None):
+        raise ValueError(
+            "clean_corpus: keep_quality and quality_model must be given together"
+        )
+    if (lm is None) != (max_ppl is None):
+        raise ValueError("clean_corpus: lm and max_ppl must be given together")
+
     # spill the raw input FIRST: a derived upstream executes exactly
     # once (the repo-wide spill contract), n_input reads from parquet
     # metadata, and every later pass is source-backed
@@ -245,10 +255,6 @@ def clean_corpus(
         )
         n_after_lang = gated.count()
 
-    if (keep_quality is None) != (quality_model is None):
-        raise ValueError(
-            "clean_corpus: keep_quality and quality_model must be given together"
-        )
     n_after_quality_model: int | None = None
     if keep_quality is not None:
         # model-based quality gate (GPT-3/CCNet shape): broadcast-once
@@ -272,8 +278,6 @@ def clean_corpus(
         )
         n_after_quality_model = gated.count()
 
-    if (lm is None) != (max_ppl is None):
-        raise ValueError("clean_corpus: lm and max_ppl must be given together")
     n_after_lm: int | None = None
     if lm is not None:
         # CCNet-style perplexity gate: broadcast the (trusted-corpus)
@@ -435,6 +439,13 @@ def clean_corpus(
         from ..functions.join import hash_join
         from ..functions.similarity import semantic_dedup
 
+        # spill the post-near-dup corpus ONCE: this stage consumes it
+        # twice (the semi-join's survivor ids + the final drop pass),
+        # and re-executing the drop filter over the full cleaned text
+        # is a whole extra corpus pass (the module's spill contract)
+        final = _spill_input(
+            final, os.path.join(spill_dir, "pre_semantic"), [id_col, text_col]
+        )
         emb_surv = hash_join(
             embeddings,
             final.select_columns([id_col]),

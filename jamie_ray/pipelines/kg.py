@@ -70,10 +70,14 @@ class _ShardCounters:
 
 
 def _batch_fingerprint(batch, col: str) -> int:
-    vals = batch.column(col)
-    first = vals[0].as_py() if len(vals) else ""
-    last = vals[-1].as_py() if len(vals) else ""
-    return stable_hash64(first, last, batch.num_rows)
+    # hash of the FULL ordered key column — (first, last, count) would
+    # collide on re-crawl-heavy shards (two blocks bounded by the same
+    # hot url), and a collision silently overwrites one block's counts
+    # in the idempotent counter actor
+    vals = batch.column(col).to_pylist()
+    return stable_hash64("batchfp", batch.num_rows, "\x1f".join(
+        "" if v is None else str(v) for v in vals
+    ))
 
 
 def _cluster_cpus() -> int:
@@ -214,6 +218,15 @@ def build_triples(
     scoring — the two must agree; ``decode_errors`` selects strict vs
     lossy utf-8 at extraction (see ``stages/extract.py``).
     """
+    if mode == "pipeline" and (model != "mock" or hf_kwargs or use_actors):
+        # the 3-stage pipeline scorer has no pluggable-model seam: a
+        # caller handing it a trained backend must hear that BEFORE any
+        # read starts, not get mock-model triples with no error
+        raise ValueError(
+            "build_triples: mode='pipeline' supports only the mock "
+            "3-stage scorer (model/hf_kwargs/use_actors don't apply) "
+            "— use mode='joint' for pluggable backends"
+        )
     pages = read_pages(pages_path, shard_filter=shard_filter)
     chunks = chunk_pages(
         extracted_pages(pages, lang, decode_errors=decode_errors),
@@ -324,6 +337,20 @@ def materialize_graph(
     import pyarrow as pa
 
     done = read_manifest(out_dir)
+    # resume guard: a rerun with a different n_shards (or input) would
+    # skip manifest shards from the OLD partitioning and finalize over
+    # range(new n_shards) only — silently dropping the other shards'
+    # triples from the final graph. Every recorded fingerprint embeds
+    # "<pages_path>#...[shard/n_shards]..."; refuse any mismatch.
+    for s, rec in sorted(done.items()):
+        fp = rec.get("input_fingerprint", "")
+        if not fp.startswith(f"{pages_path}#") or f"[{s}/{n_shards}]" not in fp:
+            raise ValueError(
+                f"materialize_graph: manifest shard {s} was produced by a "
+                f"different run configuration ({fp!r}) — this run has "
+                f"pages_path={pages_path!r}, n_shards={n_shards}. Resume "
+                "with the ORIGINAL parameters or start a fresh out_dir."
+            )
     summary = {"shards_total": n_shards, "shards_skipped": len(done), "shards_run": 0}
 
     input_files = _input_parquet_files(pages_path)

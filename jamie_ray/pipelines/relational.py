@@ -37,20 +37,13 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
-# per-worker cache for broadcast Arrow arrays fetched from the object
-# store by task-shaped kernels (same pattern as stages/link.py).
-# Single-entry: a new ref evicts the old, bounding worker memory
-_BCAST_CACHE: dict[str, pa.Array] = {}
-
-
 def _broadcast_array(ref) -> pa.Array:
+    # the shared per-worker single-entry ref cache (state/worker_cache)
     if not isinstance(ref, ray.ObjectRef):
         return ref
-    key = ref.hex()
-    if key not in _BCAST_CACHE:
-        _BCAST_CACHE.clear()
-        _BCAST_CACHE[key] = ray.get(ref)
-    return _BCAST_CACHE[key]
+    from ..state.worker_cache import cached_get
+
+    return cached_get(ref, "relational_broadcast")
 
 
 def _rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
@@ -162,9 +155,18 @@ def corpus_stats(sf_dir: str) -> ray.data.Dataset:
         gb = batch.group_by(["lang"]).aggregate(
             [("n_chars", "sum"), ("n_chars", "min"), ("n_chars", "max"), ("lang", "count")]
         )
-        # pyarrow group_by output order: key cols first, then aggregates
-        return gb.rename_columns(
-            ["lang", "chars_sum", "chars_min", "chars_max", "n_docs"]
+        # select aggregates by their <col>_<agg> NAMES — output column
+        # ORDER is a pyarrow implementation detail (CLAUDE.md rule), and
+        # chars_min/chars_max are both int64: a positional swap would be
+        # silent
+        return pa.table(
+            {
+                "lang": gb.column("lang"),
+                "chars_sum": gb.column("n_chars_sum"),
+                "chars_min": gb.column("n_chars_min"),
+                "chars_max": gb.column("n_chars_max"),
+                "n_docs": gb.column("lang_count"),
+            }
         )
 
     combined = ds.map_batches(local, batch_format="pyarrow")
@@ -199,7 +201,12 @@ def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
     ds = _read(sf_dir, "events", ["event_type"])
 
     def local(batch: pa.Table) -> pa.Table:
-        vals = sorted(set(batch.column("event_type").to_pylist()))
+        # null-tolerant distinct (SQL DISTINCT emits the NULL group;
+        # a bare sorted() would TypeError on None vs str)
+        vals = sorted(
+            set(batch.column("event_type").to_pylist()),
+            key=lambda v: (v is not None, v or ""),
+        )
         return pa.table({"event_type": pa.array(vals, pa.string())})
 
     return (

@@ -188,6 +188,30 @@ def test_materialize_resumable(corpus, tmp_path):
     )
 
 
+def test_materialize_resume_rejects_changed_shards(corpus, tmp_path):
+    """A rerun with a different n_shards (or input path) must refuse to
+    resume: the old partitioning's manifest shards would be skipped and
+    the finalize pass would silently drop their triples."""
+    import pytest
+
+    pages_dir, _ = corpus
+    out = tmp_path / "graph_guard"
+    kg.materialize_graph(str(pages_dir / "pages.parquet"), str(out), n_shards=3)
+    with pytest.raises(ValueError, match="different run configuration"):
+        kg.materialize_graph(
+            str(pages_dir / "pages.parquet"), str(out), n_shards=2
+        )
+    with pytest.raises(ValueError, match="different run configuration"):
+        kg.materialize_graph("/some/other/pages.parquet", str(out), n_shards=3)
+
+
+def test_build_triples_pipeline_mode_rejects_model_args(ray_session):
+    import pytest
+
+    with pytest.raises(ValueError, match="mode='pipeline'"):
+        kg.build_triples("/nonexistent", mode="pipeline", model="hf:/ckpt")
+
+
 def test_materialize_survives_kill(corpus, tmp_path, monkeypatch):
     """Kill mid-run (after 1 shard) -> rerun -> identical final graph."""
     pages_dir, _ = corpus
