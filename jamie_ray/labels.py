@@ -30,6 +30,34 @@ from typing import Sequence
 Span = tuple[str, int, int]  # (tag, start, end) — end exclusive
 
 
+def restore_tokens(tokens: Sequence[str]) -> list[str]:
+    """Undo the chunker's whitespace sentinels (``[JASP]`` -> U+3000,
+    ``[SEP]`` -> newline) — the reference's token restore rule
+    (data_objects.py:210). ONE shared definition: the format sinks and
+    the assembler must all restore identically or the byte-exact
+    writer oracles diverge."""
+    return [
+        t.replace("[JASP]", "　").replace("[SEP]", "\n") for t in tokens
+    ]
+
+
+def add_rel_cell(
+    rels: list[list[str]], heads: list[list[int]], tail: int, head: int, rel: str
+) -> None:
+    """Insert one relation into the multihead cell lists under the
+    reference's default-cell rule: a still-default cell (``['N']`` rels
+    with a self head) is REPLACED by the first real relation; further
+    relations APPEND. One shared definition for every reader that
+    reconstructs multihead cells (gold-XML, brat, pmhs) — the
+    convention belongs next to :func:`sbwrel2head`, which consumes it."""
+    if rels[tail] == ["N"] and heads[tail] == [tail]:
+        rels[tail] = [rel]
+        heads[tail] = [head]
+    else:
+        rels[tail].append(rel)
+        heads[tail].append(head)
+
+
 def bio_to_spans(ner_tags: Sequence[str]) -> list[Span]:
     """BIO tag sequence -> entity spans (data_objects.py:44-70 semantics)."""
     entities: list[Span] = []

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..labels import bio_to_spans
+from ..labels import restore_tokens, bio_to_spans
 
 
 def assemble_batch(batch: pa.Table) -> pa.Table:
@@ -41,7 +41,7 @@ def assemble_batch(batch: pa.Table) -> pa.Table:
     for url, cid, toks, ner, mod, rels, heads in zip(
         urls, cids, tokens_col, ner_col, mod_col, rels_col, heads_col
     ):
-        toks = [t.replace("[JASP]", "　").replace("[SEP]", "\n") for t in toks]
+        toks = restore_tokens(toks)
         entities = bio_to_spans(ner)
         # last-token -> (tag, start, end); ends are unique by construction
         sent_dic = {e[2] - 1: e for e in entities}
@@ -90,7 +90,7 @@ def entities_batch(batch: pa.Table) -> pa.Table:
 
     out: dict[str, list] = {k: [] for k in ("url", "chunk_id", "mention", "ner_tag", "mod")}
     for url, cid, toks, ner, mod in zip(urls, cids, tokens_col, ner_col, mod_col):
-        toks = [t.replace("[JASP]", "　").replace("[SEP]", "\n") for t in toks]
+        toks = restore_tokens(toks)
         for tag, start, end in bio_to_spans(ner):
             out["url"].append(url)
             out["chunk_id"].append(cid)

@@ -29,6 +29,8 @@ from bisect import bisect_left
 
 import pyarrow as pa
 
+from ..labels import add_rel_cell, restore_tokens
+
 from ..tokenization import analyze
 from .chunk import SEP_JOIN
 
@@ -44,7 +46,7 @@ def parse_brat(txt: str, ann: str) -> dict:
     """One (.txt, .ann) chunk pair -> tagged-chunk dict
     (tokens, ner, mod, rels, heads, anno_errors)."""
     tokens = _tokenize_txt(txt)
-    restored = [t.replace("[JASP]", "　").replace("[SEP]", "\n") for t in tokens]
+    restored = restore_tokens(tokens)
     # char offset of each token start over the emitted .txt
     starts: list[int] = []
     pos = 0
@@ -127,12 +129,7 @@ def parse_brat(txt: str, ann: str) -> dict:
             anno_errors += 1
 
     def add_rel(tail: int, head: int, rel: str) -> None:
-        if rels[tail] == ["N"] and heads[tail] == [tail]:
-            rels[tail] = [rel]
-            heads[tail] = [head]
-        else:
-            rels[tail].append(rel)
-            heads[tail].append(head)
+        add_rel_cell(rels, heads, tail, head, rel)
 
     for label, tid, value in attr_lines:
         span = tid_span.get(tid)

@@ -33,9 +33,15 @@ def split_long_line(line: str, budget: int, analyzer: str = "mecab") -> list[str
     """Split one over-budget line at wakati token boundaries.
 
     Deterministic greedy accumulation of per-token subword lengths
-    (an upper bound on the merged length, so every piece fits). wakati
-    tokens partition the input chars exactly, so cut offsets are the
-    cumulative token lengths.
+    (an upper bound on the merged length, so every piece fits). The
+    built-in wakati tokens partition the input chars exactly; a REAL
+    analyzer may DROP chars (mecab_real strips ASCII spaces) or
+    normalize surfaces, so each token is re-located in the line with
+    ``find`` — skipped chars ride inside the surrounding slices and the
+    tail is always emitted, keeping ``"".join(pieces) == line`` (the
+    byte-identity invariant) for any analyzer. A token whose surface
+    can't be located (normalizing analyzer) falls back to budget-sized
+    char windows — still byte-exact, token alignment abandoned.
     """
     # a single token can itself exceed the budget (long URL, base64
     # blob, unbroken katakana run — wakati only chunks kanji runs):
@@ -45,34 +51,58 @@ def split_long_line(line: str, budget: int, analyzer: str = "mecab") -> list[str
 
     max_tok_chars = max(1, (budget - 1) * _PIECE)
 
+    def char_windows(s: str) -> list[str]:
+        return [
+            s[off : off + max_tok_chars]
+            for off in range(0, len(s), max_tok_chars)
+        ]
+
+    toks = list(get_analyzer(analyzer)(line))
+    exact_partition = sum(len(t) for t in toks) == len(line)
+
     pieces: list[str] = []
     cur_len = 0
-    cur_chars = 0
     start = 0
     pos = 0
-    for tok in get_analyzer(analyzer)(line):
+    for tok in toks:
+        if exact_partition:
+            # tokens partition the chars exactly (the built-in wakati:
+            # it may NORMALIZE surfaces — full-width ASCII — but never
+            # changes char counts, so cumulative lengths are offsets)
+            idx = pos
+        else:
+            # a dropping analyzer (mecab_real strips ASCII spaces):
+            # re-locate each surface; skipped chars ride inside the
+            # surrounding slices
+            idx = line.find(tok, pos) if tok else pos
+            if idx < 0:
+                # normalized surface not present verbatim: byte-exact
+                # fallback for the REMAINDER of the line
+                if pos > start:
+                    pieces.append(line[start:pos])
+                pieces.extend(char_windows(line[pos:]))
+                return [p for p in pieces if p]
+        tok_end = idx + len(tok)
         if subword_len([tok]) > budget:
-            if cur_chars > 0:
-                pieces.append(line[start:pos])
-            for off in range(0, len(tok), max_tok_chars):
-                pieces.append(line[pos + off : pos + off + max_tok_chars])
-            pos += len(tok)
+            if idx > start:
+                pieces.append(line[start:idx])
+            pieces.extend(char_windows(line[idx:tok_end]))
+            pos = tok_end
             start = pos
             cur_len = 0
-            cur_chars = 0
             continue
         tok_sbw = subword_len([tok])
-        if cur_len + tok_sbw > budget and cur_chars > 0:
+        if cur_len + tok_sbw > budget and pos > start:
             pieces.append(line[start:pos])
             start = pos
             cur_len = 0
-            cur_chars = 0
         cur_len += tok_sbw
-        cur_chars += len(tok)
-        pos += len(tok)
-    if pos > start:
-        pieces.append(line[start:pos])
-    return pieces
+        pos = tok_end
+    if len(line) > start:
+        # the remainder INCLUDING any trailing chars the analyzer
+        # dropped (never silently lost)
+        pieces.append(line[start:])
+    return [p for p in pieces if p]
 
 
 def chunk_pack(

@@ -107,6 +107,12 @@ def conll_to_chunks(text: str, *, merged: bool = False) -> list[dict]:
     rows: list[dict] = []
     cur: dict | None = None
     synthetic = 0
+    # per-url sentence counter: the reference WRITES one bare
+    # '#doc {file}' header per sentence (utils.py:831), so a suffixless
+    # header must get the doc's NEXT sentence index — a constant 0
+    # would collapse every sentence of a doc onto one (url, chunk_id)
+    # key, breaking hash-keyed splits/shards/joins downstream
+    seen_per_url: dict[str, int] = {}
 
     def flush() -> None:
         nonlocal cur
@@ -114,10 +120,25 @@ def conll_to_chunks(text: str, *, merged: bool = False) -> list[dict]:
             rows.append(cur)
         cur = None
 
+    def fresh(url: str, chunk_id: int | None) -> dict:
+        if chunk_id is None:
+            chunk_id = seen_per_url.get(url, 0)
+        seen_per_url[url] = max(seen_per_url.get(url, 0), chunk_id + 1)
+        return {
+            "url": url,
+            "chunk_id": chunk_id,
+            "tokens": [],
+            "ner": [],
+            "mod": [],
+            "rels": [],
+            "heads": [],
+        }
+
     for line in text.split("\n"):
         if line.startswith(("#doc", "## line")):
             flush()
-            url, chunk_id = f"conll://{synthetic}", 0
+            synthetic += 1
+            url, chunk_id = f"conll://{synthetic}", None
             if line.startswith("#doc ") and "#" in line[5:]:
                 head, _, tail = line[5:].rpartition("#")
                 if tail.isdigit():
@@ -126,33 +147,23 @@ def conll_to_chunks(text: str, *, merged: bool = False) -> list[dict]:
                     url = line[5:]
             elif line.startswith("#doc "):
                 url = line[5:]
-            synthetic += 1
-            cur = {
-                "url": url,
-                "chunk_id": chunk_id,
-                "tokens": [],
-                "ner": [],
-                "mod": [],
-                "rels": [],
-                "heads": [],
-            }
+            cur = fresh(url, chunk_id)
             continue
         if not line.strip():
             continue
         if cur is None:
             synthetic += 1
-            cur = {
-                "url": f"conll://{synthetic}",
-                "chunk_id": 0,
-                "tokens": [],
-                "ner": [],
-                "mod": [],
-                "rels": [],
-                "heads": [],
-            }
+            cur = fresh(f"conll://{synthetic}", None)
         items = line.rstrip("\n").split("\t")
+        if len(items) == 5 and not merged:
+            # the reference's no-modality variant (utils.py:835-840,
+            # contains_modality=False): id, token, ner, rels, heads
+            items = items[:3] + ["_"] + items[3:]
         if len(items) != 6:
-            raise ValueError(f"bad CoNLL row (need 6 cols): {line!r}")
+            raise ValueError(
+                f"bad CoNLL row (need 6 cols, or 5 for the no-modality "
+                f"variant): {line!r}"
+            )
         cur["tokens"].append(items[1])
         if merged:
             ner_lab, mod_lab = split_merged(items[2])

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..labels import bio_to_spans
+from ..labels import restore_tokens, bio_to_spans
 
 # modality value -> attribute name (data_objects.py:6-10)
 MOD_DICT = {
@@ -35,7 +35,7 @@ _TIMEX_TAGS = ("TIMEX3", "Timex3")
 
 def _views(toks, ner, mod, rels, heads):
     """Shared derived views (mod_entities + detailed triplets)."""
-    toks = [t.replace("[JASP]", "　").replace("[SEP]", "\n") for t in toks]
+    toks = restore_tokens(toks)
     entities = bio_to_spans(ner)
     mod_entities = [(tag, s, e, mod[e - 1]) for tag, s, e in entities]
     sent_dic = {e - 1: (s, e) for _, s, e in entities}
@@ -65,8 +65,12 @@ def chunk_to_xml(toks, ner, mod, rels, heads) -> str:
         span = (s, e)
         out.insert(e, f"</{tag}>")
         attrs = f" tid=\"{span2tid[span][0]}\""
-        if m != "_" and m in MOD_DICT:
-            attrs += f" {MOD_DICT[m]}=\"{m}\""
+        if m != "_":
+            # attribute named by the reference's value class; a value
+            # outside the reference vocabulary (e.g. i2b2 assertions)
+            # keeps a generic "modality" attribute instead of being
+            # silently dropped (the brat sink preserves such values too)
+            attrs += f" {MOD_DICT.get(m, 'modality')}=\"{m}\""
         if (span, span) in span2rel:
             attrs += f" DCT-Rel=\"{span2rel[(span, span)]}\""
         out.insert(s, f"<{tag}{attrs}>")
@@ -93,12 +97,17 @@ def chunk_to_brat(toks, ner, mod, rels, heads) -> tuple[str, str]:
     (doc_to_brat semantics, is_prism=False surface tags)."""
     toks, mod_entities, detailed = _views(toks, ner, mod, rels, heads)
     txt = "".join(toks) + "\n"
+    # one cumulative offset array instead of a prefix join per
+    # annotation (the reader's `starts` pattern — O(n) not O(E*n))
+    starts = [0]
+    for t in toks:
+        starts.append(starts[-1] + len(t))
     ann_lines: list[str] = []
     eid, mid, rid = 1, 1, 1
     charid2eid: dict[int, str] = {}
     for tag, s, e, m in mod_entities:
-        begin = len("".join(toks[:s]))
-        end = len("".join(toks[:e]))
+        begin = starts[s]
+        end = starts[e]
         surface = "".join(toks[s:e])
         ann_lines.append(f"T{eid}\t{tag} {begin} {end}\t{surface}")
         charid2eid[end - 1] = f"T{eid}"
@@ -107,8 +116,8 @@ def chunk_to_brat(toks, ner, mod, rels, heads) -> tuple[str, str]:
             mid += 1
         eid += 1
     for (ts, te), (hs, he), rel in detailed:
-        t_char = len("".join(toks[:te])) - 1
-        h_char = len("".join(toks[:he])) - 1
+        t_char = starts[te] - 1
+        h_char = starts[he] - 1
         if t_char in charid2eid and h_char in charid2eid:
             if t_char != h_char:
                 ann_lines.append(

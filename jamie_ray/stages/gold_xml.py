@@ -49,6 +49,7 @@ import xml.etree.ElementTree as ET
 
 import pyarrow as pa
 
+from ..labels import add_rel_cell
 from ..tokenization import analyze
 from .chunk import SEP_JOIN
 
@@ -199,12 +200,7 @@ def parse_gold_xml(xml: str) -> dict:
     heads: list[list[int]] = [[i] for i in range(n)]
 
     def add_rel(tail: int, head: int, rel: str) -> None:
-        if rels[tail] == ["N"] and heads[tail] == [tail]:
-            rels[tail] = [rel]
-            heads[tail] = [head]
-        else:
-            rels[tail].append(rel)
-            heads[tail].append(head)
+        add_rel_cell(rels, heads, tail, head, rel)
 
     for anchor, rel in self_rels:
         add_rel(anchor, anchor, rel)

@@ -102,7 +102,12 @@ def i2b2_doc_to_rows(
             text, sid, tb, te = _parse_pointer(tl)
             err = check_span(text, sid, tb, te)
             if err:
-                errors_2d[min(sid, len(errors_2d) - 1)].append(f"[ner] {err}")
+                # clamp BOTH ends: a malformed 1-based sentence id of 0
+                # gives sid=-1, and a bare min() would Python-wrap to
+                # the LAST sentence's error list
+                errors_2d[min(max(sid, 0), len(errors_2d) - 1)].append(
+                    f"[ner] {err}"
+                )
                 continue
             tag = _VAL_RE.findall(cl)[0]
             ner_2d[sid][tb] = f"B-{tag}"
@@ -120,7 +125,9 @@ def i2b2_doc_to_rows(
             text, sid, tb, te = _parse_pointer(tl)
             err = check_span(text, sid, tb, te)
             if err:
-                errors_2d[min(sid, len(errors_2d) - 1)].append(f"[ast] {err}")
+                errors_2d[min(max(sid, 0), len(errors_2d) - 1)].append(
+                    f"[ast] {err}"
+                )
                 continue
             mod_2d[sid][te] = _VAL_RE.findall(al)[0]
         except (ValueError, IndexError) as ex:

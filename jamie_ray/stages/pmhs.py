@@ -14,11 +14,11 @@ import json
 
 import pyarrow as pa
 
-from ..labels import bio_to_spans
+from ..labels import add_rel_cell, restore_tokens, bio_to_spans
 
 
 def chunk_to_pmhs(tokens, ner, rels, heads) -> str:
-    toks = [t.replace("[JASP]", "　").replace("[SEP]", "\n") for t in tokens]
+    toks = restore_tokens(tokens)
     entities = bio_to_spans(ner)
     sent_dic = {e[2] - 1: e for e in entities}
     spo_list = []
@@ -90,12 +90,7 @@ def parse_pmhs(pmhs_json: str) -> dict:
         ):
             anno_errors += 1
             continue
-        if rels[t] == ["N"] and heads[t] == [t]:
-            rels[t] = [r]
-            heads[t] = [h]
-        else:
-            rels[t].append(r)
-            heads[t].append(h)
+        add_rel_cell(rels, heads, t, h, r)
     return {
         "tokens": tokens, "ner": ner, "mod": ["_"] * n,
         "rels": rels, "heads": heads, "anno_errors": anno_errors,

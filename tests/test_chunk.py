@@ -73,3 +73,36 @@ def test_split_unsplittable_token():
     trunks2, lens2, _ = chunk_pack([line2], len_limit=DEFAULT_LEN_LIMIT)
     assert all(n <= DEFAULT_LEN_LIMIT - 2 for n in lens2)
     assert "".join(trunks2) == line2
+
+
+def test_split_long_line_space_dropping_analyzer_byte_exact():
+    """A REAL analyzer may drop chars (mecab_real strips ASCII spaces):
+    pieces must still join back to the input byte-for-byte, with the
+    dropped chars riding inside the slices and the tail never lost."""
+    from jamie_ray.tokenization import ANALYZERS
+
+    def dropping(text):
+        return [t for t in text.split(" ") if t]
+
+    ANALYZERS["_test_dropping"] = dropping
+    try:
+        line = "alpha beta gamma delta " * 30 + "tail with trailing spaces   "
+        pieces = split_long_line(line, budget=20, analyzer="_test_dropping")
+        assert "".join(pieces) == line
+        assert len(pieces) > 1
+    finally:
+        del ANALYZERS["_test_dropping"]
+
+
+def test_split_long_line_normalizing_analyzer_falls_back_byte_exact():
+    """An analyzer whose surfaces aren't in the line verbatim (heavy
+    normalization) falls back to char windows — byte identity holds."""
+    from jamie_ray.tokenization import ANALYZERS
+
+    ANALYZERS["_test_normalizing"] = lambda text: ["ZZZ"] * 3
+    try:
+        line = "abcdefghij" * 20
+        pieces = split_long_line(line, budget=10, analyzer="_test_normalizing")
+        assert "".join(pieces) == line
+    finally:
+        del ANALYZERS["_test_normalizing"]

@@ -241,3 +241,40 @@ def test_split_merged_quirks_match_reference():
     assert conll.split_merged("B-d_positive_general") == ("B-dpositive", "general")
     assert conll.merge_modality("B-d", "_") == "B-d"
     assert conll.merge_modality("I-a", "suspicious") == "I-a_suspicious"
+
+
+def test_conll_reader_reference_bare_doc_headers():
+    """The reference writes one bare '#doc {file}' header per sentence
+    (utils.py:831): sentences of one doc must get DISTINCT chunk_ids,
+    not all collapse onto (url, 0)."""
+    from jamie_ray.stages.conll import conll_to_chunks
+
+    text = (
+        "#doc fileA\n0\tx\tO\t_\t['N']\t[0]\n\n"
+        "#doc fileA\n0\ty\tO\t_\t['N']\t[0]\n\n"
+        "#doc fileB\n0\tz\tO\t_\t['N']\t[0]\n"
+    )
+    rows = conll_to_chunks(text)
+    keys = [(r["url"], r["chunk_id"]) for r in rows]
+    assert len(keys) == len(set(keys)) == 3
+    assert [(u, c) for u, c in keys] == [("fileA", 0), ("fileA", 1), ("fileB", 0)]
+
+
+def test_conll_reader_five_column_no_modality_variant():
+    """The reference's contains_modality=False files have 5 columns
+    (utils.py:835-840): read with mod='_', not a crash."""
+    from jamie_ray.stages.conll import conll_to_chunks
+
+    rows = conll_to_chunks("#doc f\n0\tfoo\tB-C\t['N']\t[0]\n")
+    assert rows[0]["mod"] == ["_"] and rows[0]["ner"] == ["B-C"]
+
+
+def test_conll_reader_synthetic_urls_never_collide():
+    """Headerless blocks and comment headers draw from ONE synthetic
+    counter — no two sentences may share a synthetic (url, chunk_id)."""
+    from jamie_ray.stages.conll import conll_to_chunks
+
+    text = "0\ta\tO\t_\t['N']\t[0]\n\n## line 1\n0\tb\tO\t_\t['N']\t[0]\n"
+    rows = conll_to_chunks(text)
+    keys = [(r["url"], r["chunk_id"]) for r in rows]
+    assert len(keys) == len(set(keys)) == 2
