@@ -736,17 +736,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs, n_merges=BPE_N_MERGES, min_freq=BPE_MIN_FREQ
         ).replace_schema_metadata(None)
 
-    def docs_paragraph_dedup(sf_dir: str):
-        """Cross-corpus keep-first paragraph dedup over the fixture
-        paragraph corpus (planted boilerplate repeats, fixtures.py
-        generate_docs_para). The oracle is PURE SQL: DuckDB recomputes
-        the keep-first rule from the raw text with window functions —
-        fully independent of the engine's hash-shuffle plan."""
+    def docs_line_suite(sf_dir: str):
+        """Folded line-level operator suite — two value-checked views
+        in one 50-slot registration, distinguished by a ``view`` tag:
+
+        - ``para``: cross-corpus keep-first paragraph dedup over the
+          fixture paragraph corpus (planted boilerplate repeats,
+          fixtures.py generate_docs_para);
+        - ``c4``: C4-style line cleaning (Raffel et al. 2020 §2.2 —
+          terminal punct / min words / javascript line rules, brace /
+          lorem-ipsum / min-kept doc rules) over the planted
+          ``documents_c4`` corpus, clean text compared BYTE-EXACT.
+
+        Both oracles are PURE SQL: DuckDB recomputes the rules from
+        the raw text (window functions / list lambdas) — fully
+        independent of the engine's plan."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from jamie_ray.functions.text_analysis import c4_line_clean
+
         corpus = _kg_dir(sf_dir)
-        docs = ray.data.read_parquet(
-            f"{corpus}/documents_para.parquet", columns=["doc_id", "text"]
+
+        def tag(ds, view: str):
+            return ds.map_batches(
+                lambda b, v=view: b.append_column(
+                    "view", pa.array([v] * b.num_rows, pa.string())
+                ),
+                batch_format="pyarrow",
+            )
+
+        para = dedup_docs.paragraph_dedup(
+            ray.data.read_parquet(
+                f"{corpus}/documents_para.parquet", columns=["doc_id", "text"]
+            )
         )
-        return dedup_docs.paragraph_dedup(docs)
+        c4 = c4_line_clean(
+            ray.data.read_parquet(
+                f"{corpus}/documents_c4.parquet", columns=["doc_id", "text"]
+            )
+        ).map_batches(
+            # align to the para view's column names (n_paras = lines in,
+            # n_dropped = lines removed by the line rules) and encode a
+            # dropped doc as clean_text='' — the driver's row sort is
+            # not null-safe, and ''-vs-kept is unambiguous because a
+            # kept doc always has >= 3 non-blank lines
+            lambda b: b.select(["doc_id"])
+            .append_column(
+                "clean_text",
+                pc.coalesce(b.column("clean_text"), pa.scalar("", pa.string())),
+            )
+            .append_column("n_paras", b.column("n_lines"))
+            .append_column(
+                "n_dropped",
+                pc.subtract(b.column("n_lines"), b.column("n_kept")),
+            ),
+            batch_format="pyarrow",
+        )
+        return tag(para, "para").union(tag(c4, "c4"))
 
     # ---- custom temporal operators ----
 
@@ -1092,7 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # writer sinks — value-oracled since r4 (expected strings come
         # from the generator's independent sentence-structure path)
         "kg_writers_out": kg_writers_out,
-        "docs_paragraph_dedup": docs_paragraph_dedup,
+        "docs_line_suite": docs_line_suite,
         "bpe_merges": bpe_merges,
     }
     assert len(reg) <= 50, f"driver checks only 50 queries; got {len(reg)}"
@@ -1170,7 +1217,7 @@ def oracle_sql() -> dict[str, str]:
             """
         )(_kg_dir("/root/testdata/sf0.01")),
         "bpe_merges": kg_sql("expected_bpe_merges", "rank, lhs, rhs, freq"),
-        "docs_paragraph_dedup": (
+        "docs_line_suite": (
             lambda d: f"""
             WITH docs AS (
               SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS arr
@@ -1203,9 +1250,48 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_paras,
                    sum(
                      CASE WHEN always_keep OR rn = 1 THEN 0 ELSE 1 END
-                   )::BIGINT AS n_dropped
+                   )::BIGINT AS n_dropped,
+                   'para' AS view
             FROM marked
             GROUP BY doc_id
+            UNION ALL
+            -- C4 line-cleaning twin (text_analysis.c4_line_clean):
+            -- every rule recomputed from the raw text with list
+            -- lambdas; clean_text compared BYTE-EXACT. The \\s in
+            -- string_split_regex is RE2's [tab lf ff cr space] — the
+            -- engine's word-run class; rtrim strips the same set
+            -- minus lf (a split line cannot contain lf).
+            SELECT doc_id,
+                   CASE WHEN contains(text, '{{')
+                          OR regexp_matches(
+                               text, '[Ll][Oo][Rr][Ee][Mm] [Ii][Pp][Ss][Uu][Mm]')
+                          OR len(kept) < 3
+                        THEN ''
+                        ELSE array_to_string(kept, chr(10)) END AS clean_text,
+                   len(arr)::BIGINT AS n_paras,
+                   (len(arr) - len(kept))::BIGINT AS n_dropped,
+                   'c4' AS view
+            FROM (
+              SELECT doc_id, text, arr,
+                     list_filter(arr, line ->
+                       len(list_filter(
+                             string_split_regex(line, '\\s+'), x -> x <> '')
+                       ) >= 5
+                       AND NOT regexp_matches(
+                             line, '[Jj][Aa][Vv][Aa][Ss][Cc][Rr][Ii][Pp][Tt]')
+                       AND (
+                         ends_with(rtrim(line, chr(9)||chr(12)||chr(13)||' '), '.')
+                         OR ends_with(rtrim(line, chr(9)||chr(12)||chr(13)||' '), '!')
+                         OR ends_with(rtrim(line, chr(9)||chr(12)||chr(13)||' '), '?')
+                         OR ends_with(rtrim(line, chr(9)||chr(12)||chr(13)||' '), '"')
+                       )
+                     ) AS kept
+              FROM (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       string_split(coalesce(text, ''), chr(10)) AS arr
+                FROM read_parquet('{d}/documents_c4.parquet')
+              )
+            )
             """
         )(_kg_dir("/root/testdata/sf0.01")),
         "i2b2_triples": (lambda root: (

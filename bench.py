@@ -191,7 +191,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "doc_top_terms",
         "dedup_docs_exact",
         "doc_decontaminate",
-        "docs_paragraph_dedup",
+        "docs_line_suite",
         "bpe_merges",
         "lm_perplexity",
         "pii_mask",

@@ -459,6 +459,38 @@ def cmd_pii(args) -> None:
     print(json.dumps({"command": "pii", "out": args.out, **totals}))
 
 
+def cmd_lineclean(args) -> None:
+    _ensure_ray()
+    import ray.data
+
+    from .functions.text_analysis import c4_filter_batch, c4_line_clean
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    rules = dict(
+        min_words_per_line=args.min_words,
+        min_kept_lines=args.min_lines,
+        require_terminal_punct=not args.no_terminal_punct,
+    )
+    if args.annotate:
+        out = c4_line_clean(docs, args.text_col, **rules)
+    else:
+        out = docs.map_batches(
+            lambda b: c4_filter_batch(b, args.text_col, **rules),
+            batch_format="pyarrow",
+        )
+    out.write_parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "command": "lineclean",
+                "out": args.out,
+                "n_docs": _pq_num_rows(args.out),
+                "annotate": bool(args.annotate),
+            }
+        )
+    )
+
+
 def cmd_langid(args) -> None:
     _ensure_ray()
     import ray.data
@@ -1182,6 +1214,32 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
     p.set_defaults(fn=cmd_pii)
+
+    p = sub.add_parser(
+        "lineclean",
+        help="documents -> C4-style line-level cleaning (Raffel et al. "
+        "2020 s2.2: terminal punct / min words / javascript line rules; "
+        "brace / lorem-ipsum / min-kept doc rules)",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.add_argument("--min-words", dest="min_words", type=int, default=5)
+    p.add_argument("--min-lines", dest="min_lines", type=int, default=3)
+    p.add_argument(
+        "--no-terminal-punct",
+        dest="no_terminal_punct",
+        action="store_true",
+        help="drop the terminal-punctuation line rule",
+    )
+    p.add_argument(
+        "--annotate",
+        action="store_true",
+        help="keep every doc and append clean_text/n_lines/n_kept "
+        "instead of filtering + rewriting text",
+    )
+    p.set_defaults(fn=cmd_lineclean)
 
     p = sub.add_parser(
         "langid",

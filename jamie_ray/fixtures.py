@@ -46,7 +46,7 @@ FILLERS = (
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 # bump when generation rules change so stale cached corpora regenerate
-FIXTURE_VERSION = 14  # v14: semantic_dedup greedy-leader (keeper-only reps)
+FIXTURE_VERSION = 15  # v15: documents_c4 planted C4 line-cleaning corpus
 
 _HOT_DOMAIN = "hot.example.com"
 
@@ -789,7 +789,71 @@ def generate_docs_para(n_docs: int) -> dict[str, pa.Table]:
             }
         ),
         "expected_bpe_merges": _bpe_expected(texts[:BPE_DOC_SAMPLE]),
+        "documents_c4": _generate_docs_c4(n_docs),
     }
+
+
+def _generate_docs_c4(n_docs: int) -> pa.Table:
+    """Deterministic multi-line documents with PLANTED C4 features for
+    ``text_analysis.c4_line_clean``: good lines per terminal-punct
+    flavor (. ! ? \") including trailing-RE2-blank tails, short lines,
+    no-terminal-punct lines, ASCII-case-variant javascript lines,
+    whitespace-only lines, curly-brace docs, lorem-ipsum docs (mixed
+    case), docs with exactly min_kept_lines-1 survivors, and one empty
+    doc. No expected table: the oracle is PURE SQL (the DuckDB twin in
+    ``__ray_entry__`` recomputes every rule from the raw text)."""
+    puncts = [".", "!", "?", '"']
+    js = ["javascript", "JavaScript", "JAVASCRIPT"]
+    lorem = ["lorem ipsum", "Lorem Ipsum", "LOREM IPSUM"]
+    ids: list[int] = []
+    texts: list[str] = []
+    for i in range(n_docs):
+        n_lines = 3 + stable_hash64("c4len", i) % 6
+        lines: list[str] = []
+        for s in range(n_lines):
+            kind = stable_hash64("c4kind", i, s) % 10
+            words = [
+                f"c{i}l{s}w{k}"
+                for k in range(5 + stable_hash64("c4wlen", i, s) % 5)
+            ]
+            p = puncts[stable_hash64("c4punct", i, s) % len(puncts)]
+            if kind < 4:
+                line = " ".join(words) + p
+                if kind == 3:
+                    line += " \t"  # trailing RE2 blanks after the punct
+            elif kind == 4:
+                line = " ".join(words[:2]) + p  # too few words
+            elif kind == 5:
+                line = " ".join(words)  # no terminal punct
+            elif kind == 6:
+                line = " ".join(
+                    words + [js[stable_hash64("c4js", i, s) % len(js)]]
+                ) + p
+            elif kind == 7:
+                line = "  " if s % 2 else ""  # whitespace-only
+            else:
+                line = " ".join(words) + p
+            lines.append(line)
+        dockind = stable_hash64("c4doc", i) % 12
+        if dockind in (0, 10):
+            lines.append("if (x) { y(); } " + " ".join(
+                f"c{i}bw{k}" for k in range(5)
+            ) + ".")
+        elif dockind in (1, 11):
+            lines.append(
+                lorem[stable_hash64("c4lor", i) % len(lorem)]
+                + " dolor sit amet consectetur."
+            )
+        ids.append(i)
+        texts.append("\n".join(lines))
+    if n_docs:
+        texts[-1] = ""  # the ''.split boundary
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
 
 
 def generate_media_expected() -> dict[str, pa.Table]:

@@ -181,6 +181,139 @@ def is_re2_blank(text: str) -> bool:
     return text.strip("\t\n\x0c\r ") == ""
 
 
+# --- C4-style line-level cleaning (Raffel et al. 2020, §2.2 — public
+# literature; the reference has no web-cleaning stage, this is
+# brief-driven like the rest of the LLM-data family). Shared ASCII
+# case-class regexes: Python re, Arrow RE2 and DuckDB RE2 all agree on
+# these, unlike lower()/ignore_case which can diverge on non-ASCII.
+C4_BANNED_LINE_RE = "[Jj][Aa][Vv][Aa][Ss][Cc][Rr][Ii][Pp][Tt]"
+C4_BANNED_DOC_RE = "[Ll][Oo][Rr][Ee][Mm] [Ii][Pp][Ss][Uu][Mm]"
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+# RE2 blanks minus \n (a split line can never contain \n)
+_LINE_RTRIM = "\t\x0c\r "
+# one "word" = one maximal run of non-RE2-blank characters — the exact
+# count of non-empty tokens in the SQL twin's string_split_regex('\s+')
+_WORD_RUN_RE = "[^\t\n\x0c\r ]+"
+
+
+def c4_line_clean_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    require_terminal_punct: bool = True,
+    out_col: str = "clean_text",
+) -> pa.Table:
+    """C4 line-level cleaning rules, fully vectorized (zero row loops).
+
+    Line rules (a line is kept iff ALL hold):
+      - >= ``min_words_per_line`` words (RE2 ``\\s+`` token count);
+      - ends in terminal punctuation ``. ! ? \"`` after stripping
+        trailing RE2 blanks (skipped if ``require_terminal_punct`` is
+        False);
+      - does not contain "javascript" (ASCII-case-insensitive).
+    Document rules (the whole doc is dropped — ``out_col`` NULL — iff
+    ANY holds, each tested on the ORIGINAL text):
+      - contains ``{`` anywhere;
+      - contains "lorem ipsum" (ASCII-case-insensitive);
+      - fewer than ``min_kept_lines`` lines survive the line rules.
+
+    Appends ``out_col`` (kept lines re-joined with ``\\n``; NULL for a
+    dropped doc), ``n_lines`` and ``n_kept`` (both int64; counted even
+    for dropped docs). NULL input text is treated as ``""``. The
+    DuckDB twin lives in ``__ray_entry__.oracle_sql`` (``c4`` view of
+    ``docs_line_suite``) and is byte-exact on ``out_col``.
+    """
+    n = batch.num_rows
+    text = pc.coalesce(batch.column(text_col), pa.scalar("", pa.string()))
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lines = pc.split_pattern(text, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    lengths = pc.list_value_length(lines).to_numpy().astype(np.int64)
+    flat = lines.flatten()
+    # per-line keep mask — all Arrow kernels over the flat line array
+    words_ok = pc.greater_equal(
+        pc.count_substring_regex(flat, _WORD_RUN_RE),
+        pa.scalar(min_words_per_line, pa.int32()),
+    )
+    keep = pc.and_(
+        words_ok,
+        pc.invert(pc.match_substring_regex(flat, C4_BANNED_LINE_RE)),
+    )
+    if require_terminal_punct:
+        rtrimmed = pc.utf8_rtrim(flat, characters=_LINE_RTRIM)
+        terminal = pc.ends_with(rtrimmed, pattern=C4_TERMINAL_PUNCT[0])
+        for p in C4_TERMINAL_PUNCT[1:]:
+            terminal = pc.or_(terminal, pc.ends_with(rtrimmed, pattern=p))
+        keep = pc.and_(keep, terminal)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    kept_counts = np.bincount(parent[keep_np], minlength=n).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(kept_counts, out=offsets[1:])
+    kept_list = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), flat.filter(keep)
+    )
+    joined = pc.binary_join(kept_list, "\n")
+    drop = pc.or_(
+        pc.or_(
+            pc.match_substring(text, "{"),
+            pc.match_substring_regex(text, C4_BANNED_DOC_RE),
+        ),
+        pa.array(kept_counts < min_kept_lines),
+    )
+    clean = pc.if_else(drop, pa.scalar(None, pa.string()), joined)
+    return (
+        batch.append_column(out_col, clean)
+        .append_column("n_lines", pa.array(lengths, pa.int64()))
+        .append_column("n_kept", pa.array(kept_counts, pa.int64()))
+    )
+
+
+def c4_line_clean(
+    ds,
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    require_terminal_punct: bool = True,
+    out_col: str = "clean_text",
+):
+    """Dataset wrapper of :func:`c4_line_clean_batch` — streaming, no
+    shuffle, no state. Dropped docs keep their row with a NULL
+    ``out_col`` so callers can count/inspect them; use
+    :func:`c4_filter` to apply the drop."""
+    return ds.map_batches(
+        lambda b: c4_line_clean_batch(
+            b,
+            text_col,
+            min_words_per_line=min_words_per_line,
+            min_kept_lines=min_kept_lines,
+            require_terminal_punct=require_terminal_punct,
+            out_col=out_col,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def c4_filter_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    **rules,
+) -> pa.Table:
+    """Apply :func:`c4_line_clean_batch` as a gate: dropped docs are
+    filtered out and ``text_col`` is REPLACED by the cleaned text
+    (schema unchanged — the ``clean_corpus`` stage contract)."""
+    out = c4_line_clean_batch(batch, text_col, out_col="__c4_clean", **rules)
+    out = out.filter(pc.is_valid(out.column("__c4_clean")))
+    i = out.schema.get_field_index(text_col)
+    out = out.set_column(i, text_col, out.column("__c4_clean"))
+    return out.drop_columns(["__c4_clean", "n_lines", "n_kept"])
+
+
 def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Gopher-style repetition quality signals (Rae et al. 2021,
     "Scaling Language Models: ... Gopher" §A1.1 — public literature),

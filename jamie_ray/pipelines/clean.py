@@ -44,6 +44,7 @@ def clean_corpus(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    line_clean: bool = False,
     min_tokens: int = DEFAULT_MIN_TOKENS,
     max_dup3gram_micro: int = DEFAULT_MAX_DUP3GRAM,
     min_quality_micro: int = DEFAULT_MIN_QUALITY,
@@ -73,6 +74,13 @@ def clean_corpus(
     drops documents, so it has no count of its own), plus
     ``n_after_url`` when ``url_col`` is given (keep-first by
     canonical URL, default ``strip_www`` canonicalization).
+
+    ``line_clean=True`` enables the C4-style line-level cleaning pass
+    (``text_analysis.c4_filter_batch`` — terminal-punct / min-words /
+    javascript line rules; brace / lorem-ipsum / min-kept-lines doc
+    rules) right before the heuristic quality gate: surviving docs
+    carry their kept lines re-joined with ``\\n``. Stats gain
+    ``n_after_line_clean``.
 
     ``pii=True`` appends the PII-masking pass (``functions/pii.py``:
     email/IPv4/phone sentinels) as the LAST stage — after dedup, so
@@ -209,6 +217,25 @@ def clean_corpus(
             [id_col, text_col],
         )
         n_after_url = docs.count()
+
+    n_after_line_clean: int | None = None
+    if line_clean:
+        # C4-style line-level cleaning (Raffel et al. 2020 §2.2) right
+        # before the heuristic quality gate: rewrites text to the kept
+        # lines and drops brace/lorem/too-few-line docs. Streaming, no
+        # shuffle; one spill so the multi-pass stages below re-read the
+        # REWRITTEN text (the repo-wide spill contract).
+        from ..functions.text_analysis import c4_filter_batch
+
+        docs = _spill_input(
+            docs.map_batches(
+                lambda b: c4_filter_batch(b, text_col),
+                batch_format="pyarrow",
+            ),
+            os.path.join(spill_dir, "linec"),
+            [id_col, text_col],
+        )
+        n_after_line_clean = docs.count()
 
     def quality_gate(b: pa.Table) -> pa.Table:
         b = repetition_batch(
@@ -507,6 +534,8 @@ def clean_corpus(
     }
     if n_after_url is not None:
         stats["n_after_url"] = n_after_url
+    if n_after_line_clean is not None:
+        stats["n_after_line_clean"] = n_after_line_clean
     if n_after_lm is not None:
         stats["n_after_lm"] = n_after_lm
     if n_after_lang is not None:
