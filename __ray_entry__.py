@@ -1560,8 +1560,45 @@ def oracle_sql() -> dict[str, str]:
                    ) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro,
                    md5(text) AS text_hash,
                    coalesce(r2.top2gram_micro, 0) AS top2gram_micro,
-                   coalesce(r3.dup3gram_micro, 0) AS dup3gram_micro
+                   coalesce(r3.dup3gram_micro, 0) AS dup3gram_micro,
+                   -- Gopher quality signals (Rae et al. 2021 A1.1),
+                   -- integer-exact twins of gopher_quality_batch:
+                   -- products and floor division only, no float path
+                   CASE WHEN gq.n_tok = 0 THEN 0
+                        ELSE (length(text) - gq.nblank) * 1000000 // gq.n_tok
+                   END AS mean_word_len_micro,
+                   CASE WHEN gq.n_tok = 0 THEN 0
+                        ELSE ((length(text) - length(replace(text, '#', '')))
+                             + (length(text) - length(replace(text, '...', ''))) // 3
+                             + (length(text) - length(replace(text, '…', ''))))
+                             * 1000000 // gq.n_tok
+                   END AS symbol_word_micro,
+                   CASE WHEN gq.n_tok = 0 THEN 0
+                        ELSE len(list_filter(
+                               string_split_regex(text, '\s+'),
+                               x -> x <> '' AND regexp_matches(x, '[A-Za-z]')))
+                             * 1000000 // gq.n_tok
+                   END AS alpha_word_micro,
+                   len(list_filter(string_split(text, chr(10)), l ->
+                       starts_with(ltrim(l, chr(9)||chr(12)||chr(13)||' '), '•')
+                       OR starts_with(ltrim(l, chr(9)||chr(12)||chr(13)||' '), '- ')
+                       OR starts_with(ltrim(l, chr(9)||chr(12)||chr(13)||' '), '* ')))
+                       * 1000000
+                       // greatest(len(string_split(text, chr(10))), 1)
+                       AS bullet_line_micro,
+                   len(list_filter(string_split(text, chr(10)), l ->
+                       ends_with(rtrim(l, chr(9)||chr(12)||chr(13)||' '), '...')
+                       OR ends_with(rtrim(l, chr(9)||chr(12)||chr(13)||' '), '…')))
+                       * 1000000
+                       // greatest(len(string_split(text, chr(10))), 1)
+                       AS ellipsis_line_micro
             FROM documents
+            JOIN (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS n_tok,
+                     len(regexp_extract_all(text, '\s')) AS nblank
+              FROM documents
+            ) gq USING (doc_id)
             LEFT JOIN (
               -- most frequent token 2-gram's char coverage, micro
               -- units, integer floor division (bit-exact twin of

@@ -181,6 +181,109 @@ def is_re2_blank(text: str) -> bool:
     return text.strip("\t\n\x0c\r ") == ""
 
 
+def gopher_quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style document quality signals (Rae et al. 2021 §A1.1 —
+    public literature), all integer-exact micro-unit columns so the
+    DuckDB twin compares bit-for-bit (the ``repetition_batch``
+    discipline — integer products and floor division only, no float
+    path at all):
+
+    - ``mean_word_len_micro``: ``total_token_chars * 1e6 //
+      n_tokens`` (0 for empty docs). Gopher keeps docs whose mean is
+      in [3, 10].
+    - ``symbol_word_micro``: ``(count('#') + count('...') +
+      count('…')) * 1e6 // n_tokens`` — the symbol-to-word ratio
+      (Gopher keeps <= 0.1). Non-overlapping substring counts on both
+      engines.
+    - ``alpha_word_micro``: fraction of words containing at least one
+      ``[A-Za-z]`` character (Gopher keeps >= 0.8).
+    - ``bullet_line_micro``: fraction of lines starting with a bullet
+      marker (``•``, ``- ``, ``* `` after leading-RE2-blank strip;
+      Gopher drops docs above 0.9).
+    - ``ellipsis_line_micro``: fraction of lines ending with ``...``
+      or ``…`` after trailing-RE2-blank strip (Gopher drops above
+      0.3).
+
+    Words are the RE2-exact ``\\s+`` split (:func:`ws_tokens` twin);
+    lines are the ``\\n`` split. All counts are Arrow kernels over the
+    flattened token/line arrays — zero Python row loops.
+    """
+    n = batch.num_rows
+    text = pc.coalesce(batch.column(text_col), pa.scalar("", pa.string()))
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+
+    n_tok = pc.cast(pc.count_substring_regex(text, _WORD_RUN_RE), pa.int64())
+    n_tok_np = n_tok.to_numpy()
+    safe_tok = np.maximum(n_tok_np, 1)
+
+    # mean word length: token chars = chars - RE2-blank chars
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+    n_blank = pc.cast(
+        pc.count_substring_regex(text, WS_RE2_CLASS), pa.int64()
+    ).to_numpy()
+    mean_wl = (n_chars - n_blank) * 1_000_000 // safe_tok
+    mean_wl[n_tok_np == 0] = 0
+
+    # symbol-to-word ratio
+    sym = (
+        pc.count_substring(text, "#").to_numpy().astype(np.int64)
+        + pc.count_substring(text, "...").to_numpy().astype(np.int64)
+        + pc.count_substring(text, "…").to_numpy().astype(np.int64)
+    )
+    sym_micro = sym * 1_000_000 // safe_tok
+    sym_micro[n_tok_np == 0] = 0
+
+    # alpha-word fraction over the flattened token array
+    toks = pc.split_pattern_regex(text, WS_RE2_CLASS + "+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    tok_lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat_tok = toks.flatten()
+    tok_parent = np.repeat(np.arange(n, dtype=np.int64), tok_lens)
+    is_word = pc.not_equal(flat_tok, pa.scalar("")).to_numpy(zero_copy_only=False)
+    has_alpha = pc.match_substring_regex(flat_tok, LATIN_RE).to_numpy(
+        zero_copy_only=False
+    )
+    alpha_cnt = np.bincount(
+        tok_parent[is_word & has_alpha], minlength=n
+    ).astype(np.int64)
+    alpha_micro = alpha_cnt * 1_000_000 // safe_tok
+    alpha_micro[n_tok_np == 0] = 0
+
+    # line-level bullet / ellipsis fractions
+    lines = pc.split_pattern(text, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    line_lens = pc.list_value_length(lines).to_numpy().astype(np.int64)
+    flat_line = lines.flatten()
+    line_parent = np.repeat(np.arange(n, dtype=np.int64), line_lens)
+    lt = pc.utf8_ltrim(flat_line, characters=_LINE_RTRIM)
+    bullet = pc.or_(
+        pc.starts_with(lt, pattern="•"),
+        pc.or_(pc.starts_with(lt, pattern="- "), pc.starts_with(lt, pattern="* ")),
+    ).to_numpy(zero_copy_only=False)
+    rt = pc.utf8_rtrim(flat_line, characters=_LINE_RTRIM)
+    ellipsis = pc.or_(
+        pc.ends_with(rt, pattern="..."), pc.ends_with(rt, pattern="…")
+    ).to_numpy(zero_copy_only=False)
+    bullet_cnt = np.bincount(line_parent[bullet], minlength=n).astype(np.int64)
+    ellipsis_cnt = np.bincount(line_parent[ellipsis], minlength=n).astype(np.int64)
+    safe_lines = np.maximum(line_lens, 1)
+    bullet_micro = bullet_cnt * 1_000_000 // safe_lines
+    ellipsis_micro = ellipsis_cnt * 1_000_000 // safe_lines
+
+    return (
+        batch.append_column("mean_word_len_micro", pa.array(mean_wl, pa.int64()))
+        .append_column("symbol_word_micro", pa.array(sym_micro, pa.int64()))
+        .append_column("alpha_word_micro", pa.array(alpha_micro, pa.int64()))
+        .append_column("bullet_line_micro", pa.array(bullet_micro, pa.int64()))
+        .append_column(
+            "ellipsis_line_micro", pa.array(ellipsis_micro, pa.int64())
+        )
+    )
+
+
 # --- C4-style line-level cleaning (Raffel et al. 2020, §2.2 — public
 # literature; the reference has no web-cleaning stage, this is
 # brief-driven like the rest of the LLM-data family). Shared ASCII

@@ -45,6 +45,7 @@ def clean_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_clean: bool = False,
+    gopher: bool = False,
     min_tokens: int = DEFAULT_MIN_TOKENS,
     max_dup3gram_micro: int = DEFAULT_MAX_DUP3GRAM,
     min_quality_micro: int = DEFAULT_MIN_QUALITY,
@@ -81,6 +82,13 @@ def clean_corpus(
     rules) right before the heuristic quality gate: surviving docs
     carry their kept lines re-joined with ``\\n``. Stats gain
     ``n_after_line_clean``.
+
+    ``gopher=True`` extends the heuristic quality gate with the
+    Gopher §A1.1 document thresholds (``text_analysis.
+    gopher_quality_batch``: mean word length in [3, 10], symbol-to-
+    word <= 0.1, alpha-word >= 0.8, bullet lines <= 0.9, ellipsis
+    lines <= 0.3) in the SAME streaming pass — no extra scan, no
+    stat of its own (drops fold into ``n_after_quality``).
 
     ``pii=True`` appends the PII-masking pass (``functions/pii.py``:
     email/IPv4/phone sentinels) as the LAST stage — after dedup, so
@@ -251,6 +259,26 @@ def clean_corpus(
             ),
             pc.greater_equal(b.column("quality_micro"), min_quality_micro),
         )
+        if gopher:
+            # Gopher §A1.1 document thresholds over the integer-exact
+            # signal columns (same streaming pass, no extra scan):
+            # mean word length in [3, 10], symbol-to-word <= 0.1,
+            # alpha-word fraction >= 0.8, bullet lines <= 0.9,
+            # ellipsis lines <= 0.3
+            from ..functions.text_analysis import gopher_quality_batch
+
+            b = gopher_quality_batch(b, text_col=text_col)
+            for col, lo, hi in (
+                ("mean_word_len_micro", 3_000_000, 10_000_000),
+                ("symbol_word_micro", None, 100_000),
+                ("alpha_word_micro", 800_000, None),
+                ("bullet_line_micro", None, 900_000),
+                ("ellipsis_line_micro", None, 300_000),
+            ):
+                if lo is not None:
+                    keep = pc.and_(keep, pc.greater_equal(b.column(col), lo))
+                if hi is not None:
+                    keep = pc.and_(keep, pc.less_equal(b.column(col), hi))
         return b.filter(keep).select([id_col, text_col])
 
     # downstream stages are multi-pass: spill the gated text once

@@ -509,13 +509,20 @@ def doc_analysis(sf_dir: str) -> ray.data.Dataset:
     doc also mirrors how a real corpus-QA pipeline runs these: every
     facet in one scan.
     """
-    from jamie_ray.functions.text_analysis import repetition_batch
+    from jamie_ray.functions.text_analysis import (
+        gopher_quality_batch,
+        repetition_batch,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def all_facets(b: pa.Table) -> pa.Table:
-        b = repetition_batch(
-            fingerprint_batch(quality_score_batch(lang_id_batch(token_count_batch(b))))
+        b = gopher_quality_batch(
+            repetition_batch(
+                fingerprint_batch(
+                    quality_score_batch(lang_id_batch(token_count_batch(b)))
+                )
+            )
         )
         return b.select(
             [
@@ -527,6 +534,11 @@ def doc_analysis(sf_dir: str) -> ray.data.Dataset:
                 "text_hash",
                 "top2gram_micro",
                 "dup3gram_micro",
+                "mean_word_len_micro",
+                "symbol_word_micro",
+                "alpha_word_micro",
+                "bullet_line_micro",
+                "ellipsis_line_micro",
             ]
         )
 

@@ -2038,3 +2038,108 @@ def test_running_counts_does_not_leak_preserve_order(ray_session):
     before = events.context.execution_options.preserve_order
     running_counts(events).take_all()
     assert events.context.execution_options.preserve_order == before
+
+
+def test_gopher_quality_matches_duckdb_on_c4_fixture():
+    """gopher_quality_batch vs a DuckDB replay over the planted
+    multi-line C4 corpus (bullet/ellipsis fractions non-degenerate
+    only on multi-line text) plus hand-built signal docs."""
+    import duckdb
+
+    from jamie_ray.fixtures import _generate_docs_c4
+    from jamie_ray.functions.text_analysis import gopher_quality_batch
+
+    base = _generate_docs_c4(60)
+    extra = pa.table(
+        {
+            "doc_id": pa.array([1000, 1001, 1002, 1003], pa.int64()),
+            "text": [
+                "- bullet a b c\n* bullet d e f\n• g h i\nplain tail line",
+                "dots end here...\nuni ellipsis here…\t \nclean line",
+                "# sym ## heavy ... text … x",
+                "",
+            ],
+        }
+    )
+    t = pa.concat_tables([base, extra])
+    eng = gopher_quality_batch(t).to_pylist()
+    con = duckdb.connect()
+    con.register("t", t)
+    ora = con.sql(r"""
+        SELECT doc_id,
+          CASE WHEN n_tok = 0 THEN 0
+               ELSE (length(txt) - nblank) * 1000000 // n_tok END AS mean_word_len_micro,
+          CASE WHEN n_tok = 0 THEN 0
+               ELSE ((length(txt) - length(replace(txt,'#','')))
+                    + (length(txt) - length(replace(txt,'...',''))) // 3
+                    + (length(txt) - length(replace(txt,'…','')))) * 1000000 // n_tok
+          END AS symbol_word_micro,
+          CASE WHEN n_tok = 0 THEN 0
+               ELSE len(list_filter(string_split_regex(txt,'\s+'),
+                     x -> x <> '' AND regexp_matches(x,'[A-Za-z]'))) * 1000000 // n_tok
+          END AS alpha_word_micro,
+          len(list_filter(string_split(txt, chr(10)), l ->
+              starts_with(ltrim(l, chr(9)||chr(12)||chr(13)||' '), '•')
+              OR starts_with(ltrim(l, chr(9)||chr(12)||chr(13)||' '), '- ')
+              OR starts_with(ltrim(l, chr(9)||chr(12)||chr(13)||' '), '* ')))
+              * 1000000 // greatest(len(string_split(txt, chr(10))), 1)
+              AS bullet_line_micro,
+          len(list_filter(string_split(txt, chr(10)), l ->
+              ends_with(rtrim(l, chr(9)||chr(12)||chr(13)||' '), '...')
+              OR ends_with(rtrim(l, chr(9)||chr(12)||chr(13)||' '), '…')))
+              * 1000000 // greatest(len(string_split(txt, chr(10))), 1)
+              AS ellipsis_line_micro
+        FROM (
+          SELECT doc_id, coalesce(text,'') AS txt,
+                 len(regexp_extract_all(coalesce(text,''), '\S+')) AS n_tok,
+                 len(regexp_extract_all(coalesce(text,''), '\s')) AS nblank
+          FROM t
+        ) ORDER BY doc_id
+    """).arrow().to_pylist()
+    cols = [
+        "mean_word_len_micro",
+        "symbol_word_micro",
+        "alpha_word_micro",
+        "bullet_line_micro",
+        "ellipsis_line_micro",
+    ]
+    got = sorted(({c: r[c] for c in ["doc_id"] + cols} for r in eng),
+                 key=lambda r: r["doc_id"])
+    assert got == ora
+    # the extras exercise each signal away from zero
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[1000]["bullet_line_micro"] == 750_000
+    assert by_id[1001]["ellipsis_line_micro"] == 666_666
+    assert by_id[1002]["symbol_word_micro"] > 100_000
+    assert by_id[1003]["mean_word_len_micro"] == 0
+
+
+def test_clean_corpus_gopher_gate(ray_session, tmp_path):
+    """gopher=True drops the symbol-heavy / low-alpha / bullet-wall
+    docs in the same quality pass; clean docs survive untouched."""
+    import ray
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    good = "alpha words flow nicely here and keep a sane mean length."
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                good,
+                "# ## ### #### some words here",  # symbol-to-word > 0.1
+                "1 2 3 4 5 6 7 8 9 0",  # alpha-word fraction 0
+                "- a b c d\n- e f g h\n- i j k l",  # 100% bullet lines
+            ],
+        }
+    )
+    cleaned, stats = clean_corpus(
+        ray.data.from_arrow(t),
+        str(tmp_path / "spill"),
+        gopher=True,
+        min_tokens=1,
+        min_quality_micro=0,
+        max_dup3gram_micro=1_000_000,
+    )
+    assert {r["doc_id"] for r in cleaned.take_all()} == {0}
+    assert stats["n_after_quality"] == 1
