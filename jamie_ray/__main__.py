@@ -597,6 +597,44 @@ def cmd_dedup_spans(args) -> None:
     )
 
 
+def cmd_export(args) -> None:
+    """Parquet corpus -> JSONL or CSV shards (the inverse of
+    ``ingest``): the interchange hand-off to training consumers that
+    read line-delimited text. Streams shard-by-shard via the Dataset
+    writers — never materializes the corpus."""
+    _ensure_ray()
+    import glob as _glob
+    import os
+
+    import ray.data
+
+    cols = [c for c in (args.columns or "").split(",") if c] or None
+    ds = ray.data.read_parquet(args.inp, columns=cols)
+    if args.format == "jsonl":
+        ds.write_json(args.out)
+    elif args.format == "csv":
+        ds.write_csv(args.out)
+    else:
+        raise SystemExit(f"export: unknown format {args.format!r}")
+    n_files = len(
+        [
+            f
+            for f in _glob.glob(os.path.join(args.out, "*"))
+            if os.path.isfile(f)
+        ]
+    )
+    print(
+        json.dumps(
+            {
+                "command": "export",
+                "out": args.out,
+                "format": args.format,
+                "n_files": n_files,
+            }
+        )
+    )
+
+
 def cmd_ingest(args) -> None:
     """JSONL / CSV / parquet corpus -> normalized documents parquet
     (`doc_id`, `text`, passthrough extras) — the webtext interchange
@@ -1288,6 +1326,20 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
     p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser(
+        "export",
+        help="parquet corpus -> JSONL/CSV shards (the inverse of ingest)",
+    )
+    p.add_argument("--in", dest="inp", required=True, help="parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--format", default="jsonl", choices=["jsonl", "csv"])
+    p.add_argument(
+        "--columns",
+        default=None,
+        help="comma-separated column subset (pruned at the read)",
+    )
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser(
         "pack",

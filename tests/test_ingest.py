@@ -75,3 +75,40 @@ def test_ingest_csv_and_missing_column(ray_session, tmp_path, capsys):
             "ingest", "--in", str(src), "--out", str(tmp_path / "bad"),
             "--text-col", "nope",
         )
+
+
+def test_export_jsonl_roundtrip(ray_session, tmp_path):
+    """export (parquet -> JSONL) inverts ingest: re-ingesting the
+    exported shards reproduces the rows exactly."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ['line "quoted"\ttab', "plain text", ""],
+            "lang": ["en", "ja", "en"],
+        }
+    )
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "jsonl"
+    r = subprocess.run(
+        [sys.executable, "-m", "jamie_ray", "export",
+         "--in", str(src), "--out", str(out), "--columns", "doc_id,text"],
+        capture_output=True, text=True, check=True,
+    )
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["n_files"] >= 1
+    back = tmp_path / "back"
+    subprocess.run(
+        [sys.executable, "-m", "jamie_ray", "ingest",
+         "--in", str(out) + "/", "--format", "jsonl", "--out", str(back)],
+        capture_output=True, text=True, check=True,
+    )
+    got = sorted(pq.read_table(back).to_pylist(), key=lambda r: r["doc_id"])
+    assert got == t.select(["doc_id", "text"]).to_pylist()
