@@ -491,6 +491,37 @@ def cmd_lineclean(args) -> None:
     )
 
 
+def cmd_passages(args) -> None:
+    """Documents -> sliding-window passages (RAG / retrieval-corpus
+    chunking): fixed token windows with overlap, one output row per
+    passage. Streaming flat transform — no shuffle, no state."""
+    _ensure_ray()
+    import ray.data
+
+    from .functions.text_analysis import passage_split
+
+    docs = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    out = passage_split(
+        docs,
+        args.text_col,
+        args.id_col,
+        window=args.window,
+        stride=args.stride,
+    )
+    out.write_parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "command": "passages",
+                "out": args.out,
+                "n_passages": _pq_num_rows(args.out),
+                "window": args.window,
+                "stride": args.stride,
+            }
+        )
+    )
+
+
 def cmd_langid(args) -> None:
     _ensure_ray()
     import ray.data
@@ -1278,6 +1309,24 @@ def main(argv: list[str] | None = None) -> None:
         "instead of filtering + rewriting text",
     )
     p.set_defaults(fn=cmd_lineclean)
+
+    p = sub.add_parser(
+        "passages",
+        help="documents -> sliding-window passages (fixed token "
+        "windows with overlap; the RAG retrieval-chunk shape)",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.add_argument("--window", type=int, default=256, help="tokens per passage")
+    p.add_argument(
+        "--stride",
+        type=int,
+        default=128,
+        help="tokens between passage starts (must be <= window)",
+    )
+    p.set_defaults(fn=cmd_passages)
 
     p = sub.add_parser(
         "langid",

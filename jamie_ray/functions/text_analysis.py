@@ -457,3 +457,134 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
         "top2gram_micro", pa.array(top2, pa.int64())
     ).append_column("dup3gram_micro", pa.array(dup3, pa.int64()))
+
+
+def passage_split_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 256,
+    stride: int = 128,
+) -> pa.Table:
+    """Sliding-window passage splitter (the RAG / retrieval-corpus
+    preprocessing shape: fixed token windows with overlap) — fully
+    vectorized, zero Python row loops.
+
+    Tokens are the RE2-exact ``\\s+`` split with empties dropped
+    (:func:`ws_tokens` / the SQL ``string_split_regex`` twin). For a
+    doc with ``n > 0`` tokens, passages start at ``0, stride,
+    2*stride, ...`` with ``ceil(max(n - window, 0) / stride) + 1``
+    passages total (integer ceil — no float path), so every token is
+    covered and only the last passage may be shorter than ``window``.
+    Docs with no tokens (NULL / empty / all-blank text) emit zero
+    rows. Passage text re-joins its tokens with single spaces —
+    original inter-token whitespace is NOT preserved (the standard
+    retrieval-chunk normalization; use span offsets from
+    ``start_tok``/``n_tok`` against :func:`ws_tokens` when byte
+    fidelity matters).
+
+    Output rows: ``(id_col, passage_id, start_tok, n_tok,
+    passage_text)`` — one per passage, in (input row, passage_id)
+    order. Requires ``0 < stride <= window`` (contiguous or
+    overlapping windows; a gap would silently drop tokens).
+    """
+    if not (0 < stride <= window):
+        raise ValueError(
+            f"passage_split: need 0 < stride <= window, got "
+            f"stride={stride} window={window}"
+        )
+    n = batch.num_rows
+    id_type = batch.schema.field(id_col).type
+    empty = pa.table(
+        {
+            id_col: pa.array([], id_type),
+            "passage_id": pa.array([], pa.int64()),
+            "start_tok": pa.array([], pa.int64()),
+            "n_tok": pa.array([], pa.int64()),
+            "passage_text": pa.array([], pa.string()),
+        }
+    )
+    if n == 0:
+        return empty
+    text = pc.coalesce(batch.column(text_col), pa.scalar("", pa.string()))
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(text, WS_RE2_CLASS + "+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    raw_lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = toks.flatten()
+    nonempty = pc.not_equal(flat, pa.scalar(""))
+    ne_np = nonempty.to_numpy(zero_copy_only=False)
+    raw_parent = np.repeat(np.arange(n, dtype=np.int64), raw_lens)
+    ntok = np.bincount(raw_parent[ne_np], minlength=n).astype(np.int64)
+    flat_ne = flat.filter(nonempty)
+    tok_base = np.zeros(n, dtype=np.int64)
+    np.cumsum(ntok[:-1], out=tok_base[1:])
+
+    # passages per doc: integer ceil, 0 for token-free docs
+    p = np.where(
+        ntok > 0,
+        (np.maximum(ntok - window, 0) + stride - 1) // stride + 1,
+        0,
+    )
+    total_p = int(p.sum())
+    if total_p == 0:
+        return empty
+    pbase = np.zeros(n, dtype=np.int64)
+    np.cumsum(p[:-1], out=pbase[1:])
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), p)
+    within = np.arange(total_p, dtype=np.int64) - np.repeat(pbase, p)
+    start = within * stride
+    plen = np.minimum(window, ntok[doc_of] - start)
+
+    # gather token indices for every (overlapping) window
+    total_t = int(plen.sum())
+    tbase = np.zeros(total_p + 1, dtype=np.int64)
+    np.cumsum(plen, out=tbase[1:])
+    pass_of_tok = np.repeat(np.arange(total_p, dtype=np.int64), plen)
+    tok_within = np.arange(total_t, dtype=np.int64) - np.repeat(
+        tbase[:-1], plen
+    )
+    gidx = tok_base[doc_of[pass_of_tok]] + start[pass_of_tok] + tok_within
+    taken = pc.take(flat_ne, pa.array(gidx, pa.int64()))
+    if isinstance(taken, pa.ChunkedArray):
+        taken = taken.combine_chunks()
+    windows = pa.LargeListArray.from_arrays(pa.array(tbase, pa.int64()), taken)
+    ptext = pc.binary_join(windows, " ")
+    ids = pc.take(batch.column(id_col), pa.array(doc_of, pa.int64()))
+    return pa.table(
+        {
+            id_col: ids,
+            "passage_id": pa.array(within, pa.int64()),
+            "start_tok": pa.array(start, pa.int64()),
+            "n_tok": pa.array(plen, pa.int64()),
+            "passage_text": ptext,
+        }
+    )
+
+
+def passage_split(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 256,
+    stride: int = 128,
+):
+    """Dataset wrapper of :func:`passage_split_batch` — streaming
+    flat transform, no shuffle, no state; row count grows by the
+    overlap factor (~``window/stride`` x tokens), so pair it with a
+    small ``batch_size`` upstream for very long documents."""
+    if not (0 < stride <= window):
+        raise ValueError(
+            f"passage_split: need 0 < stride <= window, got "
+            f"stride={stride} window={window}"
+        )
+    return ds.map_batches(
+        lambda b: passage_split_batch(
+            b, text_col, id_col, window=window, stride=stride
+        ),
+        batch_format="pyarrow",
+    )
