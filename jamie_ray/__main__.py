@@ -576,7 +576,12 @@ def cmd_dedup_inc(args) -> None:
     # the algorithm never uses old-side ids: read only the text column
     old = ray.data.read_parquet(args.prev, columns=[args.text_col])
     incremental_dedup(
-        new, old, text_col=args.text_col, id_col=args.id_col
+        new,
+        old,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        flag_path=args.flag_path,
+        bloom_bits=args.bloom_bits,
     ).write_parquet(args.out)
     import glob as _glob
 
@@ -1350,6 +1355,23 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
+    p.add_argument(
+        "--flag-path",
+        dest="flag_path",
+        default="broadcast",
+        choices=["broadcast", "shuffle", "bloom"],
+        help="broadcast = exact (overlap set under the cap); shuffle = "
+        "exact, zero driver collections; bloom = approximate one-sided "
+        "(driver holds only bloom-bits/8 bytes at ANY corpus size)",
+    )
+    p.add_argument(
+        "--bloom-bits",
+        dest="bloom_bits",
+        type=int,
+        default=1 << 27,
+        help="bloom filter size in bits (~10-15 per distinct old doc "
+        "for ~1%% FP); only with --flag-path bloom",
+    )
     p.set_defaults(fn=cmd_dedup_inc)
 
     p = sub.add_parser(

@@ -127,6 +127,8 @@ def incremental_dedup(
     edge_cap: int | None = None,
     flag_path: str = "broadcast",
     n_buckets: int = 1024,
+    bloom_bits: int = 1 << 27,
+    bloom_hashes: int = 7,
 ):
     """Cross-snapshot exact dedup — the incremental-crawl workflow
     (monthly Common-Crawl-style snapshots: drop new documents whose
@@ -157,6 +159,21 @@ def incremental_dedup(
       collections at any overlap mass. Output schema is narrower
       (id + flag only); join back on ``id_col`` if other columns are
       needed.
+    - ``flag_path="bloom"``: APPROXIMATE — a Bloom filter over the
+      OLD corpus's text hashes replaces both the overlap set and the
+      corpus-scale shuffle of new-side rows. Per-block distinct old
+      hashes emit ``(slice, bit_position)`` 16-byte rows (k positions
+      per hash via Kirsch-Mitzenmacher double hashing), ONE shuffle
+      range-partitions the bit space, each slice group builds its
+      bitmap shard, and the driver assembles exactly ``bloom_bits/8``
+      bytes — bounded by the CALLER-CHOSEN filter size, never by
+      corpus size (16 MiB for the default ``bloom_bits=2**27``). The
+      flag pass is then streaming over the new corpus (same full
+      output schema as ``"broadcast"``). One-sided error: a genuinely
+      new doc may flag ``in_previous=1`` with probability ~
+      ``(1 - exp(-k*n_old/m))**k`` (conservative over-drop — the
+      standard dedup trade); a persisted doc is NEVER missed. Size
+      ``bloom_bits ~ 10-15 bits per distinct old doc`` for ~1% FP.
 
     Both inputs are consumed once (broadcast additionally re-reads the
     new corpus for the flag pass) — pass source-backed Datasets.
@@ -168,9 +185,108 @@ def incremental_dedup(
     from ..state.worker_cache import cached_get
     from .text_analysis import fingerprint_batch
 
-    if flag_path not in ("broadcast", "shuffle"):
+    if flag_path not in ("broadcast", "shuffle", "bloom"):
         raise ValueError(f"incremental_dedup: unknown flag_path {flag_path!r}")
     cap = edge_cap or DEFAULT_EDGE_CAP
+
+    if flag_path == "bloom":
+        N_SLICES = 256
+        m = int(bloom_bits)
+        k = int(bloom_hashes)
+        if m < 64 or k < 1:
+            raise ValueError(
+                f"incremental_dedup: need bloom_bits >= 64 and "
+                f"bloom_hashes >= 1, got {bloom_bits}/{bloom_hashes}"
+            )
+        # byte-aligned contiguous bit-space slices: the shuffle key is
+        # the slice, so each group builds an independent bitmap shard
+        # and the driver reassembles exactly m/8 bytes in slice order
+        slice_bits = (-(-m // N_SLICES) + 7) // 8 * 8
+        slice_bytes = slice_bits // 8
+        n_slices = -(-m // slice_bits)
+
+        def _positions(hs: list[str]) -> np.ndarray:
+            # Kirsch-Mitzenmacher double hashing: k positions from two
+            # base hashes, pos_i = (h1 + i*h2) mod m (h2 forced odd);
+            # uint64 wraparound is deliberate
+            h1 = hash_str_array(hs, seed=101)
+            h2 = hash_str_array(hs, seed=202) | np.uint64(1)
+            ks = np.arange(k, dtype=np.uint64)
+            return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(m)
+
+        def old_positions(batch: pa.Table) -> pa.Table:
+            batch = fingerprint_batch(batch, text_col)
+            batch = batch.filter(pc.is_valid(batch.column("text_hash")))
+            gb = batch.group_by(["text_hash"]).aggregate([])
+            hs = gb.column("text_hash").to_pylist()
+            if not hs:
+                return pa.table(
+                    {
+                        "slice": pa.array([], pa.int64()),
+                        "pos": pa.array([], pa.int64()),
+                    }
+                )
+            pos = np.unique(_positions(hs).ravel()).astype(np.int64)
+            return pa.table(
+                {
+                    "slice": pa.array(pos // slice_bits, pa.int64()),
+                    "pos": pa.array(pos, pa.int64()),
+                }
+            )
+
+        def build_slice(group: pa.Table) -> pa.Table:
+            s = int(group.column("slice")[0].as_py())
+            bits = np.zeros(slice_bytes, dtype=np.uint8)
+            pos = group.column("pos").to_numpy() - s * slice_bits
+            np.bitwise_or.at(
+                bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+            )
+            return pa.table(
+                {
+                    "slice": pa.array([s], pa.int64()),
+                    "bits": pa.array([bits.tobytes()], pa.binary()),
+                }
+            )
+
+        slices = (
+            old_docs.map_batches(old_positions, batch_format="pyarrow")
+            .groupby("slice")
+            .map_groups(build_slice, batch_format="pyarrow")
+        )
+        bitmap = np.zeros(n_slices * slice_bytes, dtype=np.uint8)
+        # structurally bounded collection: <= n_slices rows totalling
+        # exactly m/8 bytes, independent of corpus size
+        for b in iter_capped_batches(
+            slices, cap=cap, context="incremental dedup bloom slices"
+        ):
+            for s, raw in zip(
+                b.column("slice").to_pylist(), b.column("bits").to_pylist()
+            ):
+                bitmap[s * slice_bytes : (s + 1) * slice_bytes] = (
+                    np.frombuffer(raw, np.uint8)
+                )
+        bits_ref = ray.put(bitmap)
+
+        def flag_bloom(batch: pa.Table) -> pa.Table:
+            bm = cached_get(bits_ref, "incremental_dedup_bloom")
+            b2 = fingerprint_batch(batch, text_col)
+            hs = b2.column("text_hash").to_pylist()
+            flags = np.zeros(len(hs), dtype=np.int64)
+            valid = [i for i, h in enumerate(hs) if h is not None]
+            if valid:
+                pos = _positions([hs[i] for i in valid])
+                hit = (
+                    (bm[pos >> np.uint64(3)] >> (pos & np.uint64(7)).astype(np.uint8))
+                    & np.uint8(1)
+                ).all(axis=1)
+                flags[valid] = hit.astype(np.int64)
+            out = batch.drop_columns([text_col])
+            return out.append_column(
+                "in_previous", pa.array(flags, pa.int64())
+            )
+
+        return new_docs.map_batches(flag_bloom, batch_format="pyarrow")
+
     ship_ids = flag_path == "shuffle"
     id_type = (
         new_docs.schema().base_schema.field(id_col).type
