@@ -1022,6 +1022,15 @@ def cmd_clean(args) -> None:
             text_col=args.text_col,
             min_freq=2,
         )
+    decontam_grams = None
+    if args.decontam_bench:
+        from .functions.decontam import benchmark_ngram_set
+
+        decontam_grams = benchmark_ngram_set(
+            ray.data.read_parquet(args.decontam_bench, columns=[args.text_col]),
+            n=args.decontam_n,
+            text_col=args.text_col,
+        )
     cleaned, stats = clean_corpus(
         docs,
         args.spill,
@@ -1034,6 +1043,8 @@ def cmd_clean(args) -> None:
         span_min_len=args.span_min_len,
         lm=lm,
         max_ppl=args.max_ppl,
+        decontam_benchmark=decontam_grams,
+        decontam_n=args.decontam_n,
         keep_lang=args.keep_lang,
         lang_backend=args.lang_backend,
         lang_model=(
@@ -1630,6 +1641,15 @@ def main(argv: list[str] | None = None) -> None:
         dest="lm_train",
         default=None,
         help="trusted-corpus parquet: train a bigram LM and gate on --max-ppl",
+    )
+    p.add_argument(
+        "--decontam-bench",
+        dest="decontam_bench",
+        default=None,
+        help="benchmark parquet: drop docs sharing any --decontam-n-gram with it",
+    )
+    p.add_argument(
+        "--decontam-n", dest="decontam_n", type=int, default=3
     )
     p.add_argument(
         "--max-ppl",

@@ -7,7 +7,9 @@ public literature), composed from this engine's first-class operators:
    re-crawls under cosmetic URL variants before any content hashing;
 1. **quality gate** (vectorized ``map_batches``): drop docs below a
    token floor, above a repetition ceiling (``repetition_batch``), or
-   below a quality-score floor (``quality_score_batch``);
+   below a quality-score floor (``quality_score_batch``); opt-in
+   language / model-quality / perplexity / benchmark-decontamination
+   gates follow in that order;
 2. **exact dedup**: keep only each distinct text's minimum doc id
    (``exact_dedup``; the broadcast hash->winner map covers only
    DUPLICATED texts — bounded by duplicate mass);
@@ -55,6 +57,9 @@ def clean_corpus(
     span_min_len: int | None = None,
     lm=None,
     max_ppl: float | None = None,
+    decontam_benchmark=None,
+    decontam_n: int = 3,
+    decontam_hashed: bool = False,
     keep_lang: str | None = None,
     lang_backend: str = "heuristic",
     lang_model=None,
@@ -131,6 +136,18 @@ def clean_corpus(
     the SURVIVING corpus (one semi-join shuffle), so a doc an earlier
     gate removed can never be the kept representative. Docs without a
     vector are always kept. Stats gain ``n_after_semantic``.
+
+    ``decontam_benchmark=`` enables the benchmark-decontamination gate
+    (``functions/decontam.py``, Brown et al. 2020 app. C shape) right
+    after the perplexity gate and BEFORE the dedup stages (a dropped
+    doc can then never be a kept dedup representative): documents
+    sharing any word ``decontam_n``-gram with the benchmark are
+    removed. Accepts a set/iterable of gram strings, a prior
+    ``ray.put`` ref, or — with ``decontam_hashed=True`` — 64-bit gram
+    hashes (8 B/gram broadcast for very large benchmarks). The
+    contaminated-ID set is collected under the edge cap (bounded by
+    contamination mass, the near-dup LOSER-set convention) and the
+    drop pass streams. Stats gain ``n_after_decontam``.
 
     ``lm=`` + ``max_ppl=`` enable the CCNet-style perplexity gate
     (Wenzek et al. 2020): pass a trained :class:`~jamie_ray.functions.
@@ -363,6 +380,44 @@ def clean_corpus(
         )
         n_after_lm = gated.count()
 
+    n_after_decontam: int | None = None
+    if decontam_benchmark is not None:
+        # benchmark decontamination (broadcast gram set + streaming
+        # flag pass): collect only CONTAMINATED ids under the cap —
+        # bounded by contamination mass, never one id per clean doc
+        from ..functions.decontam import decontaminate
+
+        contaminated_ids = decontaminate(
+            gated,
+            decontam_benchmark,
+            n=decontam_n,
+            text_col=text_col,
+            hashed=decontam_hashed,
+        ).map_batches(
+            lambda b: b.filter(
+                pc.equal(b.column("contaminated"), 1)
+            ).select([id_col]),
+            batch_format="pyarrow",
+        )
+        bad_ids: set = set()
+        for b in iter_capped_batches(
+            contaminated_ids, context="clean_corpus decontam id set"
+        ):
+            bad_ids.update(b.column(id_col).to_pylist())
+        bad_ref = ray.put(frozenset(bad_ids))
+
+        def drop_contaminated(b: pa.Table) -> pa.Table:
+            bad = cached_get(bad_ref, "clean_decontam_ids")
+            mask = [i not in bad for i in b.column(id_col).to_pylist()]
+            return b.filter(pa.array(mask, pa.bool_()))
+
+        gated = _spill_input(
+            gated.map_batches(drop_contaminated, batch_format="pyarrow"),
+            os.path.join(spill_dir, "decontam"),
+            [id_col, text_col],
+        )
+        n_after_decontam = gated.count()
+
     # exact dedup: the broadcast must distinguish "unique text" (keep)
     # from "losing duplicate" (drop), so it carries the winner id PER
     # duplicated HASH. The n_dups > 1 filter runs DISTRIBUTED-side so
@@ -566,6 +621,8 @@ def clean_corpus(
         stats["n_after_line_clean"] = n_after_line_clean
     if n_after_lm is not None:
         stats["n_after_lm"] = n_after_lm
+    if n_after_decontam is not None:
+        stats["n_after_decontam"] = n_after_decontam
     if n_after_lang is not None:
         stats["n_after_lang"] = n_after_lang
     if n_after_quality_model is not None:

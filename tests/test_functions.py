@@ -2143,3 +2143,57 @@ def test_clean_corpus_gopher_gate(ray_session, tmp_path):
     )
     assert {r["doc_id"] for r in cleaned.take_all()} == {0}
     assert stats["n_after_quality"] == 1
+
+
+def test_clean_corpus_decontam_stage(ray_session, tmp_path):
+    """decontam_benchmark= drops docs sharing a benchmark n-gram BEFORE
+    the dedup stages; clean docs and the stats field survive."""
+    import ray.data
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    docs = ray.data.from_items(
+        [
+            # shares the 3-gram "the quick brown" with the benchmark
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+            {"doc_id": 2, "text": "a completely unrelated page kept as is today"},
+            # contaminated duplicate pair: BOTH drop (decontam runs
+            # before exact dedup, so neither can be a kept winner)
+            {"doc_id": 3, "text": "answer key the quick brown fox appears here verbatim"},
+            {"doc_id": 4, "text": "answer key the quick brown fox appears here verbatim"},
+        ]
+    )
+    cleaned, stats = clean_corpus(
+        docs,
+        str(tmp_path / "spill"),
+        min_tokens=3,
+        near_dup_threshold=0.99,
+        decontam_benchmark=["the quick brown"],
+        decontam_n=3,
+    )
+    rows = {r["doc_id"]: r["text"] for r in cleaned.take_all()}
+    assert set(rows) == {2}
+    assert stats["n_after_decontam"] == 1
+    assert stats["n_after_quality"] == 4  # decontam runs after quality
+
+
+def test_clean_corpus_decontam_no_hits_is_noop(ray_session, tmp_path):
+    import ray.data
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "page one with enough tokens to pass the floor"},
+            {"doc_id": 2, "text": "page two with enough tokens to pass the floor"},
+        ]
+    )
+    cleaned, stats = clean_corpus(
+        docs,
+        str(tmp_path / "spill"),
+        min_tokens=3,
+        near_dup_threshold=0.99,
+        decontam_benchmark=["totally absent benchmark gram"],
+    )
+    assert stats["n_after_decontam"] == 2
+    assert {r["doc_id"] for r in cleaned.take_all()} == {1, 2}
