@@ -885,6 +885,26 @@ def cmd_profile(args) -> None:
     print(json.dumps({"command": "profile", "columns": t.to_pylist()}))
 
 
+def cmd_report(args) -> None:
+    """Documents parquet -> one-page JSON data card (column profile +
+    token/quality/language aggregates + approx token quantiles)."""
+    _ensure_ray()
+    import ray.data
+
+    from .functions.profile import corpus_report
+
+    ds = ray.data.read_parquet(args.docs)
+    rep = corpus_report(ds, text_col=args.text_col, id_col=args.id_col)
+    out = {"command": "report", **rep}
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps({"command": "report", "out": args.out,
+                          "n_docs": rep["n_docs"]}))
+    else:
+        print(json.dumps(out))
+
+
 def cmd_sample(args) -> None:
     _ensure_ray()
     import ray.data
@@ -1496,6 +1516,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--cols", default=None, help="comma-separated column subset")
     p.add_argument("--kmv-k", dest="kmv_k", type=int, default=8192)
     p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser(
+        "report",
+        help="documents -> one-page JSON data card (column profile + "
+        "token/quality/language aggregates + approx token quantiles)",
+    )
+    p.add_argument("--docs", required=True, help="documents parquet path/dir")
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--text-col", dest="text_col", default="text")
+    p.add_argument("--out", default=None, help="write the card to a JSON file")
+    p.set_defaults(fn=cmd_report)
 
     p = sub.add_parser(
         "compact",

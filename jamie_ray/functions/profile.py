@@ -129,3 +129,134 @@ def profile_columns(ds, cols=None, *, kmv_k: int = 8192) -> pa.Table:
             ]
         ),
     )
+
+
+def corpus_report(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kmv_k: int = 8192,
+    quantile_k: int = 4096,
+) -> dict:
+    """One-command corpus data card over a documents table — the
+    profiling front door a new corpus gets before any cleaning run.
+    Three streaming passes, every driver collection bounded:
+
+    1. :func:`profile_columns` over every column (per-block partials);
+    2. ONE chained text pass (``token_count_batch`` →
+       ``quality_score_batch`` → ``lang_id_batch``) emitting a single
+       partial row per block — integer sums plus the heuristic
+       language histogram (closed set ``ja|en|other|''``), so the
+       reduce is layout-free and bit-deterministic;
+    3. one-pass approximate token-count quantiles
+       (``sketch.quantiles_approx`` hash reservoir, p50/p90/p99).
+
+    Returns a plain JSON-serializable dict. Mean columns are integer
+    micro units (floor division), the repo-wide oracle discipline.
+    """
+    import pyarrow.compute as pc
+
+    from .sketch import quantiles_approx
+    from .text_analysis import (
+        lang_id_batch,
+        quality_score_batch,
+        token_count_batch,
+    )
+
+    LANGS = ("ja", "en", "other", "")
+
+    def text_partial(batch: pa.Table) -> pa.Table:
+        # NULL text counts as the empty document everywhere in the
+        # card (0 tokens, lang 'empty') — never silently skipped
+        i = batch.schema.get_field_index(text_col)
+        batch = batch.set_column(
+            i,
+            text_col,
+            pc.coalesce(batch.column(text_col), pa.scalar("", pa.string())),
+        )
+        b = lang_id_batch(
+            quality_score_batch(
+                token_count_batch(batch, text_col=text_col),
+                text_col=text_col,
+            ),
+            text_col=text_col,
+        )
+        row: dict = {
+            "n_docs": [batch.num_rows],
+            "sum_tokens": [
+                int(pc.sum(b.column("n_tokens")).as_py() or 0)
+            ],
+            "sum_bpe": [int(pc.sum(b.column("n_bpe")).as_py() or 0)],
+            "sum_quality_micro": [
+                int(pc.sum(b.column("quality_micro")).as_py() or 0)
+            ],
+        }
+        preds = b.column("lang_pred")
+        for lang in LANGS:
+            key = f"lang_{lang or 'empty'}"
+            row[key] = [
+                int(
+                    pc.sum(
+                        pc.cast(pc.equal(preds, lang), pa.int64())
+                    ).as_py()
+                    or 0
+                )
+            ]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
+
+    partials = ds.map_batches(text_partial, batch_format="pyarrow").take_all()
+    totals: dict = {}
+    for r in partials:  # one short row per block — bounded by block count
+        for k_, v in r.items():
+            totals[k_] = totals.get(k_, 0) + int(v)
+    n_docs = totals.get("n_docs", 0)
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        # NULL text counts as 0 tokens (the quantile kernel rejects
+        # nulls loudly; the sums above already treat null as 0)
+        t = token_count_batch(b, text_col=text_col)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_tokens": pc.coalesce(
+                    t.column("n_tokens"), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    tok_ds = ds.map_batches(tok_rows, batch_format="pyarrow")
+    if n_docs > 0:
+        qt = quantiles_approx(
+            tok_ds, "n_tokens", [0.5, 0.9, 0.99], id_col=id_col, k=quantile_k
+        )
+        tok_quantiles = {
+            f"p{int(q * 100)}": v
+            for q, v in zip(
+                [0.5, 0.9, 0.99], qt.column("value").to_pylist()
+            )
+        }
+    else:
+        tok_quantiles = {}
+
+    return {
+        "n_docs": n_docs,
+        "columns": profile_columns(ds, kmv_k=kmv_k).to_pylist(),
+        "text": {
+            "sum_tokens": totals.get("sum_tokens", 0),
+            "sum_bpe": totals.get("sum_bpe", 0),
+            "mean_tokens_micro": (
+                totals.get("sum_tokens", 0) * 1_000_000 // n_docs
+                if n_docs
+                else 0
+            ),
+            "mean_quality_micro": (
+                totals.get("sum_quality_micro", 0) // n_docs if n_docs else 0
+            ),
+            "token_count_quantiles_approx": tok_quantiles,
+            "lang_counts": {
+                (lang or "empty"): totals.get(f"lang_{lang or 'empty'}", 0)
+                for lang in LANGS
+            },
+        },
+    }

@@ -83,3 +83,121 @@ def test_profile_cli(ray_session, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     by = {r["column"]: r for r in out["columns"]}
     assert by["doc_id"]["n_null"] == 1 and by["lang"]["n_distinct"] == 3
+
+
+def test_corpus_report_values_vs_duckdb(ray_session):
+    """The card's integer aggregates recompute exactly in DuckDB; the
+    language histogram matches the per-doc heuristic; quantiles are
+    exact in the k >= n regime."""
+    import duckdb
+    import ray.data
+
+    from jamie_ray.functions.profile import corpus_report
+    from jamie_ray.functions.text_analysis import (
+        lang_id_batch,
+        token_count_batch,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b c",
+        "",
+        None,
+        "こんにちは 世界 です こんにちは 世界 です",
+        "short one.",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    rep = corpus_report(ds)
+
+    assert rep["n_docs"] == len(texts)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    sum_tokens = con.execute(
+        r"SELECT coalesce(sum(len(list_filter(string_split_regex("
+        r"coalesce(text,''), '\s+'), x -> x <> ''))), 0) FROM t"
+    ).fetchone()[0]
+    assert rep["text"]["sum_tokens"] == sum_tokens
+    assert rep["text"]["mean_tokens_micro"] == sum_tokens * 1_000_000 // len(texts)
+
+    # language histogram == per-doc kernel counts
+    preds = lang_id_batch(tbl).column("lang_pred").to_pylist()
+    want = {"ja": 0, "en": 0, "other": 0, "empty": 0}
+    for p_ in preds:
+        want[p_ or "empty"] += 1
+    assert rep["text"]["lang_counts"] == want
+
+    # k >= n: the reservoir holds every row, quantiles are exact
+    counts = sorted(
+        c or 0 for c in token_count_batch(tbl).column("n_tokens").to_pylist()
+    )
+    q = rep["text"]["token_count_quantiles_approx"]
+    assert q["p50"] == counts[(len(counts) - 1) // 2]
+    assert q["p99"] == counts[-1] or q["p99"] == counts[int(0.99 * (len(counts) - 1))]
+
+    # column profile present for both columns
+    cols = {r["column"]: r for r in rep["columns"]}
+    assert cols["text"]["n_null"] == 1
+    assert cols["doc_id"]["n_distinct"] == len(texts)
+
+    # layout determinism
+    rep2 = corpus_report(ray.data.from_arrow(tbl).repartition(6))
+    assert rep2 == rep
+
+
+def test_corpus_report_empty(ray_session):
+    import ray.data
+
+    from jamie_ray.functions.profile import corpus_report
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    rep = corpus_report(ds)
+    assert rep["n_docs"] == 0
+    assert rep["text"]["token_count_quantiles_approx"] == {}
+    assert rep["text"]["sum_tokens"] == 0
+
+
+def test_cli_report(tmp_path, ray_session):
+    import json as _json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["hello world today", "another page here"], pa.string()),
+            }
+        ),
+        src,
+    )
+    out = tmp_path / "card.json"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "jamie_ray", "report",
+            "--docs", str(src), "--out", str(out),
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    info = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["n_docs"] == 2
+    card = _json.loads(out.read_text())
+    assert card["text"]["sum_tokens"] == 6
+    assert card["text"]["lang_counts"]["en"] == 2
