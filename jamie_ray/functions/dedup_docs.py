@@ -255,9 +255,12 @@ def incremental_dedup(
         )
         bitmap = np.zeros(n_slices * slice_bytes, dtype=np.uint8)
         # structurally bounded collection: <= n_slices rows totalling
-        # exactly m/8 bytes, independent of corpus size
+        # exactly m/8 bytes, independent of corpus size — so a small
+        # caller edge_cap (sized for overlap sets) must not trip here
         for b in iter_capped_batches(
-            slices, cap=cap, context="incremental dedup bloom slices"
+            slices,
+            cap=max(cap, n_slices + 1),
+            context="incremental dedup bloom slices",
         ):
             for s, raw in zip(
                 b.column("slice").to_pylist(), b.column("bits").to_pylist()

@@ -292,3 +292,15 @@ def test_cli_dedup_inc_bloom(tmp_path, ray_session):
     )
     info = _json.loads(r.stdout.strip().splitlines()[-1])
     assert info["n_docs"] == 5 and info["n_in_previous"] == 2
+
+
+def test_bloom_small_edge_cap_does_not_trip_slice_collect(ray_session):
+    # the slice collection is structurally bounded (<= 256 rows); a
+    # caller edge_cap sized for overlap sets must not spuriously raise
+    got = _flags(
+        incremental_dedup(
+            _new_ds(), _old_ds(), flag_path="bloom", bloom_bits=1 << 20,
+            edge_cap=4,
+        )
+    )
+    assert got == {10: 1, 11: 0, 12: 1, 13: 0, 14: 0}
