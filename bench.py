@@ -167,6 +167,17 @@ def _pii_mask(sf_dir: str):
     return mask_pii(docs)
 
 
+def _passages(sf_dir: str):
+    import ray.data
+
+    from jamie_ray.functions.text_analysis import passage_split
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return passage_split(docs, window=32, stride=16)
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
@@ -177,6 +188,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     qs["pii_mask"] = _pii_mask
     qs["docs_simhash_pairs"] = _simhash_pairs
     qs["doc_span_dedup"] = _span_dedup
+    qs["doc_passages"] = _passages
     picks = [
         "kg_triples",
         "agg_pricing_summary",
@@ -197,6 +209,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "pii_mask",
         "doc_pack_assignments",
         "doc_span_dedup",
+        "doc_passages",
         "docs_minhash_clusters",
         "docs_minhash_clusters_cc",
         "docs_simhash_pairs",
