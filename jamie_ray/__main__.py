@@ -885,6 +885,38 @@ def cmd_profile(args) -> None:
     print(json.dumps({"command": "profile", "columns": t.to_pylist()}))
 
 
+def cmd_topk(args) -> None:
+    """Parquet -> deterministic top-k rows per key (value order +
+    id tiebreak; block-local combiner before one coarse-bucket
+    shuffle)."""
+    _ensure_ray()
+    import ray.data
+
+    from .functions.skew import grouped_topk
+
+    ds = ray.data.read_parquet(
+        args.inp, columns=[args.id_col, args.key_col, args.value_col]
+    )
+    grouped_topk(
+        ds,
+        args.key_col,
+        args.value_col,
+        args.k,
+        id_col=args.id_col,
+        descending=not args.ascending,
+    ).write_parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "command": "topk",
+                "out": args.out,
+                "n_rows": _pq_num_rows(args.out),
+                "k": args.k,
+            }
+        )
+    )
+
+
 def cmd_report(args) -> None:
     """Documents parquet -> one-page JSON data card (column profile +
     token/quality/language aggregates + approx token quantiles)."""
@@ -1527,6 +1559,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--text-col", dest="text_col", default="text")
     p.add_argument("--out", default=None, help="write the card to a JSON file")
     p.set_defaults(fn=cmd_report)
+
+    p = sub.add_parser(
+        "topk",
+        help="top-k rows per key (deterministic value order + id tiebreak)",
+    )
+    p.add_argument("--in", dest="inp", required=True, help="parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--key-col", dest="key_col", required=True)
+    p.add_argument("--value-col", dest="value_col", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("-k", "--k", type=int, required=True)
+    p.add_argument("--ascending", action="store_true", help="smallest-k instead")
+    p.set_defaults(fn=cmd_topk)
 
     p = sub.add_parser(
         "compact",

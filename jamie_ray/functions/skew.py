@@ -86,3 +86,98 @@ def salted_group_sum(
         return pa.table(cols)
 
     return stage2.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_topk(
+    ds,
+    key_col: str,
+    value_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    n_buckets: int = 1024,
+):
+    """Deterministic top-``k`` rows per key — the public form of the
+    combiner the relational pipelines use internally (block-local
+    top-k per key BEFORE the shuffle, so a hot key ships at most
+    ``blocks x k`` rows instead of its full mass).
+
+    Rank order is ``value`` (``descending=`` direction) with the
+    ``id_col`` ascending tiebreak, so results are bit-deterministic on
+    any block layout and any tie pattern — the SQL twin is
+    ``row_number() OVER (PARTITION BY key ORDER BY value DESC, id)
+    <= k``. The shuffle key is the COARSE ``hash(key) % n_buckets``
+    bucket (the repo shuffle rule — never one dispatch per
+    near-singleton key group); the within-bucket pass re-runs the same
+    vectorized select over every key in the bucket. NULL values are
+    rejected loudly (rank order would be engine-defined); NULL keys
+    form their own group, like SQL ``GROUP BY``.
+
+    Returns the winning rows with their original columns.
+    """
+    import pyarrow.compute as pc
+
+    from ..hashing import stable_hash64
+
+    if k < 1:
+        raise ValueError(f"grouped_topk: need k >= 1, got {k}")
+    order = "descending" if descending else "ascending"
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        if batch.column(value_col).null_count:
+            raise ValueError(
+                f"grouped_topk: column {value_col!r} contains NULL — "
+                "drop/impute upstream (rank order would be undefined)"
+            )
+        # sort key-major, then value in rank order, then id: rows of
+        # one key are contiguous and already rank-sorted, so the top-k
+        # mask is pure index arithmetic over the key runs
+        s = batch.sort_by(
+            [
+                (key_col, "ascending"),
+                (value_col, order),
+                (id_col, "ascending"),
+            ]
+        )
+        keys = s.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        n = len(keys)
+        # run starts: index 0 plus every key change (null-safe compare)
+        neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+        neq = pc.fill_null(neq, True)  # null vs value boundary
+        # two nulls in a row: not_equal gives null -> filled True above,
+        # but SQL groups nulls together — recompute via validity
+        if keys.null_count:
+            v = pc.is_valid(keys)
+            both_null = pc.and_(
+                pc.invert(v.slice(1)), pc.invert(v.slice(0, n - 1))
+            )
+            neq = pc.and_(neq, pc.invert(both_null))
+        changes = np.flatnonzero(
+            neq.to_numpy(zero_copy_only=False)
+        ) + 1
+        starts = np.concatenate(([0], changes))
+        run_of = np.searchsorted(starts, np.arange(n), side="right") - 1
+        rank = np.arange(n, dtype=np.int64) - starts[run_of]
+        return s.filter(pa.array(rank < k))
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        t = local_topk(batch)
+        b = pa.array(
+            [
+                stable_hash64("gtk", kv) % n_buckets
+                for kv in t.column(key_col).to_pylist()
+            ],
+            pa.int64(),
+        )
+        return t.append_column("__gtk_bucket", b)
+
+    combined = ds.map_batches(bucketed, batch_format="pyarrow")
+    return combined.groupby("__gtk_bucket").map_groups(
+        lambda g: local_topk(g.drop_columns(["__gtk_bucket"])),
+        batch_format="pyarrow",
+    )
