@@ -1097,6 +1097,11 @@ def cmd_clean(args) -> None:
         max_ppl=args.max_ppl,
         decontam_benchmark=decontam_grams,
         decontam_n=args.decontam_n,
+        compress_band=(
+            tuple(int(x) for x in args.compress_band.split(","))
+            if args.compress_band
+            else None
+        ),
         keep_lang=args.keep_lang,
         lang_backend=args.lang_backend,
         lang_model=(
@@ -1723,6 +1728,14 @@ def main(argv: list[str] | None = None) -> None:
         dest="decontam_bench",
         default=None,
         help="benchmark parquet: drop docs sharing any --decontam-n-gram with it",
+    )
+    p.add_argument(
+        "--compress-band",
+        dest="compress_band",
+        default=None,
+        help="LO,HI micro band on the deflate-compression ratio (drop "
+        "outside: below = repetition, above = noise); docs under 200 "
+        "utf-8 bytes always pass",
     )
     p.add_argument(
         "--decontam-n", dest="decontam_n", type=int, default=3

@@ -48,6 +48,8 @@ def clean_corpus(
     id_col: str = "doc_id",
     line_clean: bool = False,
     gopher: bool = False,
+    compress_band: tuple[int, int] | None = None,
+    compress_min_bytes: int = 200,
     min_tokens: int = DEFAULT_MIN_TOKENS,
     max_dup3gram_micro: int = DEFAULT_MAX_DUP3GRAM,
     min_quality_micro: int = DEFAULT_MIN_QUALITY,
@@ -94,6 +96,16 @@ def clean_corpus(
     word <= 0.1, alpha-word >= 0.8, bullet lines <= 0.9, ellipsis
     lines <= 0.3) in the SAME streaming pass — no extra scan, no
     stat of its own (drops fold into ``n_after_quality``).
+
+    ``compress_band=(lo, hi)`` extends the heuristic quality gate with
+    the RefinedWeb/Dolma-style deflate-compressibility band
+    (``text_analysis.compression_ratio_batch``, micro units): docs
+    whose ``compress_micro`` falls OUTSIDE ``[lo, hi]`` are dropped —
+    below = pathological repetition, above = incompressible noise.
+    Docs shorter than ``compress_min_bytes`` utf-8 bytes always pass
+    (zlib header overhead dominates tiny inputs and the ratio is
+    meaningless there). Same streaming pass, drops fold into
+    ``n_after_quality``.
 
     ``pii=True`` appends the PII-masking pass (``functions/pii.py``:
     email/IPv4/phone sentinels) as the LAST stage — after dedup, so
@@ -296,6 +308,25 @@ def clean_corpus(
                     keep = pc.and_(keep, pc.greater_equal(b.column(col), lo))
                 if hi is not None:
                     keep = pc.and_(keep, pc.less_equal(b.column(col), hi))
+        if compress_band is not None:
+            from ..functions.text_analysis import compression_ratio_batch
+
+            lo, hi = compress_band
+            b = compression_ratio_batch(b, text_col=text_col)
+            nbytes = pc.binary_length(
+                pc.cast(
+                    pc.coalesce(
+                        b.column(text_col), pa.scalar("", pa.string())
+                    ),
+                    pa.binary(),
+                )
+            )
+            small = pc.less(nbytes, compress_min_bytes)
+            in_band = pc.and_(
+                pc.greater_equal(b.column("compress_micro"), lo),
+                pc.less_equal(b.column("compress_micro"), hi),
+            )
+            keep = pc.and_(keep, pc.or_(small, in_band))
         return b.filter(keep).select([id_col, text_col])
 
     # downstream stages are multi-pass: spill the gated text once

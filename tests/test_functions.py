@@ -2197,3 +2197,79 @@ def test_clean_corpus_decontam_no_hits_is_noop(ray_session, tmp_path):
     )
     assert stats["n_after_decontam"] == 2
     assert {r["doc_id"] for r in cleaned.take_all()} == {1, 2}
+
+
+def test_compression_ratio_signal():
+    """Deterministic replay + the three regimes the band gate targets:
+    prose compresses moderately, repetition collapses, noise stays
+    near/above 1.0."""
+    import zlib
+
+    from jamie_ray.functions.text_analysis import compression_ratio_batch
+
+    prose = (
+        "The committee reviewed the quarterly findings and noted that "
+        "several regional offices had reported improved throughput "
+        "after the scheduling changes were introduced last spring. "
+    ) * 4
+    repeat = "spam ham " * 200
+    import hashlib
+
+    raw = b"".join(
+        hashlib.blake2b(str(i).encode(), digest_size=64).digest()
+        for i in range(32)
+    )
+    noise = "".join(chr(33 + (b % 94)) for b in raw)
+    t = pa.table({"text": pa.array([prose, repeat, noise, None, ""])})
+    got = compression_ratio_batch(t).column("compress_micro").to_pylist()
+    # bit-exact replay of the definition
+    for text, micro in zip([prose, repeat, noise], got):
+        raw = text.encode("utf-8")
+        assert micro == len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
+    assert got[3] == 0 and got[4] == 0
+    p, r, n = got[0], got[1], got[2]
+    assert r < 100_000              # pathological repetition
+    assert 100_000 < p < 750_000    # ordinary prose
+    assert n > 750_000              # noise-like (printable-entropy cap)
+
+
+def test_clean_corpus_compress_band_gate(ray_session, tmp_path):
+    import ray.data
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    prose = (
+        "The committee reviewed the quarterly findings and noted that "
+        "several regional offices had reported improved throughput. "
+    ) * 4
+    repeat = "spam ham " * 200
+    import hashlib
+
+    raw = b"".join(
+        hashlib.blake2b(str(i).encode(), digest_size=64).digest()
+        for i in range(40)
+    )
+    noise = " ".join(
+        "".join(chr(33 + (b % 94)) for b in raw[i * 8 : (i + 1) * 8])
+        for i in range(len(raw) // 8)
+    )
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": prose},
+            {"doc_id": 2, "text": repeat},
+            {"doc_id": 3, "text": noise},
+            # short doc: always passes the band (byte floor)
+            {"doc_id": 4, "text": "tiny page kept regardless of ratio"},
+        ]
+    )
+    cleaned, stats = clean_corpus(
+        docs,
+        str(tmp_path / "spill"),
+        min_tokens=3,
+        max_dup3gram_micro=1_000_000,  # let the repetition doc reach the band
+        near_dup_threshold=0.99,
+        compress_band=(100_000, 750_000),
+    )
+    kept = {r["doc_id"] for r in cleaned.take_all()}
+    assert kept == {1, 4}
+    assert stats["n_after_quality"] == 2
