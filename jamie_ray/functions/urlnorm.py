@@ -201,3 +201,50 @@ def url_dedup(
     return combined.groupby("canonical_url").map_groups(
         reduce_partials, batch_format="pyarrow"
     )
+
+
+def domain_of(url: str | None, *, strip_www: bool = True) -> str | None:
+    """Lowercased hostname of a URL (``www.`` stripped by default) —
+    the per-domain key for domain caps (compose with
+    ``sampling.group_sample``: "at most N docs per domain"), domain
+    histograms and per-site dedup scoping. Without a public-suffix
+    list (no network, no baked data file) this is the FULL hostname,
+    not the registrable domain — ``news.example.co.uk`` stays
+    ``news.example.co.uk``; callers needing eTLD+1 grouping should
+    bring a suffix table. None/unparseable/hostless input -> None.
+    """
+    if url is None:
+        return None
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return None
+    host = parts.hostname
+    if not host:
+        return None
+    host = host.lower()
+    if strip_www and host.startswith("www.") and len(host) > 4:
+        host = host[4:]
+    return host
+
+
+def add_domain(
+    ds,
+    url_col: str = "url",
+    *,
+    out_col: str = "domain",
+    strip_www: bool = True,
+):
+    """Dataset wrapper: append ``out_col`` with :func:`domain_of` of
+    ``url_col``. Streaming, no shuffle. The per-row urlsplit is the
+    whole kernel (the canonicalize_url precedent)."""
+    import pyarrow as pa
+
+    def f(batch):
+        doms = [
+            domain_of(u, strip_www=strip_www)
+            for u in batch.column(url_col).to_pylist()
+        ]
+        return batch.append_column(out_col, pa.array(doms, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -219,3 +219,51 @@ def test_clean_corpus_url_stage_keeps_null_url_docs(ray_session, tmp_path):
     kept = sorted(r["doc_id"] for r in cleaned.take_all())
     # doc 4 loses to doc 3 on canonical URL; all null-URL docs survive
     assert kept == [1, 2, 3, 5]
+
+
+def test_domain_of_rules():
+    from jamie_ray.functions.urlnorm import domain_of
+
+    assert domain_of("https://WWW.Example.COM/a/b?x=1") == "example.com"
+    assert domain_of("http://news.example.co.uk/p") == "news.example.co.uk"
+    assert domain_of("https://www.example.com", strip_www=False) == "www.example.com"
+    assert domain_of("https://example.com:8080/x") == "example.com"
+    assert domain_of("not a url") is None
+    assert domain_of("/relative/path") is None
+    assert domain_of(None) is None
+    # idempotent-adjacent: domain of a canonicalized url is the same
+    from jamie_ray.functions.urlnorm import canonicalize_url
+
+    u = "HTTPS://WWW.Example.com:443/a/?utm_source=x#frag"
+    assert domain_of(canonicalize_url(u)) == domain_of(u) == "example.com"
+
+
+def test_add_domain_and_group_sample_compose(ray_session):
+    """The domain-cap workflow: add_domain -> group_sample(key=domain)
+    keeps at most k docs per domain, deterministically."""
+    import ray.data
+
+    from jamie_ray.functions.sampling import group_sample
+    from jamie_ray.functions.urlnorm import add_domain
+
+    rows = [
+        {"doc_id": i, "url": f"https://site{i % 3}.example.org/p{i}"}
+        for i in range(30)
+    ]
+    ds = ray.data.from_items(rows).repartition(4)
+    with_dom = add_domain(ds)
+    kept = group_sample(with_dom, key_col="domain", k=4, id_col="doc_id")
+    out = kept.take_all()
+    from collections import Counter
+
+    per = Counter(r["domain"] for r in out)
+    assert set(per) == {f"site{j}.example.org" for j in range(3)}
+    assert all(v == 4 for v in per.values())
+    # deterministic: same selection on a different layout
+    out2 = group_sample(
+        add_domain(ray.data.from_items(rows).repartition(7)),
+        key_col="domain",
+        k=4,
+        id_col="doc_id",
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
