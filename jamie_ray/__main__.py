@@ -926,7 +926,13 @@ def cmd_report(args) -> None:
     from .functions.profile import corpus_report
 
     ds = ray.data.read_parquet(args.docs)
-    rep = corpus_report(ds, text_col=args.text_col, id_col=args.id_col)
+    rep = corpus_report(
+        ds,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        url_col=args.url_col,
+        domain_phi=args.domain_phi,
+    )
     out = {"command": "report", **rep}
     if args.out:
         with open(args.out, "w", encoding="utf-8") as f:
@@ -1563,6 +1569,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--id-col", dest="id_col", default="doc_id")
     p.add_argument("--text-col", dest="text_col", default="text")
     p.add_argument("--out", default=None, help="write the card to a JSON file")
+    p.add_argument(
+        "--url-col",
+        dest="url_col",
+        default=None,
+        help="add per-domain concentration (exact counts of domains "
+        "holding >= --domain-phi of the corpus)",
+    )
+    p.add_argument(
+        "--domain-phi", dest="domain_phi", type=float, default=0.001
+    )
     p.set_defaults(fn=cmd_report)
 
     p = sub.add_parser(

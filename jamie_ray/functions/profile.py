@@ -136,6 +136,8 @@ def corpus_report(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    url_col: str | None = None,
+    domain_phi: float = 0.001,
     kmv_k: int = 8192,
     quantile_k: int = 4096,
 ) -> dict:
@@ -239,7 +241,29 @@ def corpus_report(
     else:
         tok_quantiles = {}
 
-    return {
+    top_domains: list[dict] | None = None
+    if url_col is not None and n_docs > 0:
+        # per-domain concentration: exact counts of every domain
+        # holding >= domain_phi of the corpus (Misra-Gries candidates
+        # + exact second pass — functions/sketch.py), the crawl-health
+        # signal a data card leads with
+        from .sketch import heavy_hitters
+        from .urlnorm import add_domain
+
+        doms = add_domain(ds, url_col=url_col).map_batches(
+            lambda b: b.select(["domain"]).filter(
+                pc.is_valid(b.column("domain"))
+            ),
+            batch_format="pyarrow",
+        )
+        hh = heavy_hitters(doms, "domain", phi=domain_phi)
+        rows = hh.take_all()  # <= k rows by construction (MG summary)
+        rows.sort(key=lambda r: (-int(r["n"]), r["domain"]))
+        top_domains = [
+            {"domain": r["domain"], "n": int(r["n"])} for r in rows
+        ]
+
+    out = {
         "n_docs": n_docs,
         "columns": profile_columns(ds, kmv_k=kmv_k).to_pylist(),
         "text": {
@@ -260,3 +284,6 @@ def corpus_report(
             },
         },
     }
+    if top_domains is not None:
+        out["top_domains"] = top_domains
+    return out

@@ -201,3 +201,28 @@ def test_cli_report(tmp_path, ray_session):
     card = _json.loads(out.read_text())
     assert card["text"]["sum_tokens"] == 6
     assert card["text"]["lang_counts"]["en"] == 2
+
+
+def test_corpus_report_top_domains(ray_session):
+    import ray.data
+
+    from jamie_ray.functions.profile import corpus_report
+
+    rows = []
+    for i in range(40):
+        dom = "big.example.org" if i < 25 else f"site{i}.example.org"
+        rows.append(
+            {
+                "doc_id": i,
+                "text": f"document number {i} with several ordinary words",
+                "url": f"https://{dom}/p{i}",
+            }
+        )
+    rows.append({"doc_id": 99, "text": "no url row", "url": None})
+    ds = ray.data.from_items(rows).repartition(4)
+    rep = corpus_report(ds, url_col="url", domain_phi=0.25)
+    # only the dominant domain clears phi=0.25 of 41 rows (count 25)
+    assert rep["top_domains"] == [{"domain": "big.example.org", "n": 25}]
+    # url_col omitted -> no section
+    rep2 = corpus_report(ds)
+    assert "top_domains" not in rep2
