@@ -2273,3 +2273,65 @@ def test_clean_corpus_compress_band_gate(ray_session, tmp_path):
     kept = {r["doc_id"] for r in cleaned.take_all()}
     assert kept == {1, 4}
     assert stats["n_after_quality"] == 2
+
+
+def test_clean_corpus_all_optins_compose(ray_session, tmp_path):
+    """Every opt-in stage enabled at once (permissive thresholds): the
+    chain runs end-to-end, emits every stats key in pipeline order,
+    and keeps the clean doc."""
+    import ray.data
+
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    docs = ray.data.from_items(
+        [
+            {
+                "doc_id": 1,
+                "url": "https://www.example.com/a?utm_source=x",
+                "text": "This page stays through every gate today.\n"
+                "It has several ordinary lines of text in it.\n"
+                "Each line ends with terminal punctuation marks.",
+            },
+            {
+                "doc_id": 2,
+                "url": "https://example.com/a",  # canonical-URL dup of 1
+                "text": "This page stays through every gate today.\n"
+                "It has several ordinary lines of text in it.\n"
+                "Each line ends with terminal punctuation marks.",
+            },
+            {
+                "doc_id": 3,
+                "url": "https://other.example.com/b",
+                "text": "the quick brown fox shares a benchmark gram here.\n"
+                "so this document must be decontaminated away now.\n"
+                "three lines keep the line cleaner satisfied too.",
+            },
+        ]
+    )
+    cleaned, stats = clean_corpus(
+        docs,
+        str(tmp_path / "spill"),
+        min_tokens=3,
+        near_dup_threshold=0.99,
+        url_col="url",
+        line_clean=True,
+        gopher=True,
+        compress_band=(1, 999_999_999),
+        decontam_benchmark=["the quick brown"],
+        span_min_len=50,
+        pii=True,
+    )
+    kept = {r["doc_id"] for r in cleaned.take_all()}
+    assert kept == {1}  # 2 lost the URL dedup, 3 decontaminated
+    for key in (
+        "n_input",
+        "n_after_url",
+        "n_after_line_clean",
+        "n_after_quality",
+        "n_after_decontam",
+        "n_after_exact",
+        "n_after_near_dup",
+    ):
+        assert key in stats, key
+    assert stats["n_after_url"] == 2
+    assert stats["n_after_decontam"] == 1
