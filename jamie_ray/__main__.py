@@ -885,6 +885,69 @@ def cmd_profile(args) -> None:
     print(json.dumps({"command": "profile", "columns": t.to_pylist()}))
 
 
+def cmd_cluster(args) -> None:
+    """Embeddings -> deterministic k-means bucket per row
+    (``centroid_id``); the user-facing coarse quantizer."""
+    _ensure_ray()
+    import ray.data
+
+    from .functions.similarity import cluster_assign
+
+    emb = ray.data.read_parquet(
+        args.embeddings, columns=[args.id_col, args.vec_col]
+    )
+    cluster_assign(
+        emb,
+        n_centroids=args.n_centroids,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+    ).write_parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "command": "cluster",
+                "out": args.out,
+                "n_rows": _pq_num_rows(args.out),
+                "n_centroids": args.n_centroids,
+            }
+        )
+    )
+
+
+def cmd_mix(args) -> None:
+    """Weighted corpus mixture (Pile/LLaMA-style epoch weights) of
+    several parquet corpora -> one tagged output corpus."""
+    _ensure_ray()
+    import ray.data
+
+    from .functions.sampling import mix_corpora
+
+    sources = []
+    for spec in args.sources:
+        try:
+            name, rest = spec.split("=", 1)
+            path, w = rest.rsplit(":", 1)
+            weight = float(w)
+        except ValueError:
+            raise SystemExit(
+                f"mix: bad --in {spec!r} (want name=path:weight)"
+            )
+        sources.append((name, ray.data.read_parquet(path), weight))
+    mix_corpora(sources, id_col=args.id_col, salt=args.salt).write_parquet(
+        args.out
+    )
+    print(
+        json.dumps(
+            {
+                "command": "mix",
+                "out": args.out,
+                "n_rows": _pq_num_rows(args.out),
+                "n_sources": len(sources),
+            }
+        )
+    )
+
+
 def cmd_topk(args) -> None:
     """Parquet -> deterministic top-k rows per key (value order +
     id tiebreak; block-local combiner before one coarse-bucket
@@ -1593,6 +1656,36 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("-k", "--k", type=int, required=True)
     p.add_argument("--ascending", action="store_true", help="smallest-k instead")
     p.set_defaults(fn=cmd_topk)
+
+    p = sub.add_parser(
+        "cluster",
+        help="embeddings -> deterministic k-means centroid_id per row",
+    )
+    p.add_argument("--embeddings", required=True, help="embeddings parquet path/dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", dest="id_col", default="vec_id")
+    p.add_argument("--vec-col", dest="vec_col", default="embedding")
+    p.add_argument(
+        "--n-centroids", dest="n_centroids", type=int, default=16
+    )
+    p.set_defaults(fn=cmd_cluster)
+
+    p = sub.add_parser(
+        "mix",
+        help="weighted mixture of parquet corpora (name=path:weight, "
+        "w>1 = floor(w) full epochs + fractional sample)",
+    )
+    p.add_argument(
+        "--in",
+        dest="sources",
+        action="append",
+        required=True,
+        help="repeatable: name=path:weight",
+    )
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", dest="id_col", default="doc_id")
+    p.add_argument("--salt", default="")
+    p.set_defaults(fn=cmd_mix)
 
     p = sub.add_parser(
         "compact",

@@ -967,3 +967,46 @@ def knn_indexed(
         _score_partial(q, id_col, vec_col, k, round_to), batch_format="pyarrow"
     ).take_all()
     return _topk_merge(rows, k, id_col)
+
+
+def cluster_assign(
+    embeddings,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+):
+    """Public k-means corpus bucketing: append ``centroid_id`` (int64,
+    nearest centroid, argmin tie rule) to every row — the user-facing
+    form of the IVF coarse quantizer the ANN index and SemDeDup stages
+    use internally. Deterministic end to end (``ivf_centroids``'s
+    integer-scaled partial sums make the centroids bit-identical on
+    any block layout), so bucket assignments are exactly reproducible.
+
+    Pass ``centroids=`` to reuse a quantizer trained elsewhere (the
+    ``refresh_ann_index`` frozen-quantizer convention — assignments
+    then stay comparable across corpus generations). The assignment
+    pass is streaming (broadcast centroids, per-batch matmul), no
+    shuffle.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, n_centroids, n_iter, id_col=id_col, vec_col=vec_col
+        )
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import cached_get
+
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "centroid_id", pa.array([], pa.int64())
+            )
+        cents = cached_get(cref, "cluster_assign_centroids")
+        mat = _as_matrix(batch.column(vec_col))
+        a = _ivf_assign(mat, cents).astype(np.int64)
+        return batch.append_column("centroid_id", pa.array(a, pa.int64()))
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")

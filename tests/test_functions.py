@@ -2335,3 +2335,104 @@ def test_clean_corpus_all_optins_compose(ray_session, tmp_path):
         assert key in stats, key
     assert stats["n_after_url"] == 2
     assert stats["n_after_decontam"] == 1
+
+
+def test_cluster_assign_matches_quantizer(ray_session):
+    """centroid_id equals the single-machine nearest-centroid replay;
+    layout-deterministic; frozen-quantizer reuse matches."""
+    import numpy as np
+    import ray.data
+
+    from jamie_ray.functions.similarity import (
+        _ivf_assign,
+        cluster_assign,
+        ivf_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 80, 6
+    vecs = rng.normal(size=(n, d)).round(3)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    cents = ivf_centroids(ds, n_centroids=5)
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in cluster_assign(ds, n_centroids=5).take_all()
+    }
+    exp = _ivf_assign(vecs.astype(np.float64), cents)
+    assert got == {i: int(exp[i]) for i in range(n)}
+    # frozen quantizer reuse + different layout -> identical buckets
+    got2 = {
+        r["vec_id"]: r["centroid_id"]
+        for r in cluster_assign(
+            ray.data.from_arrow(tbl).repartition(7), centroids=cents
+        ).take_all()
+    }
+    assert got2 == got
+
+
+def test_cli_cluster_and_mix(ray_session, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array([f"doc {i} text" for i in range(20)], pa.string()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "docs.parquet")
+    out = tmp_path / "mixed"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "jamie_ray", "mix",
+            "--in", f"a={tmp_path/'docs.parquet'}:2.0",
+            "--in", f"b={tmp_path/'docs.parquet'}:0.5",
+            "--out", str(out),
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    info = _json.loads(r.stdout.strip().splitlines()[-1])
+    t = pq.read_table(out)
+    assert info["n_rows"] == t.num_rows
+    from collections import Counter
+
+    per = Counter(t.column("source").to_pylist())
+    assert per["a"] == 40  # two full epochs
+    assert 0 < per["b"] < 20  # fractional hash sample
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array(
+                [[float(i % 5), float(i % 3)] for i in range(30)],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    pq.write_table(emb, tmp_path / "emb.parquet")
+    cout = tmp_path / "clustered"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "jamie_ray", "cluster",
+            "--embeddings", str(tmp_path / "emb.parquet"),
+            "--out", str(cout), "--n-centroids", "4",
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    info = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["n_rows"] == 30
+    ct = pq.read_table(cout)
+    assert set(ct.column_names) == {"vec_id", "embedding", "centroid_id"}
+    assert all(0 <= c < 4 for c in ct.column("centroid_id").to_pylist())
