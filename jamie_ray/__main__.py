@@ -1126,6 +1126,25 @@ def cmd_decontam(args) -> None:
     )
 
 
+def _parse_compress_band(spec: str | None) -> tuple[int, int] | None:
+    """LO,HI -> (int, int), failing loudly BEFORE any pipeline work
+    (a malformed band must not surface as a RayTaskError after the
+    earlier stages already ran)."""
+    if spec is None:
+        return None
+    parts = spec.split(",")
+    try:
+        lo, hi = (int(x) for x in parts)
+    except ValueError:
+        raise SystemExit(
+            f"clean: bad --compress-band {spec!r} (want LO,HI integers, "
+            f"micro units — e.g. 100000,750000)"
+        )
+    if lo > hi:
+        raise SystemExit(f"clean: --compress-band lo > hi: {spec!r}")
+    return (lo, hi)
+
+
 def cmd_clean(args) -> None:
     _ensure_ray()
     import ray.data
@@ -1166,11 +1185,7 @@ def cmd_clean(args) -> None:
         max_ppl=args.max_ppl,
         decontam_benchmark=decontam_grams,
         decontam_n=args.decontam_n,
-        compress_band=(
-            tuple(int(x) for x in args.compress_band.split(","))
-            if args.compress_band
-            else None
-        ),
+        compress_band=_parse_compress_band(args.compress_band),
         keep_lang=args.keep_lang,
         lang_backend=args.lang_backend,
         lang_model=(

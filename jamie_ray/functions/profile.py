@@ -256,7 +256,11 @@ def corpus_report(
             ),
             batch_format="pyarrow",
         )
-        hh = heavy_hitters(doms, "domain", phi=domain_phi)
+        # size the MG summary to the requested phi: heavy_hitters
+        # requires k >= 1/phi (recall bound) and its default k=1024
+        # would reject any phi below ~0.001
+        hh_k = max(1024, int(1.0 / domain_phi) + 1)
+        hh = heavy_hitters(doms, "domain", phi=domain_phi, k=hh_k)
         rows = hh.take_all()  # <= k rows by construction (MG summary)
         rows.sort(key=lambda r: (-int(r["n"]), r["domain"]))
         top_domains = [

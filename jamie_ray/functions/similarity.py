@@ -992,6 +992,17 @@ def cluster_assign(
     shuffle.
     """
     if centroids is None:
+        # ivf_centroids' seeding hard-casts ids to int64 deep inside a
+        # map_batches task — validate the precondition HERE so a
+        # string id column fails loudly up front, not as an opaque
+        # RayTaskError (pass centroids= to bucket a string-id corpus)
+        id_type = embeddings.schema().base_schema.field(id_col).type
+        if not pa.types.is_integer(id_type):
+            raise ValueError(
+                f"cluster_assign: training centroids requires an integer "
+                f"{id_col!r} column (got {id_type}); pass centroids= from "
+                f"ivf_centroids on an integer-keyed corpus instead"
+            )
         centroids = ivf_centroids(
             embeddings, n_centroids, n_iter, id_col=id_col, vec_col=vec_col
         )

@@ -196,6 +196,19 @@ def clean_corpus(
         )
     if (lm is None) != (max_ppl is None):
         raise ValueError("clean_corpus: lm and max_ppl must be given together")
+    if compress_band is not None:
+        try:
+            lo_b, hi_b = (int(x) for x in compress_band)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"clean_corpus: compress_band must be (lo, hi) ints, "
+                f"got {compress_band!r}"
+            )
+        if lo_b > hi_b:
+            raise ValueError(
+                f"clean_corpus: compress_band lo > hi: {compress_band!r}"
+            )
+        compress_band = (lo_b, hi_b)
 
     # spill the raw input FIRST: a derived upstream executes exactly
     # once (the repo-wide spill contract), n_input reads from parquet
@@ -308,26 +321,31 @@ def clean_corpus(
                     keep = pc.and_(keep, pc.greater_equal(b.column(col), lo))
                 if hi is not None:
                     keep = pc.and_(keep, pc.less_equal(b.column(col), hi))
+        out = b.filter(keep)
         if compress_band is not None:
+            # AFTER the cheap masks: zlib is the heaviest per-row
+            # kernel in this pass, so it only runs on rows every
+            # earlier rule already kept (ANDed masks — semantics
+            # identical, drops still fold into n_after_quality)
             from ..functions.text_analysis import compression_ratio_batch
 
             lo, hi = compress_band
-            b = compression_ratio_batch(b, text_col=text_col)
+            out = compression_ratio_batch(out, text_col=text_col)
             nbytes = pc.binary_length(
                 pc.cast(
                     pc.coalesce(
-                        b.column(text_col), pa.scalar("", pa.string())
+                        out.column(text_col), pa.scalar("", pa.string())
                     ),
                     pa.binary(),
                 )
             )
             small = pc.less(nbytes, compress_min_bytes)
             in_band = pc.and_(
-                pc.greater_equal(b.column("compress_micro"), lo),
-                pc.less_equal(b.column("compress_micro"), hi),
+                pc.greater_equal(out.column("compress_micro"), lo),
+                pc.less_equal(out.column("compress_micro"), hi),
             )
-            keep = pc.and_(keep, pc.or_(small, in_band))
-        return b.filter(keep).select([id_col, text_col])
+            out = out.filter(pc.or_(small, in_band))
+        return out.select([id_col, text_col])
 
     # downstream stages are multi-pass: spill the gated text once
     gated = _spill_input(

@@ -2436,3 +2436,55 @@ def test_cli_cluster_and_mix(ray_session, tmp_path):
     ct = pq.read_table(cout)
     assert set(ct.column_names) == {"vec_id", "embedding", "centroid_id"}
     assert all(0 <= c < 4 for c in ct.column("centroid_id").to_pylist())
+
+
+def test_review_fixes_cluster_band_phi(ray_session, tmp_path):
+    """Round-5 review fixes: (a) cluster_assign rejects string id
+    columns loudly up front; (b) corpus_report plumbs k through
+    heavy_hitters so small domain_phi works; (c) clean_corpus
+    validates compress_band shape eagerly."""
+    import ray.data
+
+    from jamie_ray.functions.profile import corpus_report
+    from jamie_ray.functions.similarity import cluster_assign
+    from jamie_ray.pipelines.clean import clean_corpus
+
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(["a", "b"], pa.string()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="integer"):
+        cluster_assign(emb, n_centroids=2)
+
+    # phi below 1/1024 used to hit heavy_hitters' default-k recall
+    # bound; k is now sized from phi
+    rows = [
+        {
+            "doc_id": i,
+            "text": f"document {i} ordinary words here",
+            "url": f"https://dom.example.org/p{i}",
+        }
+        for i in range(10)
+    ]
+    rep = corpus_report(
+        ray.data.from_items(rows), url_col="url", domain_phi=0.0005
+    )
+    assert rep["top_domains"][0]["domain"] == "dom.example.org"
+
+    docs = ray.data.from_items(
+        [{"doc_id": 1, "text": "enough tokens to pass the floor here"}]
+    )
+    with pytest.raises(ValueError, match="compress_band"):
+        clean_corpus(
+            docs, str(tmp_path / "s"), compress_band=(100,)  # 1-tuple
+        )
+    with pytest.raises(ValueError, match="lo > hi"):
+        clean_corpus(
+            docs, str(tmp_path / "s2"), compress_band=(900, 100)
+        )
