@@ -356,9 +356,16 @@ def main_scaling(sf_dir: str) -> None:
 
 
 def _record_scaling(out: dict) -> None:
-    """Append/replace the measured-scaling section in BASELINE.md."""
+    """Append/replace the LATEST-RUN section in BASELINE.md.
+
+    Replaces only the auto-maintained "Latest --scaling run" section —
+    the hand-curated multi-run table under "## Measured scaling (this
+    engine)" is never touched (it used to be clobbered by every
+    --scaling run and had to be restored from git each time; the
+    curated table is the headline record, this section is the raw
+    latest sample to fold into it)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
-    marker = "## Measured scaling (this engine)"
+    marker = "## Latest --scaling run (auto-written; fold into the curated table above)"
     with open(path, "r", encoding="utf-8") as f:
         content = f.read()
     if marker in content:
