@@ -46,9 +46,10 @@ def _oracle(tbl, k, descending=True):
 
 def _run(tbl, k, *, parts=4, **kw):
     ds = ray.data.from_arrow(tbl).repartition(parts)
-    got = pa.Table.from_pylist(
-        grouped_topk(ds, "key", "value", k, **kw).take_all()
-    )
+    rows = grouped_topk(ds, "key", "value", k, **kw).take_all()
+    if not rows:  # from_pylist([]) would lose the schema
+        return tbl.slice(0, 0).select(["doc_id", "key", "value"])
+    got = pa.Table.from_pylist(rows)
     return got.select(["doc_id", "key", "value"]).sort_by("doc_id")
 
 
@@ -116,3 +117,33 @@ def test_grouped_topk_rejects_bad_k(ray_session):
     ds = ray.data.from_arrow(_tbl(10))
     with pytest.raises(ValueError):
         grouped_topk(ds, "key", "value", 0)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=60),
+    n_keys=st.integers(min_value=1, max_value=5),
+    vmax=st.integers(min_value=1, max_value=4),  # tiny range -> many ties
+    k=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_grouped_topk_hypothesis_vs_duckdb(ray_session, n, n_keys, vmax, k, seed):
+    rng = np.random.default_rng(seed)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "key": pa.array(
+                [f"k{int(i)}" for i in rng.integers(0, n_keys, n)], pa.string()
+            ),
+            "value": pa.array(
+                rng.integers(0, vmax, n).astype("int64"), pa.int64()
+            ),
+        }
+    )
+    got = _run(tbl, k, parts=3)
+    exp = _oracle(tbl, k)
+    assert got.equals(exp.cast(got.schema))
